@@ -1,0 +1,91 @@
+"""NumPy-vectorized varint codec + posting-block layout.
+
+The reference ships uncompressed NDJSON to Elasticsearch and lets Lucene do
+posting compression (reference: search/bulk.go buffers raw JSON bytes,
+search/client.go:77-139 POSTs them). Our engine owns the index, so we own
+the codec: docID **deltas** + LEB128 varints, fixed-size blocks with
+per-block max-score metadata for block-max WAND (BASELINE.json#north_star).
+
+All encode/decode paths are vectorized over NumPy arrays — no per-element
+Python loops over postings (loops below are over the ≤10 byte positions of
+a varint, not over values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per block (Lucene uses 128-doc blocks for the same reason)
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]  # 2^7 .. 2^63
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # Exact byte-length per value via integer comparisons (log2 would lose
+    # precision above 2^53).
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += a >= np.uint64(t)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    shifted = a.copy()
+    for k in range(10):
+        mask = nbytes > k  # values that have a k-th byte
+        if not mask.any():
+            break
+        pos = starts[mask] + k
+        byte = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << np.uint8(7)
+        out[pos] = byte | cont
+        shifted[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    values = np.zeros(ends.shape, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        mask = lengths > k
+        chunk = b[starts[mask] + k].astype(np.uint64)
+        values[mask] |= (chunk & np.uint64(0x7F)) << np.uint64(7 * k)
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Sorted docIDs -> first raw, rest gaps, varint-packed."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty_like(a)
+    deltas[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=deltas[1:])
+    return varint_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    deltas = varint_decode(buf)
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def split_blocks(doc_idx: np.ndarray, tf: np.ndarray, block_size: int = BLOCK_SIZE):
+    """Yield (block_id, doc_idx_block, tf_block) chunks of a sorted posting list."""
+    n = doc_idx.shape[0]
+    for block_id, start in enumerate(range(0, n, block_size)):
+        end = min(start + block_size, n)
+        yield block_id, doc_idx[start:end], tf[start:end]

@@ -1,0 +1,53 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_replica_spark.index.codec import (
+    delta_decode,
+    delta_encode,
+    split_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**60, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.uint64)
+    assert (varint_decode(varint_encode(a)) == a).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**60), min_size=1, max_size=500))
+def test_delta_roundtrip_property(xs):
+    a = np.unique(np.array(xs, dtype=np.uint64))
+    assert (delta_decode(delta_encode(a)) == a).all()
+
+
+def test_delta_compresses_dense_ids():
+    ids = np.arange(10_000, dtype=np.uint64)
+    enc = delta_encode(ids)
+    assert len(enc) < 10_000 * 2  # ~1 byte/doc for dense ids
+
+
+def test_split_blocks():
+    ids = np.arange(300, dtype=np.uint64)
+    tfs = np.ones(300, dtype=np.int64)
+    blocks = list(split_blocks(ids, tfs, block_size=128))
+    assert [b[0] for b in blocks] == [0, 1, 2]
+    assert [len(b[1]) for b in blocks] == [128, 128, 44]
+    assert (np.concatenate([b[1] for b in blocks]) == ids).all()
