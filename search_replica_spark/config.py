@@ -1,0 +1,34 @@
+"""Engine configuration.
+
+The reference configures itself from env vars + SQL-comment struct tags
+(reference: config.go:25-80, conftags/tags.go:60-114). We replace that DSL
+with a plain dataclass — the Spark-native equivalent of its Database/Table
+config tree (reference: postgres/config.go:34-52).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from search_replica_spark import B, K1
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    k1: float = K1
+    b: float = B
+    block_size: int = 128
+    # terms with df above this get salted into doc_idx ranges at build time
+    # (skew handling, SURVEY.md §7 hard-part 2). Each salt range covers
+    # `salt_range_docs` consecutive doc_idx values, so blocks stay globally
+    # docID-sorted without a post-merge.
+    hot_df_threshold: int = 100_000
+    salt_range_docs: int = 65_536
+    shuffle_partitions: int = 32
+    # columns of the input contract (BASELINE.json#input_hint)
+    input_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1,0 +1,262 @@
+"""Distributed inverted-index build: corpus → compressed posting segments.
+
+Spark-first re-expression of the reference's entire indexing dataflow
+(reference: postgres/reindex.go:29-91 snapshot scan → postgres/table.go
+row→doc transform → search/bulk.go batched sink) PLUS the index construction
+the reference delegates to Elasticsearch/Lucene.
+
+Pipeline (one logical plan, two shuffles):
+
+  read parquet (pruned to repo,path,content — Catalyst pushes projection)
+    → doc_id/sha256 columns (JVM-side sha2/conv expressions)
+    → mapInPandas tokenize+count      (Arrow batches, no per-row Python)
+    → shuffle #1: groupBy doc_id      (doc lengths; dense doc_idx two-pass)
+    → shuffle #2: groupBy (term,salt) (posting lists; hot terms salted by
+                                       doc_idx range so salted blocks stay
+                                       globally docID-sorted — no post-merge)
+    → applyInPandas block encode      (NumPy delta+varint, per-block max score)
+    → parquet segments range-partitioned+sorted by term (row-group pruning
+      makes query-time `term IN (...)` an index seek, not a scan)
+
+Scale notes (100 TB design): both shuffles key on high-cardinality columns
+(doc_id, term); the only broadcast is the hot-term df table (tiny by
+construction: terms with df > threshold). Dense doc_idx assignment is the
+standard two-pass partition-offset trick — O(P) driver state, no global sort
+bottleneck, no zipWithIndex RDD scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_replica_spark.analysis import tokenize_series
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.index.codec import delta_encode, split_blocks, varint_encode
+
+SEGMENT_SCHEMA = (
+    "term string, block_id int, n int, first_doc_idx long, last_doc_idx long, "
+    "max_score double, docs_bin binary, tfs_bin binary"
+)
+
+
+def with_doc_ids(df: DataFrame) -> DataFrame:
+    """Derived identity columns, all JVM-side expressions.
+
+    doc_id: 60-bit int from sha256(repo \\x00 path) — the engine's analogue of
+    the reference's ``_id = {table}_{pk}`` (postgres/table.go:119-128), chosen
+    so the pure-Python oracle can reproduce it bit-for-bit (oracle.doc_id_of).
+    content_sha256: the per-row invariant column (BASELINE.json#input_hint).
+    """
+    key = F.concat_ws("\x00", F.col("repo"), F.col("path"))
+    return df.withColumn(
+        "doc_id", F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("long")
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def tokenize_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf) via Arrow-batched pandas."""
+
+    def fn(batches):
+        for pdf in batches:
+            toks = tokenize_series(pdf["content"])
+            ex = pd.DataFrame({"doc_id": pdf["doc_id"], "term": toks}).explode("term")
+            ex = ex.dropna(subset=["term"])
+            if ex.empty:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "term": pd.Series(dtype="object"),
+                                    "tf": pd.Series(dtype="int64")})
+                continue
+            g = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+            yield g
+
+    return docs.select("doc_id", "content").mapInPandas(
+        fn, schema="doc_id long, term string, tf long"
+    )
+
+
+def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
+    """doc_id → dense ordinal doc_idx (0..N-1 in doc_id order), scalably.
+
+    Two-pass partition-offset pattern: range-partition by doc_id, count rows
+    per partition (tiny collect, O(P)), then assign offset + local arange in
+    a second pass. No single-partition Window sort. The input is cached so
+    both passes see the identical (sampled) range partitioning.
+    """
+    ds = (
+        doc_stats.repartitionByRange(partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in ds.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def fn(batches):
+        local = -1
+        seen = 0
+        for pdf in batches:
+            if local < 0 and len(pdf):
+                local = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out["doc_idx"] = np.arange(local + seen, local + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield out
+
+    cols = [c for c in doc_stats.columns]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in doc_stats.schema.fields)
+    out = ds.mapInPandas(fn, schema=f"{schema}, doc_idx long").select(*cols, "doc_idx")
+    return out
+
+
+def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
+    """applyInPandas group encoder: one (term, salt) group → segment rows."""
+    k1, b, bs, range_docs = cfg.k1, cfg.b, cfg.block_size, cfg.salt_range_docs
+    blocks_per_range = max(1, range_docs // bs)
+    import math
+
+    def fn(key, pdf: pd.DataFrame):
+        term, salt = key
+        df_t = int(pdf["df_hot"].iloc[0]) if pd.notna(pdf["df_hot"].iloc[0]) else len(pdf)
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        pdf = pdf.sort_values("doc_idx")
+        doc_idx = pdf["doc_idx"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["doc_len"].to_numpy(np.float64)
+        score = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avg_dl)))
+        base_block = int(salt) * blocks_per_range
+        rows = []
+        pos = 0
+        for bid, d_blk, tf_blk in split_blocks(doc_idx, tf, bs):
+            s_blk = score[pos : pos + len(d_blk)]
+            pos += len(d_blk)
+            rows.append(
+                (
+                    term,
+                    base_block + bid,
+                    len(d_blk),
+                    int(d_blk[0]),
+                    int(d_blk[-1]),
+                    float(s_blk.max()),
+                    delta_encode(d_blk.astype(np.uint64)),
+                    varint_encode(tf_blk.astype(np.uint64)),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "block_id", "n", "first_doc_idx", "last_doc_idx",
+                "max_score", "docs_bin", "tfs_bin",
+            ],
+        )
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Build the full index at ``out_dir``; returns the stats/lineage manifest.
+
+    Layout:
+      out_dir/docs/      doc_idx, doc_id, repo, path, lang, content_sha256, doc_len
+      out_dir/segments/  SEGMENT_SCHEMA, range-partitioned + sorted by term
+      out_dir/dict/      term, df  (term dictionary + doc frequency)
+      out_dir/stats.json N, avg_dl, lineage metrics, config, timings
+    """
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    P = cfg.shuffle_partitions
+
+    docs = with_doc_ids(corpus.select(*cfg.input_columns))
+    postings = tokenize_counts(docs).cache()
+
+    # --- doc store: lengths + dense doc_idx (shuffle #1, keyed on doc_id) ---
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    doc_meta = docs.select("doc_id", "repo", "path", "lang", "content_sha256")
+    doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
+    doc_map = assign_dense_doc_idx(doc_stats, P).cache()
+
+    agg = doc_map.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg"), F.sum("doc_len").alias("tok")
+    ).collect()[0]
+    n_docs, avg_dl, total_tokens = int(agg["n"]), float(agg["avg"]), int(agg["tok"])
+
+    # --- term df + hot-term table (broadcast; tiny by construction) ---
+    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
+    hot = df_tbl.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
+
+    # --- postings with doc_idx/doc_len, salted for hot terms ---
+    p2 = postings.join(doc_map.select("doc_id", "doc_idx", "doc_len"), "doc_id").join(
+        F.broadcast(hot), "term", "left"
+    )
+    p2 = p2.withColumn(
+        "salt",
+        F.when(
+            F.col("df_hot").isNotNull(),
+            (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    # --- shuffle #2: group by (term, salt), NumPy block encode ---
+    seg = p2.groupBy("term", "salt").applyInPandas(
+        _encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA
+    )
+    seg = seg.repartitionByRange(P, "term").sortWithinPartitions("term", "block_id")
+    seg.write.mode("overwrite").parquet(os.path.join(out_dir, "segments"))
+
+    (
+        doc_map.repartitionByRange(P, "doc_idx")
+        .sortWithinPartitions("doc_idx")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docs"))
+    )
+    (
+        df_tbl.repartitionByRange(min(P, 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "dict"))
+    )
+
+    # --- lineage metrics (north_star: docs_tokenized/postings_emitted/bytes) ---
+    segdf = spark.read.parquet(os.path.join(out_dir, "segments"))
+    lin = segdf.agg(
+        F.sum("n").alias("postings"),
+        (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias("bytes"),
+        F.count("*").alias("blocks"),
+    ).collect()[0]
+    postings.unpersist()
+    doc_map.unpersist()
+
+    stats = {
+        "n_docs": n_docs,
+        "avg_dl": avg_dl,
+        "total_tokens": total_tokens,
+        "n_terms": df_tbl.count(),
+        "docs_tokenized": n_docs,
+        "postings_emitted": int(lin["postings"]),
+        "bytes_compressed": int(lin["bytes"]),
+        "n_blocks": int(lin["blocks"]),
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "block_size": cfg.block_size,
+        "build_sec": round(time.time() - t0, 3),
+    }
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return stats

@@ -76,7 +76,9 @@ class OracleIndex:
         """
         terms = tokenize_text(query)
         scores: dict[int, float] = {}
-        for t in set(terms):
+        # sorted-term summation order: keeps float64 sums bit-identical with
+        # the engine's NumPy paths, which also sum in sorted-term order
+        for t in sorted(set(terms)):
             plist = self.postings.get(t)
             if not plist:
                 continue

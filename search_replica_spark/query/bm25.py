@@ -1,0 +1,333 @@
+"""BM25 top-k query execution over the segment store.
+
+Implements the search semantics the reference delegates to Elasticsearch
+(reference: demo/README.md:18-42 queries a live ES; demo/mapping.json
+configures it). Three execution strategies, all rank-identical:
+
+  1. ``bm25_topk_spark``  — fully distributed DataFrame plan: pushdown
+     ``term IN (...)`` to the segment parquet, Arrow-decode blocks, join doc
+     lengths, groupBy-sum, TakeOrdered top-k. This is the 100 TB path: the
+     scan touches only the query terms' row groups (segments are
+     range-partitioned + sorted by term), everything else is a small join.
+  2. ``TermAtATimeScorer`` — low-latency NumPy path on fetched postings
+     (p50-latency benchmark path).
+  3. ``wand_topk``        — block-max WAND with per-block max-score skipping
+     (BASELINE.json#north_star), over the same fetched postings.
+
+All strategies compute scores in float64 with idf from Python ``math.log``,
+summing per-doc contributions in sorted-term order where we control the
+order, so scores are bit-comparable with the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_replica_spark.analysis import tokenize_text
+from search_replica_spark.index.codec import delta_decode, varint_decode
+
+
+class IndexReader:
+    """Driver-side handle on an index directory (stats + lazy postings fetch)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.avg_dl = self.stats["avg_dl"]
+        self.k1 = self.stats["k1"]
+        self.b = self.stats["b"]
+        self._doc_len: np.ndarray | None = None
+        self._doc_ids: np.ndarray | None = None
+
+    # --- doc store (doc_idx-ordered arrays, loaded once) ---
+    def doc_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._doc_len is None:
+            pdf = (
+                self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                .select("doc_idx", "doc_id", "doc_len")
+                .toPandas()
+                .sort_values("doc_idx")
+            )
+            self._doc_len = pdf["doc_len"].to_numpy(np.float64)
+            self._doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        return self._doc_len, self._doc_ids
+
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
+        """Segment rows for the query terms — `term IN` pushed to parquet."""
+        seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        return (
+            seg.filter(F.col("term").isin(list(set(terms))))
+            .toPandas()
+            .sort_values(["term", "block_id"])
+        )
+
+    def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted."""
+        blk = self.fetch_blocks(terms)
+        out = {}
+        for term, g in blk.groupby("term", sort=True):
+            docs = np.concatenate([delta_decode(bb) for bb in g["docs_bin"]]).astype(np.int64)
+            tfs = np.concatenate([varint_decode(bb) for bb in g["tfs_bin"]]).astype(np.int64)
+            out[term] = (docs, tfs, g)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: fully distributed DataFrame plan
+# ---------------------------------------------------------------------------
+
+def bm25_topk_spark(spark: SparkSession, index_dir: str, query: str, k: int = 10) -> DataFrame:
+    """Distributed BM25 top-k: returns DataFrame(doc_id, score) ordered."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("term").isin(terms)
+    )
+    # df per term from the dictionary (pushdown on term), broadcast-joined.
+    dic = (
+        spark.read.parquet(os.path.join(index_dir, "dict"))
+        .filter(F.col("term").isin(terms))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"term": pd.Series(dtype="object"),
+                                    "doc_idx": pd.Series(dtype="int64"),
+                                    "tf": pd.Series(dtype="int64")})
+                continue
+            parts = []
+            for term, docs_bin, tfs_bin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
+                d = delta_decode(docs_bin).astype(np.int64)
+                t = varint_decode(tfs_bin).astype(np.int64)
+                parts.append(pd.DataFrame({"term": term, "doc_idx": d, "tf": t}))
+            yield pd.concat(parts, ignore_index=True)
+
+    posts = seg.select("term", "docs_bin", "tfs_bin").mapInPandas(
+        decode, schema="term string, doc_idx long, tf long"
+    )
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "doc_idx", "doc_id", "doc_len"
+    )
+    scored = (
+        posts.join(F.broadcast(dic.select("term", "idf")), "term")
+        .join(docs, "doc_idx")
+        .withColumn(
+            "score",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_dl))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: NumPy term-at-a-time (low-latency exhaustive)
+# ---------------------------------------------------------------------------
+
+class TermAtATimeScorer:
+    def __init__(self, reader: IndexReader):
+        self.r = reader
+
+    def score(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        r = self.r
+        terms = sorted(set(tokenize_text(query)))
+        if not terms:
+            return []
+        doc_len, doc_ids = r.doc_arrays()
+        postings = r.fetch_postings(terms)
+        acc: dict[int, float] = {}
+        acc_idx = np.array([], dtype=np.int64)
+        acc_score = np.array([], dtype=np.float64)
+        full = np.zeros(r.n_docs, dtype=np.float64)
+        touched = np.zeros(r.n_docs, dtype=bool)
+        for term in terms:  # sorted order → deterministic float summation
+            if term not in postings:
+                continue
+            docs, tfs, _ = postings[term]
+            idf = r.idf(len(docs))
+            dl = doc_len[docs]
+            tf = tfs.astype(np.float64)
+            contrib = idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
+            full[docs] += contrib
+            touched[docs] = True
+        idxs = np.nonzero(touched)[0]
+        if idxs.size == 0:
+            return []
+        scores = full[idxs]
+        kk = min(k, idxs.size)
+        # partial-select the top kk by score, then widen to include every doc
+        # tied with the k-th score so the doc_id tie-break is exact
+        if idxs.size > kk:
+            part = np.argpartition(-scores, kk - 1)[:kk]
+            thresh = scores[part].min()
+            cand = scores >= thresh
+        else:
+            cand = np.ones(idxs.size, dtype=bool)
+        cand_idx = idxs[cand]
+        cand_score = scores[cand]
+        cand_docid = doc_ids[cand_idx]
+        order = np.lexsort((cand_docid, -cand_score))
+        return [(int(cand_docid[i]), float(cand_score[i])) for i in order[:kk]]
+
+
+# ---------------------------------------------------------------------------
+# Strategy 3: block-max WAND
+# ---------------------------------------------------------------------------
+
+class _TermCursor:
+    __slots__ = ("term", "docs", "tfs", "blocks", "pos", "idf", "max_score", "n")
+
+    def __init__(self, term, docs, tfs, block_meta, idf):
+        self.term = term
+        self.docs = docs
+        self.tfs = tfs
+        # blocks: list of (start_offset, end_offset, last_doc_idx, max_score)
+        self.blocks = block_meta
+        self.pos = 0
+        self.idf = idf
+        self.max_score = max(b[3] for b in block_meta)
+        self.n = len(docs)
+
+    def cur_doc(self):
+        return self.docs[self.pos] if self.pos < self.n else np.iinfo(np.int64).max
+
+    def advance_to(self, target):
+        # galloping search within remaining postings
+        self.pos += int(np.searchsorted(self.docs[self.pos :], target, side="left"))
+
+    def block_max_at(self, doc):
+        for s, e, last, ms in self.blocks:
+            if doc <= last:
+                return ms
+        return 0.0
+
+    def block_last_at(self, doc):
+        for s, e, last, ms in self.blocks:
+            if doc <= last:
+                return last
+        return np.iinfo(np.int64).max
+
+
+def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Block-max WAND over compressed segments (rank-identical to exhaustive)."""
+    r = reader
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    postings = r.fetch_postings(terms)
+    cursors: list[_TermCursor] = []
+    for term in terms:
+        if term not in postings:
+            continue
+        docs, tfs, g = postings[term]
+        idf = r.idf(len(docs))
+        meta, off = [], 0
+        for n_blk, last in zip(g["n"], g["last_doc_idx"]):
+            meta.append((off, off + int(n_blk), int(last), float(g["max_score"].iloc[len(meta)])))
+            off += int(n_blk)
+        cursors.append(_TermCursor(term, docs, tfs, meta, idf))
+    if not cursors:
+        return []
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    theta = 0.0
+    INF = np.iinfo(np.int64).max
+
+    def score_doc(didx: int) -> float:
+        s = 0.0
+        dl = doc_len[didx]
+        for c in cursors:  # cursors are in sorted-term order → deterministic sum
+            if c.cur_doc() == didx:
+                tf = float(c.tfs[c.pos])
+                s += c.idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
+        return s
+
+    while True:
+        live = [c for c in cursors if c.cur_doc() != INF]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        # find pivot: smallest prefix whose UB sum exceeds theta
+        ub, pivot_i = 0.0, -1
+        for i, c in enumerate(live):
+            ub += c.max_score
+            # >= not >: a doc scoring exactly theta can still enter the heap
+            # on the doc_id tie-break, so it must be scored, not pruned
+            if ub >= theta or len(heap) < k:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = int(live[pivot_i].cur_doc())
+        # block-max check: refine UB with per-block maxima at pivot. Cursors
+        # beyond the pivot sitting exactly on pivot_doc also contribute, so
+        # include them (else a real top-k doc can be wrongly pruned).
+        bub = sum(c.block_max_at(pivot_doc) for c in live[: pivot_i + 1])
+        for c in live[pivot_i + 1 :]:
+            if int(c.cur_doc()) == pivot_doc:
+                bub += c.block_max_at(pivot_doc)
+        if len(heap) >= k and bub < theta:
+            # safe skip: docs in (pivot, d] are covered only by prefix
+            # cursors (d capped below the next cursor's position), whose
+            # block UBs sum below theta
+            d = min(c.block_last_at(pivot_doc) for c in live[: pivot_i + 1])
+            if pivot_i + 1 < len(live):
+                d = min(d, int(live[pivot_i + 1].cur_doc()) - 1)
+            d = max(d, pivot_doc)
+            live[0].advance_to(d + 1)
+            continue
+        if int(live[0].cur_doc()) == pivot_doc:
+            # all preceding cursors aligned on pivot → score it
+            for c in live:
+                if c.cur_doc() < pivot_doc:
+                    c.advance_to(pivot_doc)
+            s = score_doc(pivot_doc)
+            entry = (s, -int(doc_ids[pivot_doc]))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) >= k:
+                theta = heap[0][0]
+            for c in live:
+                if c.cur_doc() == pivot_doc:
+                    c.pos += 1
+        else:
+            live[0].advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]

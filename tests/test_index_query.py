@@ -1,0 +1,113 @@
+"""End-to-end rank-identity: Spark engine vs pure-Python oracle.
+
+Mirrors the reference's consistency test (demo/consistency_test.go:29-82):
+it loads the input, runs the engine, then compares every result against the
+independent reference implementation.
+"""
+
+import numpy as np
+import pytest
+
+from search_replica_spark.corpus import reference_queries
+from search_replica_spark.query.bm25 import (
+    IndexReader,
+    TermAtATimeScorer,
+    bm25_topk_spark,
+    wand_topk,
+)
+
+TOL = 1e-9
+
+
+def canon(results):
+    """Canonicalize [(doc_id, score)] for comparison: quantize then order."""
+    return [(d, round(s, 9)) for d, s in results]
+
+
+def assert_rank_identical(got, want):
+    assert len(got) == len(want), f"length {len(got)} != {len(want)}"
+    for i, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), f"rank {i}: score {gs} != {ws}"
+    # doc order must match after quantizing away float-sum noise
+    assert [d for d, _ in canon(got)] == [d for d, _ in canon(want)]
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return reference_queries()
+
+
+def test_build_stats(small_index, small_oracle):
+    _, stats = small_index
+    assert stats["n_docs"] == small_oracle.n_docs == 600
+    assert abs(stats["avg_dl"] - small_oracle.avg_dl) < 1e-9
+    assert stats["n_terms"] == len(small_oracle.postings)
+    assert stats["postings_emitted"] == sum(len(p) for p in small_oracle.postings.values())
+    assert stats["bytes_compressed"] > 0
+
+
+def test_doc_store_invariants(spark, small_index, small_corpus):
+    """content_sha256 per-row invariant vs source (BASELINE.json#input_hint)."""
+    import hashlib
+
+    idx_dir, _ = small_index
+    docs = spark.read.parquet(f"{idx_dir}/docs").toPandas()
+    assert docs["doc_idx"].sort_values().tolist() == list(range(len(small_corpus)))
+    src = small_corpus.set_index(["repo", "path"])["content"]
+    merged = docs.set_index(["repo", "path"]).join(src.to_frame())
+    expect = merged["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert (merged["content_sha256"] == expect).all()
+    # doc_idx is dense rank of doc_id
+    by_idx = docs.sort_values("doc_idx")
+    assert by_idx["doc_id"].is_monotonic_increasing
+
+
+def test_rank_identity_tata(spark, small_index, small_oracle, queries):
+    """NumPy term-at-a-time scorer == oracle on all 50 reference queries."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    scorer = TermAtATimeScorer(reader)
+    for qid, qtext, k in zip(queries["query_id"], queries["query_text"], queries["k"]):
+        got = scorer.score(qtext, int(k))
+        want = small_oracle.score(qtext, int(k))
+        assert_rank_identical(got, want)
+
+
+def test_rank_identity_wand(spark, small_index, small_oracle, queries):
+    """Block-max WAND == oracle on all 50 reference queries."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    for qid, qtext, k in zip(queries["query_id"], queries["query_text"], queries["k"]):
+        got = wand_topk(reader, qtext, int(k))
+        want = small_oracle.score(qtext, int(k))
+        assert_rank_identical(got, want)
+
+
+def test_rank_identity_spark_distributed(spark, small_index, small_oracle, queries):
+    """Distributed DataFrame scorer == oracle on a subset (slower per query)."""
+    idx_dir, _ = small_index
+    sub = queries.iloc[[0, 5, 16, 27, 30, 42, 45, 48, 49]]
+    for qid, qtext, k in zip(sub["query_id"], sub["query_text"], sub["k"]):
+        got = [(r["doc_id"], r["score"]) for r in bm25_topk_spark(spark, idx_dir, qtext, int(k)).collect()]
+        want = small_oracle.score(qtext, int(k))
+        assert_rank_identical(got, want)
+
+
+def test_empty_and_absent_queries(spark, small_index):
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    assert TermAtATimeScorer(reader).score("zzzzqqq", 10) == []
+    assert wand_topk(reader, "zzzzqqq", 10) == []
+    assert TermAtATimeScorer(reader).score("", 10) == []
+    assert bm25_topk_spark(spark, idx_dir, "zzzzqqq", 10).count() == 0
+
+
+def test_salted_hot_terms_blocks_sorted(spark, small_index):
+    """Hot terms (df>200 here: license boilerplate) must still decode to a
+    globally docID-sorted posting list across salt ranges."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    postings = reader.fetch_postings(["license", "the"])
+    for term, (docs, tfs, g) in postings.items():
+        assert (np.diff(docs) > 0).all(), f"{term} postings not strictly sorted"
+        assert len(docs) == int(g["n"].sum())
