@@ -1,0 +1,228 @@
+"""Row→document transform operators — the reference's indexing dataflow
+re-expressed as DataFrame plans (SURVEY.md §2A, P2-P16, B6-B8).
+
+Each operator cites the reference behavior it reproduces and carries a
+DuckDB oracle SQL twin. Expressed over the driver's TPC-H-ish tables:
+customer/orders = parent/child docs, lineitem = inline rows, events = CDC
+stream stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from search_replica_spark.operators import load, register
+
+
+# P2: projection / column pruning — reference scans only `index:`-tagged
+# columns (postgres/table.go:221-238, pruned COPY :251-259). Catalyst pushes
+# the select+filter into the parquet scan.
+@register(
+    "p2_projection_pruning",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1996-01-01'""",
+)
+def p2_projection_pruning(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+# P3+P4: column rename (`index:"newname"`, structtag.go:158-160) and drop
+# (`index:"-"`, structtag.go:174-177).
+@register(
+    "p3_p4_rename_drop",
+    """SELECT c_custkey AS id, c_name AS customer_name, c_mktsegment AS segment
+       FROM customer""",
+)
+def p3_p4_rename_drop(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# P6+P7+P8: docType constant injection (table.go:163), `_id = {table}_{pk}`
+# (table.go:119-128), routing assignment (table.go:129-131).
+@register(
+    "p6_p7_p8_doc_meta",
+    """SELECT 'orders_' || o_orderkey AS doc_key, 'orders' AS doc_type,
+              CAST(o_custkey AS VARCHAR) AS routing, o_orderkey
+       FROM orders""",
+)
+def p6_p7_p8_doc_meta(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("orders_"), F.col("o_orderkey").cast("string")).alias("doc_key"),
+        F.lit("orders").alias("doc_type"),
+        F.col("o_custkey").cast("string").alias("routing"),
+        "o_orderkey",
+    )
+
+
+# P9: row→JSON document encode (structs.go:87-113) — ordered-field JSON.
+@register(
+    "p9_json_encode",
+    """SELECT n_nationkey,
+              '{"name":"' || n_name || '","regionkey":' || n_regionkey || '}' AS doc_json
+       FROM nation""",
+)
+def p9_json_encode(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"name":"'),
+            F.col("n_name"),
+            F.lit('","regionkey":'),
+            F.col("n_regionkey").cast("string"),
+            F.lit("}"),
+        ).alias("doc_json"),
+    )
+
+
+# P10: parent/child join field {name, parent} + routing = parent id
+# (table_join.go:19-33; demo/schema.sql:78-81).
+@register(
+    "p10_parent_child_join_field",
+    """SELECT 'orders_' || o_orderkey AS doc_key, 'order' AS join_name,
+              'customer_' || o_custkey AS join_parent,
+              CAST(o_custkey AS VARCHAR) AS routing
+       FROM orders""",
+)
+def p10_parent_child_join_field(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("orders_"), F.col("o_orderkey").cast("string")).alias("doc_key"),
+        F.lit("order").alias("join_name"),
+        F.concat(F.lit("customer_"), F.col("o_custkey").cast("string")).alias("join_parent"),
+        F.col("o_custkey").cast("string").alias("routing"),
+    )
+
+
+# P11: inline 1:M denormalization — child rows embedded in parent doc
+# (inline.go:111-170; batch form = FK join + collect_list, SURVEY §1.1).
+# Sorted array_join makes the aggregate order-insensitive for comparison.
+@register(
+    "p11_inline_denorm",
+    """SELECT o.o_orderkey,
+              count(*) AS n_items,
+              round(sum(l.l_quantity), 6) AS sum_qty,
+              string_agg(l.l_partkey || '_' || l.l_linenumber,
+                         ',' ORDER BY l.l_partkey || '_' || l.l_linenumber) AS items
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderkey""",
+)
+def p11_inline_denorm(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    item = F.concat(
+        F.col("l_partkey").cast("string"), F.lit("_"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.array_join(F.sort_array(F.collect_list(item)), ",").alias("items"),
+        )
+    )
+
+
+# P12: key-change detection → delete+insert vs plain update
+# (table.go:66-86, replication.go:286-321), modeled over the events stream:
+# an event_type change for a user is a "key change".
+@register(
+    "p12_key_change_ops",
+    """SELECT user_id, event_id,
+              CASE WHEN prev_type IS NULL THEN 'insert'
+                   WHEN prev_type <> event_type THEN 'delete+insert'
+                   ELSE 'update' END AS op
+       FROM (
+         SELECT user_id, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events
+       )""",
+)
+def p12_key_change_ops(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(prev.isNull(), F.lit("insert"))
+        .when(prev != F.col("event_type"), F.lit("delete+insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+
+
+# P16: dedup / last-wins upsert by `_id` (table.go:56-63, replication.go:270-276)
+# — latest event per user wins.
+@register(
+    "p16_lastwins_dedup",
+    """SELECT user_id, event_id, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ) WHERE rn = 1""",
+)
+def p16_lastwins_dedup(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# B6: has_child semi-join (ES parent/child query, demo/README.md:18-42) —
+# parents with at least one matching child, as a broadcast-able left_semi.
+@register(
+    "b6_has_child_semijoin",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+)
+def b6_has_child_semijoin(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# B7: nested query on inlined arrays (mapping.json "type":"nested") —
+# build array<struct>, explode, filter. Exercises arrays-of-composites,
+# which the reference explicitly cannot do (discovery.go:144, README.md:23).
+@register(
+    "b7_nested_array_query",
+    "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45",
+)
+def b7_nested_array_query(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_quantity")).alias("items")
+    )
+    ex = nested.select("l_orderkey", F.explode("items").alias("it"))
+    return ex.filter(F.col("it.l_quantity") > 45).select("l_orderkey").distinct()
+
+
+# B8: routing-aware fetch (GET /_source/{id}?routing=, consistency_test.go:189-210)
+# — a point lookup that partition-prunes on the routing key.
+@register(
+    "b8_routing_fetch",
+    """SELECT 'orders_' || o_orderkey AS doc_key, o_totalprice
+       FROM orders WHERE o_custkey = 42""",
+)
+def b8_routing_fetch(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_custkey") == 42).select(
+        F.concat(F.lit("orders_"), F.col("o_orderkey").cast("string")).alias("doc_key"),
+        "o_totalprice",
+    )

@@ -1,0 +1,173 @@
+"""Search-side operators over the driver's ``documents`` table (SURVEY §2B).
+
+``documents.text`` is strictly lowercase ``[a-z0-9 ]`` single-spaced, so the
+engine's tokenizer degenerates to whitespace split there — which makes every
+entry SQL-expressible in DuckDB (``unnest(string_split(text, ' '))``). The
+index-backed entries build a REAL index (segments + dict + docs) via
+``build_index`` and compare its contents/results against SQL recomputation:
+the driver-run analogue of our rank-identity pytest gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from search_replica_spark.operators import load, register
+
+BM25_QUERY_TERMS = ("spark", "join", "window")
+K1, B = 1.2, 0.75
+
+# shared DuckDB CTE prelude: tokenize documents
+_TOK = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+
+
+def _corpus_from_documents(spark, sf_dir):
+    """Map the documents table onto the engine's input contract
+    (BASELINE.json#input_hint): repo,path,commit,lang,content."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _index_dir_for(spark, sf_dir) -> str:
+    """Build (once per sf_dir) a real index over documents; return its dir."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_idx_{tag}"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(
+            spark,
+            _corpus_from_documents(spark, sf_dir),
+            out,
+            IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30),
+        )
+    return out
+
+
+# B3: doc-frequency statistics (ES-internal; our groupBy aggregation).
+@register(
+    "ft_df_stats",
+    f"""SELECT term, count(DISTINCT doc_id) AS df
+        FROM ({_TOK}) GROUP BY term""",
+)
+def ft_df_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+# B4: term dictionary — read back from the BUILT index and compare to SQL
+# recomputation (proves segment/dict construction, not just a plan).
+@register(
+    "ft_index_dict",
+    f"""SELECT term, count(DISTINCT doc_id) AS df
+        FROM ({_TOK}) GROUP BY term""",
+)
+def ft_index_dict(spark, sf_dir):
+    idx = _index_dir_for(spark, sf_dir)
+    return spark.read.parquet(os.path.join(idx, "dict")).select("term", "df")
+
+
+# B2 invariant: postings in the built segments decode back to exactly the
+# (term, doc, tf) multiset of the source text — checked via per-term
+# posting-count = sum of block `n`s, compared to SQL df.
+@register(
+    "ft_segment_postings",
+    f"""SELECT term, count(DISTINCT doc_id) AS postings, count(*) AS total_tf
+        FROM ({_TOK}) GROUP BY term""",
+)
+def ft_segment_postings(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from search_replica_spark.index.codec import varint_decode
+
+    idx = _index_dir_for(spark, sf_dir)
+    seg = spark.read.parquet(os.path.join(idx, "segments"))
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tf_sums = [int(varint_decode(bb).sum()) for bb in pdf["tfs_bin"]]
+            yield pd.DataFrame(
+                {"term": pdf["term"], "n": pdf["n"], "tf_sum": np.array(tf_sums, dtype=np.int64)}
+            )
+
+    per_block = seg.select("term", "n", "tfs_bin").mapInPandas(
+        decode, schema="term string, n int, tf_sum long"
+    )
+    return per_block.groupBy("term").agg(
+        F.sum("n").alias("postings"), F.sum("tf_sum").alias("total_tf")
+    )
+
+
+def _bm25_sql(limit: int, tok_sql: str = _TOK) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH tok AS ({tok_sql}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT {limit}
+"""
+
+
+# B5a: exhaustive BM25 top-10 as a pure distributed DataFrame/SQL plan
+# (no index) — ES's scoring semantics as one Catalyst-optimized query.
+@register("ft_bm25_sql_top10", _bm25_sql(10))
+def ft_bm25_sql_top10(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("ssr_documents")
+    # same ANSI query, Spark tokenization dialect (explode/split vs unnest)
+    spark_tok = "SELECT doc_id, explode(split(text, ' ')) AS term FROM ssr_documents"
+    return spark.sql(_bm25_sql(10, tok_sql=spark_tok))
+
+
+# B5b: the same top-10 answered by the REAL engine: built segments,
+# varint-decoded postings, NumPy term-at-a-time scorer. Must match the
+# SQL oracle exactly (score rounded to 6dp).
+@register("ft_bm25_indexed_top10", _bm25_sql(10))
+def ft_bm25_indexed_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+
+    idx = _index_dir_for(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = TermAtATimeScorer(reader).score(" ".join(BM25_QUERY_TERMS), 10)
+    # map engine doc_id (hash of repo,path) back to the source doc_id
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
+    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
+    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5c: block-max WAND path, same oracle — proves the pruning is lossless.
+@register("ft_bm25_wand_top10", _bm25_sql(10))
+def ft_bm25_wand_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import IndexReader, wand_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
+    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
+    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

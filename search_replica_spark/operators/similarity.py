@@ -1,0 +1,101 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exact baseline (SQL-oracle-checked); the
+IVF variant is the scale path: centroid per label, probe the nearest
+n_probe clusters, exact search only inside them. At 100 TB the IVF probe
+turns a full-corpus scan into a partition-pruned read of ~n_probe/k of the
+data (embeddings stored partitioned by cluster id).
+
+All arithmetic in float64 with a sequential left-fold sum, matching the
+DuckDB oracle's list_sum order, so rounded scores compare exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from search_replica_spark.operators import load, register
+
+QUERY_VEC_ID = 0
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_COSINE_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       round(
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
+         5) AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("ann_cosine_top10", _COSINE_SQL)
+def ann_cosine_top10(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
+    joined = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+    )
+    out = joined.select("vec_id", F.round(sim, 5).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# IVF-style bucketed ANN (rows-only check; recall vs brute force asserted in
+# pytest). Centroids per label, probe the 2 nearest, exact search inside.
+@register("ann_ivf_top10", None)
+def ann_ivf_top10(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
+    # centroids: posexplode + groupBy(label, pos) — scales to any n_vectors
+    # (never collects raw vectors; centroid table is tiny: n_labels × dim)
+    pos = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.getField("c")).alias("centroid"))
+    )
+    cent_pd = cent.toPandas()
+    qvec = np.array(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()[0], dtype=np.float64
+    )
+    sims = []
+    for r in cent_pd.itertuples():
+        c = np.array(r.centroid, dtype=np.float64)
+        sims.append((r.label, float(c @ qvec / (np.linalg.norm(c) * np.linalg.norm(qvec) or 1.0))))
+    probe = [lab for lab, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:2]]
+
+    cand = e.filter(F.col("label").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
+    joined = cand.crossJoin(F.broadcast(q))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+    )
+    out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def ann_brute_force_pandas(emb_pdf: pd.DataFrame, query_vec_id: int, k: int) -> list[int]:
+    """NumPy reference for recall tests: top-k vec_ids by cosine."""
+    mat = np.stack(emb_pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = emb_pdf["vec_id"].to_numpy()
+    q = mat[ids == query_vec_id][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))
+    return [int(ids[i]) for i in order if ids[i] != query_vec_id][:k]

@@ -330,4 +330,4 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, f
             live[0].advance_to(pivot_doc)
 
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    return [(-d, s) for s, d in out]
+    return [(int(-d), float(s)) for s, d in out]
