@@ -1,0 +1,109 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline numbers (BASELINE.md targets):
+  - index-build throughput (files/sec) over the synthetic code corpus at the
+    scale matching $SPARK_GRAFT_SF_DIR
+  - BM25 query p50 latency over the 50-query reference set (TATA + WAND,
+    hot segment cache)
+  - representative operator queries at the sf dir (dedup, ANN, BM25-as-SQL,
+    inline denorm)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_CORPUS_SF    (override corpus scale; default inferred from sf dir)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    corpus_sf = os.environ.get("BENCH_CORPUS_SF", sf if sf in ("0.001", "0.01", "0.1") else "0.1")
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import SF_FILES, corpus_parquet, reference_queries
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.operators import all_registered
+    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer, wand_topk
+    from search_replica_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+
+    # --- 1. index build throughput ---
+    src = corpus_parquet(corpus_sf)  # generation cached; excluded from timing
+    n_files = SF_FILES[corpus_sf]
+    idx_dir = f"/tmp/bench_idx_{corpus_sf}_{cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = spark.read.parquet(src)
+    t0 = time.time()
+    stats = build_index(
+        spark, corpus, idx_dir, IndexConfig(shuffle_partitions=cpus, hot_df_threshold=50_000)
+    )
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    files_per_sec = n_files / build_sec
+
+    # --- 2. BM25 query latency (p50 over the 50-query reference set) ---
+    reader = IndexReader(spark, idx_dir)
+    reader.cache_segments()
+    reader.doc_arrays()
+    scorer = TermAtATimeScorer(reader)
+    qset = reference_queries()
+    lat_tata, lat_wand = [], []
+    for qtext, k in zip(qset["query_text"], qset["k"]):
+        t = time.time()
+        scorer.score(qtext, int(k))
+        lat_tata.append(time.time() - t)
+        t = time.time()
+        wand_topk(reader, qtext, int(k))
+        lat_wand.append(time.time() - t)
+    lat_tata.sort()
+    lat_wand.sort()
+    p50_tata = lat_tata[len(lat_tata) // 2]
+    p50_wand = lat_wand[len(lat_wand) // 2]
+    queries["bm25_p50_tata"] = round(p50_tata, 4)
+    queries["bm25_p50_wand"] = round(p50_wand, 4)
+
+    # --- 3. operator queries at the sf dir ---
+    reg = all_registered()
+    for name in ("ft_bm25_sql_top10", "dedup_minhash_lsh", "ann_cosine_top10",
+                 "p11_inline_denorm", "p16_lastwins_dedup", "ft_df_stats"):
+        fn, _ = reg[name]
+        t = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t, 3)
+
+    total = sum(queries.values())
+    out = {
+        "metric": "index_build_files_per_sec",
+        "value": round(files_per_sec, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": {
+            "corpus_files": n_files,
+            "cpus": cpus,
+            "build_sec": round(build_sec, 3),
+            "postings_emitted": stats["postings_emitted"],
+            "bytes_compressed": stats["bytes_compressed"],
+            "bm25_p50_tata_sec": round(p50_tata, 4),
+            "bm25_p50_wand_sec": round(p50_wand, 4),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

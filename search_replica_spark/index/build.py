@@ -5,30 +5,42 @@ Spark-first re-expression of the reference's entire indexing dataflow
 row→doc transform → search/bulk.go batched sink) PLUS the index construction
 the reference delegates to Elasticsearch/Lucene.
 
-Pipeline (one logical plan, two shuffles):
+Pipeline (manifest-checkpointed stages, two shuffles):
 
-  read parquet (pruned to repo,path,content — Catalyst pushes projection)
-    → doc_id/sha256 columns (JVM-side sha2/conv expressions)
-    → mapInPandas tokenize+count      (Arrow batches, no per-row Python)
-    → shuffle #1: groupBy doc_id      (doc lengths; dense doc_idx two-pass)
-    → shuffle #2: groupBy (term,salt) (posting lists; hot terms salted by
-                                       doc_idx range so salted blocks stay
-                                       globally docID-sorted — no post-merge)
-    → applyInPandas block encode      (NumPy delta+varint, per-block max score)
-    → parquet segments range-partitioned+sorted by term (row-group pruning
-      makes query-time `term IN (...)` an index seek, not a scan)
+  stage "docmap":
+    read parquet (pruned to repo,path,content — Catalyst pushes projection)
+      → doc_id/sha256 columns (JVM-side sha2/conv expressions)
+      → mapInPandas tokenize+count    (Arrow batches, no per-row Python)
+      → write postings/               (stage checkpoint intermediate)
+      → shuffle #1: groupBy doc_id    (doc lengths; dense doc_idx two-pass)
+      → write docs/
+  stage "segments":
+    read postings/ + docs/ back
+      → dict/ (term → df)
+      → shuffle #2: groupBy (term,salt)  (hot terms salted by doc_idx range
+                                          so blocks stay globally docID-sorted)
+      → applyInPandas block encode    (NumPy delta+varint, per-block max score)
+      → segments/ range-partitioned + sorted by term (row-group pruning makes
+        query-time `term IN (...)` an index seek, not a scan)
+  stage "finalize":
+    per-partition lineage table (lineage/) + stats.json, drop intermediates.
+
+Resume: re-running build_index on the same out_dir with the same input
+fingerprint skips completed stages (reference analogue: LSN commit/resume,
+search/bulk.go:345-347, main.go:164-165). Within a stage, per-partition
+recovery is Spark task retry over idempotent overwrite-mode writes.
 
 Scale notes (100 TB design): both shuffles key on high-cardinality columns
 (doc_id, term); the only broadcast is the hot-term df table (tiny by
-construction: terms with df > threshold). Dense doc_idx assignment is the
-standard two-pass partition-offset trick — O(P) driver state, no global sort
-bottleneck, no zipWithIndex RDD scan.
+construction). Dense doc_idx assignment is the standard two-pass
+partition-offset trick — O(P) driver state, no global-sort bottleneck.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -39,6 +51,7 @@ from pyspark.sql import functions as F
 from search_replica_spark.analysis import tokenize_series
 from search_replica_spark.config import IndexConfig
 from search_replica_spark.index.codec import delta_encode, split_blocks, varint_encode
+from search_replica_spark.index.manifest import Manifest, input_fingerprint
 
 SEGMENT_SCHEMA = (
     "term string, block_id int, n int, first_doc_idx long, last_doc_idx long, "
@@ -113,7 +126,7 @@ def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
             seen += len(pdf)
             yield out
 
-    cols = [c for c in doc_stats.columns]
+    cols = list(doc_stats.columns)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in doc_stats.schema.fields)
     out = ds.mapInPandas(fn, schema=f"{schema}, doc_idx long").select(*cols, "doc_idx")
     return out
@@ -163,43 +176,48 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
     return fn
 
 
-def build_index(
-    spark: SparkSession,
-    corpus: DataFrame,
-    out_dir: str,
-    cfg: IndexConfig | None = None,
-) -> dict:
-    """Build the full index at ``out_dir``; returns the stats/lineage manifest.
-
-    Layout:
-      out_dir/docs/      doc_idx, doc_id, repo, path, lang, content_sha256, doc_len
-      out_dir/segments/  SEGMENT_SCHEMA, range-partitioned + sorted by term
-      out_dir/dict/      term, df  (term dictionary + doc frequency)
-      out_dir/stats.json N, avg_dl, lineage metrics, config, timings
-    """
-    cfg = cfg or IndexConfig()
-    t0 = time.time()
+def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexConfig) -> None:
     P = cfg.shuffle_partitions
-
-    docs = with_doc_ids(corpus.select(*cfg.input_columns))
+    # spread the scan across all cores: a locally-generated corpus is often
+    # one parquet file = one input split; at cluster scale the source table
+    # arrives pre-partitioned and this becomes a cheap rebalance
+    docs = with_doc_ids(corpus.select(*cfg.input_columns).repartition(P))
     postings = tokenize_counts(docs).cache()
+    postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
 
-    # --- doc store: lengths + dense doc_idx (shuffle #1, keyed on doc_id) ---
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_meta = docs.select("doc_id", "repo", "path", "lang", "content_sha256")
     doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
-    doc_map = assign_dense_doc_idx(doc_stats, P).cache()
+    doc_map = assign_dense_doc_idx(doc_stats, P)
+    (
+        doc_map.repartitionByRange(P, "doc_idx")
+        .sortWithinPartitions("doc_idx")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "docs"))
+    )
+    postings.unpersist()
+
+
+def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
+    P = cfg.shuffle_partitions
+    postings = spark.read.parquet(os.path.join(out, "postings"))
+    doc_map = spark.read.parquet(os.path.join(out, "docs"))
 
     agg = doc_map.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avg"), F.sum("doc_len").alias("tok")
     ).collect()[0]
     n_docs, avg_dl, total_tokens = int(agg["n"]), float(agg["avg"]), int(agg["tok"])
 
-    # --- term df + hot-term table (broadcast; tiny by construction) ---
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
-    hot = df_tbl.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
+    (
+        df_tbl.repartitionByRange(min(P, 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "dict"))
+    )
+    dict_df = spark.read.parquet(os.path.join(out, "dict"))
+    hot = dict_df.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
 
-    # --- postings with doc_idx/doc_len, salted for hot terms ---
     p2 = postings.join(doc_map.select("doc_id", "doc_idx", "doc_len"), "doc_id").join(
         F.broadcast(hot), "term", "left"
     )
@@ -210,53 +228,92 @@ def build_index(
             (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
         ).otherwise(F.lit(0)),
     )
-
-    # --- shuffle #2: group by (term, salt), NumPy block encode ---
     seg = p2.groupBy("term", "salt").applyInPandas(
         _encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA
     )
     seg = seg.repartitionByRange(P, "term").sortWithinPartitions("term", "block_id")
-    seg.write.mode("overwrite").parquet(os.path.join(out_dir, "segments"))
+    seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
+    return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
 
-    (
-        doc_map.repartitionByRange(P, "doc_idx")
-        .sortWithinPartitions("doc_idx")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "docs"))
-    )
-    (
-        df_tbl.repartitionByRange(min(P, 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "dict"))
-    )
 
-    # --- lineage metrics (north_star: docs_tokenized/postings_emitted/bytes) ---
-    segdf = spark.read.parquet(os.path.join(out_dir, "segments"))
-    lin = segdf.agg(
-        F.sum("n").alias("postings"),
-        (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias("bytes"),
+def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict, t0: float) -> dict:
+    segdf = spark.read.parquet(os.path.join(out, "segments"))
+    # per-partition lineage: one row per output file (= shuffle partition)
+    lineage = segdf.groupBy(F.input_file_name().alias("file")).agg(
         F.count("*").alias("blocks"),
+        F.sum("n").alias("postings_emitted"),
+        (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias("bytes_compressed"),
+        F.countDistinct("term").alias("terms"),
+    ).withColumn("stage", F.lit("segments"))
+    lineage.write.mode("overwrite").parquet(os.path.join(out, "lineage"))
+
+    lin = spark.read.parquet(os.path.join(out, "lineage")).agg(
+        F.sum("postings_emitted").alias("p"),
+        F.sum("bytes_compressed").alias("b"),
+        F.sum("blocks").alias("k"),
     ).collect()[0]
-    postings.unpersist()
-    doc_map.unpersist()
+    n_terms = spark.read.parquet(os.path.join(out, "dict")).count()
 
     stats = {
-        "n_docs": n_docs,
-        "avg_dl": avg_dl,
-        "total_tokens": total_tokens,
-        "n_terms": df_tbl.count(),
-        "docs_tokenized": n_docs,
-        "postings_emitted": int(lin["postings"]),
-        "bytes_compressed": int(lin["bytes"]),
-        "n_blocks": int(lin["blocks"]),
+        **core,
+        "n_terms": n_terms,
+        "docs_tokenized": core["n_docs"],
+        "postings_emitted": int(lin["p"]),
+        "bytes_compressed": int(lin["b"]),
+        "n_blocks": int(lin["k"]),
         "k1": cfg.k1,
         "b": cfg.b,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }
-    tmp = os.path.join(out_dir, "stats.json.tmp")
+    tmp = os.path.join(out, "stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=2)
-    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    os.replace(tmp, os.path.join(out, "stats.json"))
+    # drop the stage intermediate (resume keeps it only until finalize)
+    shutil.rmtree(os.path.join(out, "postings"), ignore_errors=True)
+    return stats
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Build (or resume building) the full index at ``out_dir``.
+
+    Layout:
+      out_dir/docs/      doc_idx, doc_id, repo, path, lang, content_sha256, doc_len
+      out_dir/segments/  SEGMENT_SCHEMA, range-partitioned + sorted by term
+      out_dir/dict/      term, df  (term dictionary + doc frequency)
+      out_dir/lineage/   per-partition build metrics
+      out_dir/stats.json global stats + lineage totals
+      out_dir/manifest.json  stage checkpoint state
+    """
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    m = Manifest(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    m.bind_input(input_fingerprint(corpus))
+
+    if m.stage_done("finalize"):
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            return json.load(f)
+
+    if not m.stage_done("docmap"):
+        m.start_stage("docmap")
+        _stage_docmap(spark, corpus, out_dir, cfg)
+        m.finish_stage("docmap")
+
+    if not m.stage_done("segments"):
+        m.start_stage("segments")
+        core = _stage_segments(spark, out_dir, cfg)
+        m.finish_stage("segments", core)
+    else:
+        core = m.data["stages"]["segments"]["metrics"]
+
+    m.start_stage("finalize")
+    stats = _stage_finalize(spark, out_dir, cfg, core, t0)
+    m.finish_stage("finalize")
     return stats

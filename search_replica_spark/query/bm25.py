@@ -49,6 +49,18 @@ class IndexReader:
         self.b = self.stats["b"]
         self._doc_len: np.ndarray | None = None
         self._doc_ids: np.ndarray | None = None
+        self._seg_df = None
+
+    def cache_segments(self):
+        """Pin the segment store in Spark executor memory (hot-serving mode):
+        repeated queries then pushdown-filter the cached columnar batches
+        instead of re-reading parquet."""
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "segments")
+            ).cache()
+            self._seg_df.count()  # materialize
+        return self._seg_df
 
     # --- doc store (doc_idx-ordered arrays, loaded once) ---
     def doc_arrays(self) -> tuple[np.ndarray, np.ndarray]:
@@ -67,8 +79,11 @@ class IndexReader:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
-        """Segment rows for the query terms — `term IN` pushed to parquet."""
-        seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        """Segment rows for the query terms — `term IN` pushed to parquet
+        (or served from the cached segment DataFrame if cache_segments ran)."""
+        seg = self._seg_df
+        if seg is None:
+            seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
         return (
             seg.filter(F.col("term").isin(list(set(terms))))
             .toPandas()
