@@ -28,6 +28,13 @@ class IndexConfig:
     shuffle_partitions: int = 32
     # columns of the input contract (BASELINE.json#input_hint)
     input_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
+    # "jvm": regexp_extract_all inside whole-stage codegen (no Python in the
+    #        hot loop at all — fastest, scales with cores);
+    # "arrow": Arrow-batched pandas tokenizer (same analysis; the extension
+    #        point for analyses Spark SQL cannot express).
+    # Both produce identical postings (tested); the shared regex lives in
+    # analysis.tokenizer.
+    tokenizer: str = "jvm"
 
 
 def default_parallelism() -> int:

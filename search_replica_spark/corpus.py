@@ -176,7 +176,9 @@ def corpus_parquet(sf: str, cache_dir: str = "/tmp/spark_graft_corpus") -> str:
     if not os.path.exists(path):
         df = generate_corpus(SF_FILES[sf])
         tmp = path + ".tmp"
-        df.to_parquet(tmp, index=False)
+        # small row groups keep the single file splittable into parallel
+        # Spark scan tasks (one row group = one unsplittable unit)
+        df.to_parquet(tmp, index=False, row_group_size=4096)
         os.replace(tmp, path)
     return path
 

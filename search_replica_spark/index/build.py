@@ -48,9 +48,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_replica_spark.analysis import tokenize_series
+from search_replica_spark.analysis.tokenizer import tokenize_flat
 from search_replica_spark.config import IndexConfig
-from search_replica_spark.index.codec import delta_encode, split_blocks, varint_encode
+from search_replica_spark.index.codec import encode_postings_blocks
 from search_replica_spark.index.manifest import Manifest, input_fingerprint
 
 SEGMENT_SCHEMA = (
@@ -73,21 +73,52 @@ def with_doc_ids(df: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
+def tokenize_counts_jvm(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf), entirely inside whole-stage
+    codegen: regexp_extract_all + lower + explode + partial-agg groupBy.
+    Identical analysis to the Arrow path (same TOKEN_PATTERN; tested), but
+    no JVM→Python transfer of the raw content — on a shared-memory box the
+    Arrow copy is what stops tokenization scaling past ~8 cores."""
+    from search_replica_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    toks = F.regexp_extract_all(F.col("content"), F.lit(TOKEN_PATTERN), 0)
+    ex = docs.select("doc_id", F.explode(toks).alias("t"))
+    return ex.select("doc_id", F.lower(F.col("t")).alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg(F.count("*").alias("tf"))
+
+
 def tokenize_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf) via Arrow-batched pandas."""
 
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int64"),
+        }
+    )
+
     def fn(batches):
         for pdf in batches:
-            toks = tokenize_series(pdf["content"])
-            ex = pd.DataFrame({"doc_id": pdf["doc_id"], "term": toks}).explode("term")
-            ex = ex.dropna(subset=["term"])
-            if ex.empty:
-                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                    "term": pd.Series(dtype="object"),
-                                    "tf": pd.Series(dtype="int64")})
+            lens, flat = tokenize_flat(pdf["content"])
+            if flat.size == 0:
+                yield empty
                 continue
-            g = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
-            yield g
+            # factorize-based (doc, term) counting — ~2× faster than
+            # DataFrame.explode + groupby at this batch size
+            codes, uniq = pd.factorize(flat, sort=False)
+            doc_pos = np.arange(len(pdf), dtype=np.int64).repeat(lens)
+            key = doc_pos * np.int64(len(uniq)) + codes
+            kk, counts = np.unique(key, return_counts=True)
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[kk // len(uniq)],
+                    "term": np.asarray(uniq, dtype=object)[kk % len(uniq)],
+                    "tf": counts.astype(np.int64),
+                }
+            )
 
     return docs.select("doc_id", "content").mapInPandas(
         fn, schema="doc_id long, term string, tf long"
@@ -148,23 +179,12 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
         dl = pdf["doc_len"].to_numpy(np.float64)
         score = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avg_dl)))
         base_block = int(salt) * blocks_per_range
-        rows = []
-        pos = 0
-        for bid, d_blk, tf_blk in split_blocks(doc_idx, tf, bs):
-            s_blk = score[pos : pos + len(d_blk)]
-            pos += len(d_blk)
-            rows.append(
-                (
-                    term,
-                    base_block + bid,
-                    len(d_blk),
-                    int(d_blk[0]),
-                    int(d_blk[-1]),
-                    float(s_blk.max()),
-                    delta_encode(d_blk.astype(np.uint64)),
-                    varint_encode(tf_blk.astype(np.uint64)),
-                )
+        rows = [
+            (term, base_block + bid, n, first, last, ms, dbin, tbin)
+            for bid, (n, first, last, ms, dbin, tbin) in enumerate(
+                encode_postings_blocks(doc_idx, tf, score, bs)
             )
+        ]
         return pd.DataFrame(
             rows,
             columns=[
@@ -178,13 +198,22 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
 
 def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexConfig) -> None:
     P = cfg.shuffle_partitions
-    # spread the scan across all cores: a locally-generated corpus is often
-    # one parquet file = one input split; at cluster scale the source table
-    # arrives pre-partitioned and this becomes a cheap rebalance
-    docs = with_doc_ids(corpus.select(*cfg.input_columns).repartition(P))
-    postings = tokenize_counts(docs).cache()
-    postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
+    # spread the scan across cores if the source arrives badly under-split
+    # (e.g. a single one-row-group file). A scan already split to ≥ P/2
+    # tasks is left alone — a full rebalance shuffle of the raw content
+    # costs more than the residual imbalance (measured: repartition(32) of
+    # a 30-split scan made the stage 2× slower from oversubscription).
+    src = corpus.select(*cfg.input_columns)
+    if src.rdd.getNumPartitions() < max(2, P // 2):
+        src = src.repartition(P)
+    docs = with_doc_ids(src)
+    tok = tokenize_counts_jvm(docs) if cfg.tokenizer == "jvm" else tokenize_counts(docs)
+    tok.write.mode("overwrite").parquet(os.path.join(out, "postings"))
 
+    # reread the just-written postings instead of caching 47M+ rows in
+    # executor memory — the reread is columnar and cheap, the cache is
+    # memory-bandwidth the tokenizer needs
+    postings = spark.read.parquet(os.path.join(out, "postings"))
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_meta = docs.select("doc_id", "repo", "path", "lang", "content_sha256")
     doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
@@ -195,7 +224,6 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
         .write.mode("overwrite")
         .parquet(os.path.join(out, "docs"))
     )
-    postings.unpersist()
 
 
 def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
@@ -218,9 +246,13 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     dict_df = spark.read.parquet(os.path.join(out, "dict"))
     hot = dict_df.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
 
-    p2 = postings.join(doc_map.select("doc_id", "doc_idx", "doc_len"), "doc_id").join(
-        F.broadcast(hot), "term", "left"
-    )
+    # doc-side of the postings join: broadcast while the doc map fits (it is
+    # 3 narrow columns); beyond that fall back to a shuffle join — at true
+    # 10^12-doc scale the right plan is a bucketed/colocated join instead
+    doc_side = doc_map.select("doc_id", "doc_idx", "doc_len")
+    if n_docs <= 5_000_000:
+        doc_side = F.broadcast(doc_side)
+    p2 = postings.join(doc_side, "doc_id").join(F.broadcast(hot), "term", "left")
     p2 = p2.withColumn(
         "salt",
         F.when(
@@ -231,7 +263,11 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     seg = p2.groupBy("term", "salt").applyInPandas(
         _encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA
     )
-    seg = seg.repartitionByRange(P, "term").sortWithinPartitions("term", "block_id")
+    # hash-repartition by term (NOT repartitionByRange: range sampling would
+    # evaluate the whole encode plan twice) + in-file sort: each term's
+    # blocks are contiguous in one file, so term-IN pushdown prunes row
+    # groups just as well as a global range order
+    seg = seg.repartition(P, "term").sortWithinPartitions("term", "block_id")
     seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
     return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
 

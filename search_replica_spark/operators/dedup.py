@@ -1,6 +1,6 @@
 """Deduplication family over the ``documents`` table — the training-data
-pipeline ops a 100 TB corpus engine needs (exact, MinHash+LSH, n-gram
-Jaccard; SimHash lives in textstats.fingerprints for now).
+pipeline ops a 100 TB corpus engine needs: exact, MinHash+LSH, n-gram
+Jaccard, SimHash, embedding-cosine near-dup.
 
 Scale notes: exact dedup is a hash groupBy (one shuffle on the content
 hash). MinHash banding turns all-pairs similarity into an equi-join on
@@ -138,3 +138,78 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("jac") >= 0.5)
     )
     return j.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+
+# SimHash signatures (16-bit, md5-derived bit weights — identical hex math
+# in Spark and DuckDB, so the oracle is an exact twin). Near-dup candidates
+# are then pairs with small hamming distance on the signature.
+_SIMHASH_SQL = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+bits AS (
+  SELECT doc_id, t.b,
+         sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(term), CAST(t.b AS INT) + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, range(16) t(b) GROUP BY doc_id, t.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    withb = tok.select("doc_id", "term", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+    contrib = F.when(
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), F.col("b") + 1, 1)) - 1) % 2)
+        == 1,
+        1,
+    ).otherwise(-1)
+    bits = withb.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# Embedding-cosine near-duplicates over the embeddings table: all pairs with
+# cosine >= 0.3 (the scale path replaces the pairwise join with the IVF /
+# LSH bucketing in operators.similarity; this is the exact reference).
+_EMB_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
+         5) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))
+    )

@@ -75,11 +75,7 @@ def ann_ivf_top10(spark, sf_dir):
     qvec = np.array(
         e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()[0], dtype=np.float64
     )
-    sims = []
-    for r in cent_pd.itertuples():
-        c = np.array(r.centroid, dtype=np.float64)
-        sims.append((r.label, float(c @ qvec / (np.linalg.norm(c) * np.linalg.norm(qvec) or 1.0))))
-    probe = [lab for lab, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:2]]
+    probe = probe_labels(cent_pd, qvec, n_probe=2)
 
     cand = e.filter(F.col("label").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
@@ -89,6 +85,25 @@ def ann_ivf_top10(spark, sf_dir):
     )
     out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def probe_labels(cent_pdf: pd.DataFrame, qvec: np.ndarray, n_probe: int) -> list[int]:
+    """Nearest-centroid probe selection (cosine, deterministic tie-break)."""
+    sims = []
+    for r in cent_pdf.itertuples():
+        c = np.array(r.centroid, dtype=np.float64)
+        denom = np.linalg.norm(c) * np.linalg.norm(qvec)
+        sims.append((int(r.label), float(c @ qvec / denom) if denom else 0.0))
+    return [lab for lab, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:n_probe]]
+
+
+def centroids_pandas(emb_pdf: pd.DataFrame) -> pd.DataFrame:
+    """NumPy reference for the Spark centroid computation: label → centroid."""
+    rows = []
+    for lab, g in emb_pdf.groupby("label"):
+        mat = np.stack(g["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        rows.append({"label": int(lab), "centroid": mat.mean(axis=0)})
+    return pd.DataFrame(rows)
 
 
 def ann_brute_force_pandas(emb_pdf: pd.DataFrame, query_vec_id: int, k: int) -> list[int]:

@@ -168,6 +168,22 @@ def bm25_topk_spark(spark: SparkSession, index_dir: str, query: str, k: int = 10
     )
 
 
+def _select_topk(scores: np.ndarray, docids: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Tie-exact top-k: partial-select by score, widen to include every doc
+    tied with the k-th score, then (score desc, doc_id asc) order."""
+    kk = min(k, scores.size)
+    if kk == 0:
+        return []
+    if scores.size > kk:
+        part = np.argpartition(-scores, kk - 1)[:kk]
+        cand = scores >= scores[part].min()
+    else:
+        cand = np.ones(scores.size, dtype=bool)
+    cs, cd = scores[cand], docids[cand]
+    order = np.lexsort((cd, -cs))
+    return [(int(cd[i]), float(cs[i])) for i in order[:kk]]
+
+
 # ---------------------------------------------------------------------------
 # Strategy 2: NumPy term-at-a-time (low-latency exhaustive)
 # ---------------------------------------------------------------------------
@@ -201,21 +217,7 @@ class TermAtATimeScorer:
         idxs = np.nonzero(touched)[0]
         if idxs.size == 0:
             return []
-        scores = full[idxs]
-        kk = min(k, idxs.size)
-        # partial-select the top kk by score, then widen to include every doc
-        # tied with the k-th score so the doc_id tie-break is exact
-        if idxs.size > kk:
-            part = np.argpartition(-scores, kk - 1)[:kk]
-            thresh = scores[part].min()
-            cand = scores >= thresh
-        else:
-            cand = np.ones(idxs.size, dtype=bool)
-        cand_idx = idxs[cand]
-        cand_score = scores[cand]
-        cand_docid = doc_ids[cand_idx]
-        order = np.lexsort((cand_docid, -cand_score))
-        return [(int(cand_docid[i]), float(cand_score[i])) for i in order[:kk]]
+        return _select_topk(full[idxs], doc_ids[idxs], k)
 
 
 # ---------------------------------------------------------------------------
@@ -223,37 +225,36 @@ class TermAtATimeScorer:
 # ---------------------------------------------------------------------------
 
 class _TermCursor:
-    __slots__ = ("term", "docs", "tfs", "blocks", "pos", "idf", "max_score", "n")
+    __slots__ = ("term", "docs", "tfs", "blk_last", "blk_max", "pos", "idf", "max_score", "n")
 
-    def __init__(self, term, docs, tfs, block_meta, idf):
+    def __init__(self, term, docs, tfs, blk_last, blk_max, idf):
         self.term = term
         self.docs = docs
         self.tfs = tfs
-        # blocks: list of (start_offset, end_offset, last_doc_idx, max_score)
-        self.blocks = block_meta
+        self.blk_last = blk_last  # np.int64[], last doc_idx per block (sorted)
+        self.blk_max = blk_max  # np.float64[], max score per block
         self.pos = 0
         self.idf = idf
-        self.max_score = max(b[3] for b in block_meta)
+        self.max_score = float(blk_max.max())
         self.n = len(docs)
 
     def cur_doc(self):
         return self.docs[self.pos] if self.pos < self.n else np.iinfo(np.int64).max
 
     def advance_to(self, target):
-        # galloping search within remaining postings
+        # binary search within remaining postings
         self.pos += int(np.searchsorted(self.docs[self.pos :], target, side="left"))
 
+    def _blk_of(self, doc) -> int:
+        return int(np.searchsorted(self.blk_last, doc, side="left"))
+
     def block_max_at(self, doc):
-        for s, e, last, ms in self.blocks:
-            if doc <= last:
-                return ms
-        return 0.0
+        i = self._blk_of(doc)
+        return float(self.blk_max[i]) if i < len(self.blk_max) else 0.0
 
     def block_last_at(self, doc):
-        for s, e, last, ms in self.blocks:
-            if doc <= last:
-                return last
-        return np.iinfo(np.int64).max
+        i = self._blk_of(doc)
+        return int(self.blk_last[i]) if i < len(self.blk_last) else np.iinfo(np.int64).max
 
 
 def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -270,13 +271,19 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, f
             continue
         docs, tfs, g = postings[term]
         idf = r.idf(len(docs))
-        meta, off = [], 0
-        for n_blk, last in zip(g["n"], g["last_doc_idx"]):
-            meta.append((off, off + int(n_blk), int(last), float(g["max_score"].iloc[len(meta)])))
-            off += int(n_blk)
-        cursors.append(_TermCursor(term, docs, tfs, meta, idf))
+        blk_last = g["last_doc_idx"].to_numpy(np.int64)
+        blk_max = g["max_score"].to_numpy(np.float64)
+        cursors.append(_TermCursor(term, docs, tfs, blk_last, blk_max, idf))
     if not cursors:
         return []
+    if len(cursors) == 1:
+        # single-cursor WAND degenerates to a full walk — score vectorized
+        # instead (identical results, no per-posting Python)
+        c = cursors[0]
+        tf = c.tfs.astype(np.float64)
+        dl = doc_len[c.docs]
+        scores = c.idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
+        return _select_topk(scores, doc_ids[c.docs], k)
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     theta = 0.0

@@ -187,15 +187,6 @@ class MultiGenReader:
         idxs = np.nonzero(touched)[0]
         if idxs.size == 0:
             return []
-        scores = full[idxs]
-        kk = min(k, idxs.size)
-        if idxs.size > kk:
-            part = np.argpartition(-scores, kk - 1)[:kk]
-            thresh = scores[part].min()
-            cand = scores >= thresh
-        else:
-            cand = np.ones(idxs.size, dtype=bool)
-        cand_score = scores[cand]
-        cand_docid = self._doc_ids[idxs[cand]]
-        order = np.lexsort((cand_docid, -cand_score))
-        return [(int(cand_docid[i]), float(cand_score[i])) for i in order[:kk]]
+        from search_replica_spark.query.bm25 import _select_topk
+
+        return _select_topk(full[idxs], self._doc_ids[idxs], k)

@@ -51,3 +51,28 @@ def test_split_blocks():
     assert [b[0] for b in blocks] == [0, 1, 2]
     assert [len(b[1]) for b in blocks] == [128, 128, 44]
     assert (np.concatenate([b[1] for b in blocks]) == ids).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=700, unique=True),
+    st.integers(min_value=1, max_value=200),
+)
+def test_encode_postings_blocks_equals_per_block(ids, bs):
+    from search_replica_spark.index.codec import encode_postings_blocks
+
+    doc_idx = np.sort(np.array(ids, dtype=np.int64))
+    tf = (doc_idx % 7 + 1).astype(np.int64)
+    score = (tf * 0.31 + 0.5).astype(np.float64)
+    got = encode_postings_blocks(doc_idx, tf, score, bs)
+    # reference: independent per-block encode
+    pos = 0
+    for bid, d_blk, tf_blk in split_blocks(doc_idx, tf, bs):
+        n, first, last, ms, dbin, tbin = got[bid]
+        s_blk = score[pos : pos + len(d_blk)]
+        pos += len(d_blk)
+        assert n == len(d_blk) and first == d_blk[0] and last == d_blk[-1]
+        assert ms == float(s_blk.max())
+        assert bytes(dbin) == delta_encode(d_blk.astype(np.uint64))
+        assert bytes(tbin) == varint_encode(tf_blk.astype(np.uint64))
+    assert len(got) == bid + 1

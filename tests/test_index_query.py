@@ -111,3 +111,21 @@ def test_salted_hot_terms_blocks_sorted(spark, small_index):
     for term, (docs, tfs, g) in postings.items():
         assert (np.diff(docs) > 0).all(), f"{term} postings not strictly sorted"
         assert len(docs) == int(g["n"].sum())
+
+
+def test_jvm_and_arrow_tokenizers_identical(spark, small_corpus):
+    """The codegen (regexp_extract_all) and Arrow (pandas) tokenize paths
+    must produce the same postings multiset — one analysis, two engines."""
+    import pandas as pd
+
+    from search_replica_spark.index.build import (
+        tokenize_counts,
+        tokenize_counts_jvm,
+        with_doc_ids,
+    )
+
+    docs = with_doc_ids(spark.createDataFrame(small_corpus.iloc[:300]))
+    a = tokenize_counts_jvm(docs).toPandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = tokenize_counts(docs).toPandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 1000

@@ -1,0 +1,82 @@
+"""Fast operator sanity at sf0.001 — full oracle equivalence runs in
+scripts/check_harness.py at sf0.01; this keeps `pytest` self-contained."""
+
+import pytest
+
+from search_replica_spark.operators import all_registered
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_registered()
+
+
+def test_registry_complete(registry):
+    assert len(registry) >= 30
+    # every SQL oracle references only pre-registered views
+    for name, (_fn, sql) in registry.items():
+        if sql:
+            assert "documents" in sql or "embeddings" in sql or any(
+                t in sql for t in ("lineitem", "orders", "customer", "nation", "events")
+            ), name
+
+
+@pytest.mark.parametrize(
+    "name,min_rows",
+    [
+        ("p2_projection_pruning", 1),
+        ("p16_lastwins_dedup", 1),
+        ("b6_has_child_semijoin", 1),
+        ("ft_df_stats", 1),
+        ("dedup_exact", 1),
+        ("dedup_simhash", 1),
+        ("text_quality_scores", 1),
+        ("text_bpe_token_count", 1),
+        ("doc_winnow_fingerprint", 1),
+        ("ann_cosine_top10", 1),
+        ("mm_image_meta", 1),
+    ],
+)
+def test_operator_runs(spark, registry, name, min_rows):
+    fn, _ = registry[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= min_rows
+
+
+def test_winnow_fingerprint_shape(spark, registry):
+    fn, _ = registry["doc_winnow_fingerprint"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert pdf["winnow_fp"].str.len().eq(32).all()
+    assert pdf["doc_id"].is_unique
+
+
+def test_simhash_range(spark, registry):
+    fn, _ = registry["dedup_simhash"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert pdf["simhash"].between(0, 65535).all()
+
+
+def test_ivf_exact_within_probed_clusters(spark, registry):
+    """IVF's correctness property: results are EXACTLY the brute-force top-k
+    restricted to the probed clusters (overall recall depends on how
+    geometric the clustering is — these labels are weak clusters)."""
+    import numpy as np
+    import pandas as pd
+
+    from search_replica_spark.operators.similarity import (
+        ann_brute_force_pandas,
+        centroids_pandas,
+        probe_labels,
+    )
+
+    fn, _ = registry["ann_ivf_top10"]
+    got = [r["vec_id"] for r in fn(spark, SF_DIR).collect()]
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = np.asarray(emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    probes = probe_labels(centroids_pandas(emb), qvec, n_probe=2)
+    sub = emb[emb.label.isin(probes) | (emb.vec_id == 0)].reset_index(drop=True)
+    want = ann_brute_force_pandas(sub, 0, 10)
+    assert got == want, f"IVF within-probe results differ: {got} vs {want}"
