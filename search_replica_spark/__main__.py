@@ -1,0 +1,93 @@
+"""CLI entry point, runnable locally or via spark-submit:
+
+  # local
+  python -m search_replica_spark build --corpus /path/code_files.parquet --out /tmp/idx
+  python -m search_replica_spark query --index /tmp/idx --q "XMLHttpRequest parser" -k 10
+  python -m search_replica_spark compact --index-dir /tmp/inc --corpus /path/current.parquet
+
+  # cluster (north_rule: spark-submit --py-files)
+  zip -r ssr.zip search_replica_spark
+  spark-submit --py-files ssr.zip cli.py build --corpus ... --out ...
+    (where cli.py is: `from search_replica_spark.__main__ import main; main()`)
+
+Under spark-submit the active session is reused (getOrCreate); standalone it
+builds a local one with the engine's standard settings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from search_replica_spark.session import get_spark
+
+    return get_spark("search_replica_spark", cores=args.cores, shuffle_partitions=args.cores)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_replica_spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N]; omit under spark-submit")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index from a corpus table")
+    b.add_argument("--corpus", required=True, help="parquet path or Iceberg table name")
+    b.add_argument("--out", required=True)
+    b.add_argument("--snapshot-id", type=int, default=None)
+    b.add_argument("--partitions", type=int, default=32)
+
+    q = sub.add_parser("query", help="BM25 top-k against a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--strategy", choices=["tata", "wand", "spark"], default="tata")
+
+    c = sub.add_parser("compact", help="merge incremental generations from a snapshot")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--corpus", required=True)
+
+    args = p.parse_args(argv)
+    spark = _spark(args)
+
+    if args.cmd == "build":
+        from search_replica_spark.config import IndexConfig
+        from search_replica_spark.index.build import build_index
+        from search_replica_spark.sources.code_table import read_corpus
+
+        corpus = read_corpus(spark, args.corpus, snapshot_id=args.snapshot_id)
+        stats = build_index(
+            spark, corpus, args.out, IndexConfig(shuffle_partitions=args.partitions)
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "query":
+        from search_replica_spark.query.bm25 import (
+            IndexReader,
+            TermAtATimeScorer,
+            bm25_topk_spark,
+            wand_topk,
+        )
+
+        if args.strategy == "spark":
+            rows = bm25_topk_spark(spark, args.index, args.q, args.k).collect()
+            hits = [(r["doc_id"], r["score"]) for r in rows]
+        else:
+            reader = IndexReader(spark, args.index)
+            hits = (
+                wand_topk(reader, args.q, args.k)
+                if args.strategy == "wand"
+                else TermAtATimeScorer(reader).score(args.q, args.k)
+            )
+        print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
+    elif args.cmd == "compact":
+        from search_replica_spark.sources.code_table import read_corpus
+        from search_replica_spark.streaming.incremental import compact
+
+        stats = compact(spark, read_corpus(spark, args.corpus), args.index_dir)
+        print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

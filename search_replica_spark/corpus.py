@@ -166,7 +166,7 @@ def generate_corpus(n_files: int, seed: int = SEED) -> pd.DataFrame:
 
 
 # file counts per scale factor (FIXTURES.md §1)
-SF_FILES = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+SF_FILES = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000, "0.2": 400_000}
 
 
 def corpus_parquet(sf: str, cache_dir: str = "/tmp/spark_graft_corpus") -> str:

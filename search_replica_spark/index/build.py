@@ -231,6 +231,16 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     postings = spark.read.parquet(os.path.join(out, "postings"))
     doc_map = spark.read.parquet(os.path.join(out, "docs"))
 
+    # shuffle width must scale with DATA, not cores: at fixed width the
+    # per-reducer sort for the grouped-map exchange outgrows execution
+    # memory and external-sort spill makes the stage superlinear (measured:
+    # 2× corpus → 4× stage time). AQE coalesces surplus partitions, so
+    # over-provisioning is safe.
+    n_post = postings.count()  # parquet metadata count — no scan
+    width = max(P, n_post // 2_000_000 + 1)
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+
     agg = doc_map.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avg"), F.sum("doc_len").alias("tok")
     ).collect()[0]
@@ -269,6 +279,7 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     # groups just as well as a global range order
     seg = seg.repartition(P, "term").sortWithinPartitions("term", "block_id")
     seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
+    spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
 
 
@@ -337,6 +348,16 @@ def build_index(
         with open(os.path.join(out_dir, "stats.json")) as f:
             return json.load(f)
 
+    # data-scaled shuffle width for the whole build (docmap's token groupBy
+    # shuffles ~250 postings/doc; a cores-sized width spills its reducer
+    # sorts and turns linear stages superlinear). AQE coalesces any excess,
+    # so a generous estimate is safe. _stage_segments refines it from the
+    # exact postings count.
+    n_files_est = corpus.count()  # parquet metadata count
+    width = max(cfg.shuffle_partitions, n_files_est * 250 // 2_000_000)
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+
     if not m.stage_done("docmap"):
         m.start_stage("docmap")
         _stage_docmap(spark, corpus, out_dir, cfg)
@@ -352,4 +373,5 @@ def build_index(
     m.start_stage("finalize")
     stats = _stage_finalize(spark, out_dir, cfg, core, t0)
     m.finish_stage("finalize")
+    spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return stats

@@ -129,3 +129,16 @@ def test_jvm_and_arrow_tokenizers_identical(spark, small_corpus):
     b = tokenize_counts(docs).toPandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 1000
+
+
+def test_pinned_reader_identical(spark, small_index, small_oracle, queries):
+    """Driver-pinned serving mode returns the same results as Spark fetch."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir).pin_driver()
+    scorer = TermAtATimeScorer(reader)
+    sub = queries.iloc[[0, 9, 16, 30, 40, 48, 49]]
+    for qtext, k in zip(sub["query_text"], sub["k"]):
+        got = scorer.score(qtext, int(k))
+        want = small_oracle.score(qtext, int(k))
+        assert_rank_identical(got, want)
+        assert wand_topk(reader, qtext, int(k)) is not None

@@ -80,3 +80,23 @@ def test_ivf_exact_within_probed_clusters(spark, registry):
     sub = emb[emb.label.isin(probes) | (emb.vec_id == 0)].reset_index(drop=True)
     want = ann_brute_force_pandas(sub, 0, 10)
     assert got == want, f"IVF within-probe results differ: {got} vs {want}"
+
+
+def test_p15_topo_order():
+    """P15 parent-first snapshot ordering (reference: postgres/config.go:56-87)."""
+    import pytest as _pytest
+
+    from search_replica_spark.plans.topo import CycleError, topo_order
+
+    # child_doc and inline_doc depend on main_doc (reference demo schema)
+    order = topo_order({"inline_doc": {"main_doc"}, "child_doc": {"main_doc"}})
+    assert order.index("main_doc") < order.index("inline_doc")
+    assert order.index("main_doc") < order.index("child_doc")
+    assert order == ["main_doc", "child_doc", "inline_doc"]  # deterministic
+
+    assert topo_order({}) == []
+    assert topo_order({"a": set()}) == ["a"]
+    chain = topo_order({"c": {"b"}, "b": {"a"}})
+    assert chain == ["a", "b", "c"]
+    with _pytest.raises(CycleError):
+        topo_order({"a": {"b"}, "b": {"a"}})
