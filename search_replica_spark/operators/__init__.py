@@ -36,6 +36,7 @@ def all_registered() -> dict[str, tuple[SparkFn, str | None]]:
         fulltext,
         multimodal,
         similarity,
+        streaming_ops,
         textstats,
     )
 

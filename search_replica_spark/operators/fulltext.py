@@ -112,8 +112,9 @@ def ft_segment_postings(spark, sf_dir):
     )
 
 
-def _bm25_sql(limit: int, tok_sql: str = _TOK) -> str:
+def _bm25_sql(limit: int, tok_sql: str = _TOK, mode: str = "or") -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    having = f"HAVING count(*) = {len(BM25_QUERY_TERMS)}" if mode == "and" else ""
     return f"""
 WITH tok AS ({tok_sql}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -125,7 +126,7 @@ sc AS (SELECT tf.doc_id,
               sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
                    * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-       GROUP BY tf.doc_id)
+       GROUP BY tf.doc_id {having})
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT {limit}
 """
@@ -167,6 +168,21 @@ def ft_bm25_wand_top10(spark, sf_dir):
     idx = _index_dir_for(spark, sf_dir)
     reader = IndexReader(spark, idx)
     hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
+    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
+    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5d: conjunctive match (ES `operator: and`) via the real engine — every
+# analyzed query term must occur in the doc.
+@register("ft_bm25_and_top10", _bm25_sql(10, mode="and"))
+def ft_bm25_and_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+
+    idx = _index_dir_for(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    hits = TermAtATimeScorer(reader).score(" ".join(BM25_QUERY_TERMS), 10, mode="and")
     docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
     orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
     rows = [(orig[d], round(s, 6)) for d, s in hits]

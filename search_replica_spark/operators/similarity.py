@@ -114,3 +114,73 @@ def ann_brute_force_pandas(emb_pdf: pd.DataFrame, query_vec_id: int, k: int) -> 
     sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
     order = np.lexsort((ids, -sims))
     return [int(ids[i]) for i in order if ids[i] != query_vec_id][:k]
+
+
+N_HYPERPLANES = 12
+LSH_SEED = 7
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((N_HYPERPLANES, dim))
+
+
+# Random-hyperplane LSH bucketing (rows-only; exactness-within-bucket is
+# asserted in pytest). The scale path: embeddings stored partitioned by
+# bucket; a query touches one bucket (plus hamming-1 neighbors for recall),
+# turning a full-corpus scan into a ~1/2^H partition-pruned read.
+@register("ann_lsh_top10", None)
+def ann_lsh_top10(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    dim = len(e.select("emb").first()[0])
+    H = _hyperplanes(dim)
+
+    # bucket = sign-bit code of dot products with the broadcast hyperplanes
+    def bucket_col(emb_col):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        emb_col,
+                        F.array(*[F.lit(float(x)) for x in H[i]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(N_HYPERPLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    eb = e.withColumn("bucket", bucket_col(F.col("emb")))
+    qrow = eb.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb", "bucket").first()
+    qbucket = int(qrow["bucket"])
+    # probe the query's bucket plus all hamming-1 neighbors
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(N_HYPERPLANES)]
+    cand = eb.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+    q = eb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
+    joined = cand.crossJoin(F.broadcast(q))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+    )
+    out = joined.select("vec_id", "bucket", F.round(sim, 5).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def lsh_buckets_pandas(emb_pdf: pd.DataFrame) -> pd.Series:
+    """NumPy twin of the Spark bucket computation (for tests)."""
+    mat = np.stack(emb_pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    H = _hyperplanes(mat.shape[1])
+    bits = (mat @ H.T) > 0
+    return pd.Series(
+        (bits * (1 << np.arange(N_HYPERPLANES))).sum(axis=1).astype(np.int64),
+        index=emb_pdf.index,
+    )

@@ -1,0 +1,60 @@
+"""Stream-shaped operators over the ``events`` table (batch form of the
+Structured Streaming patterns: sessionization = session_window / stateful
+lag, windowed agg = tumbling window + watermark). SQL twins run in DuckDB.
+
+At streaming scale these run as `groupBy(session_window(ts, gap))` /
+`groupBy(window(ts, size))` with watermarks (see streaming/incremental.py
+for the engine's actual streaming path); the batch formulations here have
+identical semantics on a closed input and are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from search_replica_spark.operators import load, register
+
+GAP_MIN = 30
+
+
+# Sessionization: a new session starts after a >30-min silence per user.
+@register(
+    "events_sessionize",
+    f"""SELECT user_id, event_id,
+               CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > {GAP_MIN * 60} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        FROM (
+          SELECT user_id, event_id, ts,
+                 epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+          FROM events
+        )""",
+)
+def events_sessionize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > GAP_MIN * 60), 1).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(w).cast("long").alias("session_idx"),
+    )
+
+
+# Tumbling 1-hour windowed aggregation (epoch-seconds window key so the
+# timestamp survives the cross-engine value hash).
+@register(
+    "events_windowed_agg",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+              event_type,
+              count(*) AS n,
+              round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def events_windowed_agg(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))

@@ -69,16 +69,19 @@ class OracleIndex:
         # Lucene BM25Similarity.idfExplain: ln(1 + (N - df + 0.5)/(df + 0.5))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def score(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Disjunctive (ES match default OR) BM25 top-k.
+    def score(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        """BM25 top-k. ``mode="or"`` is ES match default (disjunctive);
+        ``mode="and"`` is ES ``operator: and`` — every analyzed query term
+        must match (a term absent from the corpus yields zero hits).
 
         Returns [(doc_id, score)] sorted score desc, doc_id asc.
         """
-        terms = tokenize_text(query)
+        terms = sorted(set(tokenize_text(query)))
         scores: dict[int, float] = {}
+        matched: dict[int, int] = {}
         # sorted-term summation order: keeps float64 sums bit-identical with
         # the engine's NumPy paths, which also sum in sorted-term order
-        for t in sorted(set(terms)):
+        for t in terms:
             plist = self.postings.get(t)
             if not plist:
                 continue
@@ -87,6 +90,10 @@ class OracleIndex:
                 dl = self.doc_len[did]
                 norm = tf / (tf + K1 * (1.0 - B + B * dl / self.avg_dl))
                 scores[did] = scores.get(did, 0.0) + w * norm
+                matched[did] = matched.get(did, 0) + 1
+        if mode == "and":
+            need = len(terms)
+            scores = {d: s for d, s in scores.items() if matched[d] == need}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

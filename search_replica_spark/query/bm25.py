@@ -124,8 +124,11 @@ class IndexReader:
 # Strategy 1: fully distributed DataFrame plan
 # ---------------------------------------------------------------------------
 
-def bm25_topk_spark(spark: SparkSession, index_dir: str, query: str, k: int = 10) -> DataFrame:
-    """Distributed BM25 top-k: returns DataFrame(doc_id, score) ordered."""
+def bm25_topk_spark(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or"
+) -> DataFrame:
+    """Distributed BM25 top-k: returns DataFrame(doc_id, score) ordered.
+    mode="and" = ES operator:and (all analyzed terms must match)."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
@@ -179,9 +182,16 @@ def bm25_topk_spark(spark: SparkSession, index_dir: str, query: str, k: int = 10
             ),
         )
     )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("score").alias("score"), F.count("*").alias("_nm")
+    )
+    if mode == "and":
+        # posting rows are unique per (term, doc), so the row count per doc
+        # IS the matched-term count; a term absent from the corpus caps it
+        # below len(terms) → empty result, matching ES operator:and
+        agg = agg.filter(F.col("_nm") == len(terms))
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
+        agg.drop("_nm")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -211,18 +221,19 @@ class TermAtATimeScorer:
     def __init__(self, reader: IndexReader):
         self.r = reader
 
-    def score(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def score(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        """mode="or": ES match default; mode="and": ES operator:and — every
+        analyzed term must match (rank-identical to OracleIndex.score)."""
         r = self.r
         terms = sorted(set(tokenize_text(query)))
         if not terms:
             return []
         doc_len, doc_ids = r.doc_arrays()
         postings = r.fetch_postings(terms)
-        acc: dict[int, float] = {}
-        acc_idx = np.array([], dtype=np.int64)
-        acc_score = np.array([], dtype=np.float64)
+        if mode == "and" and len(postings) < len(terms):
+            return []  # a query term is absent from the corpus
         full = np.zeros(r.n_docs, dtype=np.float64)
-        touched = np.zeros(r.n_docs, dtype=bool)
+        nmatch = np.zeros(r.n_docs, dtype=np.int32)
         for term in terms:  # sorted order → deterministic float summation
             if term not in postings:
                 continue
@@ -232,8 +243,9 @@ class TermAtATimeScorer:
             tf = tfs.astype(np.float64)
             contrib = idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
             full[docs] += contrib
-            touched[docs] = True
-        idxs = np.nonzero(touched)[0]
+            nmatch[docs] += 1
+        need = len(terms) if mode == "and" else 1
+        idxs = np.nonzero(nmatch >= need)[0]
         if idxs.size == 0:
             return []
         return _select_topk(full[idxs], doc_ids[idxs], k)

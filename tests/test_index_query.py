@@ -142,3 +142,20 @@ def test_pinned_reader_identical(spark, small_index, small_oracle, queries):
         want = small_oracle.score(qtext, int(k))
         assert_rank_identical(got, want)
         assert wand_topk(reader, qtext, int(k)) is not None
+
+
+def test_and_mode_rank_identity(spark, small_index, small_oracle):
+    """ES operator:and semantics — engine == oracle, incl. absent-term case."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    scorer = TermAtATimeScorer(reader)
+    for q in ["license apache", "def return", "license zzznope", "the def license"]:
+        got = scorer.score(q, 10, mode="and")
+        want = small_oracle.score(q, 10, mode="and")
+        assert_rank_identical(got, want)
+        got_d = [(r["doc_id"], r["score"]) for r in bm25_topk_spark(spark, idx_dir, q, 10, mode="and").collect()]
+        assert_rank_identical(got_d, want)
+    # AND is a subset of OR with >= scores per doc
+    or_res = dict(small_oracle.score("license apache", 200))
+    and_res = scorer.score("license apache", 200, mode="and")
+    assert all(d in or_res for d, _ in and_res)

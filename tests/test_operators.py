@@ -100,3 +100,32 @@ def test_p15_topo_order():
     assert chain == ["a", "b", "c"]
     with _pytest.raises(CycleError):
         topo_order({"a": {"b"}, "b": {"a"}})
+
+
+def test_lsh_exact_within_probed_buckets(spark, registry):
+    """LSH correctness: results == brute force restricted to the candidate
+    buckets (query bucket + hamming-1 neighbors), and the Spark bucket
+    computation matches the NumPy twin."""
+    import numpy as np
+    import pandas as pd
+
+    from search_replica_spark.operators.similarity import (
+        N_HYPERPLANES,
+        ann_brute_force_pandas,
+        lsh_buckets_pandas,
+    )
+
+    fn, _ = registry["ann_lsh_top10"]
+    rows = fn(spark, SF_DIR).collect()
+    got = [r["vec_id"] for r in rows]
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    buckets = lsh_buckets_pandas(emb)
+    qb = int(buckets[emb.vec_id == 0].iloc[0])
+    probes = {qb} | {qb ^ (1 << i) for i in range(N_HYPERPLANES)}
+    # spark-side buckets must match the NumPy twin
+    for r in rows:
+        assert int(r["bucket"]) in probes
+    sub = emb[buckets.isin(probes) | (emb.vec_id == 0)].reset_index(drop=True)
+    want = ann_brute_force_pandas(sub, 0, 10)
+    assert got == want
