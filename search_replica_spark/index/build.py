@@ -20,8 +20,8 @@ Pipeline (manifest-checkpointed stages, two shuffles):
       → shuffle #2: groupBy (term,salt)  (hot terms salted by doc_idx range
                                           so blocks stay globally docID-sorted)
       → applyInPandas block encode    (NumPy delta+varint, per-block max score)
-      → segments/ range-partitioned + sorted by term (row-group pruning makes
-        query-time `term IN (...)` an index seek, not a scan)
+      → segments/ hash-partitioned + in-file sorted by term (row-group
+        pruning makes query-time `term IN (...)` an index seek, not a scan)
   stage "finalize":
     per-partition lineage table (lineage/) + stats.json, drop intermediates.
 
@@ -244,7 +244,9 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     agg = doc_map.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avg"), F.sum("doc_len").alias("tok")
     ).collect()[0]
-    n_docs, avg_dl, total_tokens = int(agg["n"]), float(agg["avg"]), int(agg["tok"])
+    n_docs = int(agg["n"])
+    avg_dl = float(agg["avg"]) if agg["avg"] is not None else 0.0
+    total_tokens = int(agg["tok"]) if agg["tok"] is not None else 0
 
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
     (
@@ -299,15 +301,16 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         F.sum("bytes_compressed").alias("b"),
         F.sum("blocks").alias("k"),
     ).collect()[0]
+    lin = {k: (int(v) if v is not None else 0) for k, v in lin.asDict().items()}
     n_terms = spark.read.parquet(os.path.join(out, "dict")).count()
 
     stats = {
         **core,
         "n_terms": n_terms,
         "docs_tokenized": core["n_docs"],
-        "postings_emitted": int(lin["p"]),
-        "bytes_compressed": int(lin["b"]),
-        "n_blocks": int(lin["k"]),
+        "postings_emitted": lin["p"],
+        "bytes_compressed": lin["b"],
+        "n_blocks": lin["k"],
         "k1": cfg.k1,
         "b": cfg.b,
         "block_size": cfg.block_size,

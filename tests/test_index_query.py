@@ -159,3 +159,32 @@ def test_and_mode_rank_identity(spark, small_index, small_oracle):
     or_res = dict(small_oracle.score("license apache", 200))
     and_res = scorer.score("license apache", 200, mode="and")
     assert all(d in or_res for d, _ in and_res)
+
+
+def test_edge_corpora(spark, tmp_path):
+    """Empty, single-doc, and unicode corpora build and query correctly."""
+    import pandas as pd
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import OracleIndex
+
+    cfg = IndexConfig(shuffle_partitions=2)
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    stats = build_index(spark, spark.createDataFrame([], schema), str(tmp_path / "e"), cfg)
+    assert stats["n_docs"] == 0 and stats["n_terms"] == 0
+
+    uni = pd.DataFrame(
+        {
+            "repo": ["r/u"], "path": ["pu"], "commit": ["c" * 40], "lang": ["md"],
+            "content": ["héllo wörld 中文 naïve café getFooBar"],
+        }
+    )
+    build_index(spark, spark.createDataFrame(uni), str(tmp_path / "u"), cfg)
+    reader = IndexReader(spark, str(tmp_path / "u"))
+    oi = OracleIndex.build(uni)
+    for q in ["héllo", "caf", "getFooBar"]:
+        got = TermAtATimeScorer(reader).score(q, 5)
+        want = oi.score(q, 5)
+        assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
