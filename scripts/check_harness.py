@@ -33,6 +33,8 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if os.environ.get("EXACT", "0") == "1":
+            return fa == fb  # driver value-hash proxy: bit equality
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return a == b
 
