@@ -256,25 +256,95 @@ class TermAtATimeScorer:
 # ---------------------------------------------------------------------------
 
 class _TermCursor:
-    __slots__ = ("term", "docs", "tfs", "blk_last", "blk_max", "pos", "idf", "max_score", "n")
+    """Lazy-decoding posting cursor: block metadata (last doc, max score) is
+    always in memory, but a block's delta+varint payload is only decoded
+    when the cursor actually lands in it — a block-max skip jumps over
+    blocks without ever decompressing them (the point of BMW: at scale the
+    saved work is decode + memory traffic, not just scoring)."""
 
-    def __init__(self, term, docs, tfs, blk_last, blk_max, idf):
+    __slots__ = (
+        "term", "blk_first", "blk_last", "blk_max", "blk_n", "docs_bins",
+        "tfs_bins", "idf", "max_score", "n", "_bi", "_off", "_docs", "_tfs",
+        "blocks_decoded", "_exhausted",
+    )
+
+    INF = np.iinfo(np.int64).max
+
+    def __init__(self, term, g: pd.DataFrame, idf):
         self.term = term
-        self.docs = docs
-        self.tfs = tfs
-        self.blk_last = blk_last  # np.int64[], last doc_idx per block (sorted)
-        self.blk_max = blk_max  # np.float64[], max score per block
-        self.pos = 0
+        self.blk_first = g["first_doc_idx"].to_numpy(np.int64)
+        self.blk_last = g["last_doc_idx"].to_numpy(np.int64)
+        self.blk_max = g["max_score"].to_numpy(np.float64)
+        self.blk_n = g["n"].to_numpy(np.int64)
+        self.docs_bins = list(g["docs_bin"])
+        self.tfs_bins = list(g["tfs_bin"])
         self.idf = idf
-        self.max_score = float(blk_max.max())
-        self.n = len(docs)
+        self.max_score = float(self.blk_max.max())
+        self.n = int(self.blk_n.sum())
+        # virtual position: block _bi at offset _off; the block payload is
+        # decoded only when needed (_docs None = undecoded, _off must be 0
+        # and cur_doc comes from blk_first metadata)
+        self._bi = 0
+        self._off = 0
+        self._docs = None
+        self._tfs = None
+        self.blocks_decoded = 0
+        self._exhausted = self.n == 0
+
+    def _ensure(self):
+        if self._docs is None:
+            self._docs = delta_decode(self.docs_bins[self._bi]).astype(np.int64)
+            self._tfs = varint_decode(self.tfs_bins[self._bi]).astype(np.int64)
+            self.blocks_decoded += 1
 
     def cur_doc(self):
-        return self.docs[self.pos] if self.pos < self.n else np.iinfo(np.int64).max
+        if self._exhausted:
+            return self.INF
+        if self._docs is None:  # virtual: sitting on the block's first doc
+            return self.blk_first[self._bi]
+        return self._docs[self._off]
+
+    def cur_tf(self) -> float:
+        self._ensure()
+        return float(self._tfs[self._off])
+
+    def step(self):
+        """Advance one posting."""
+        self._ensure()
+        self._off += 1
+        if self._off >= len(self._docs):
+            if self._bi + 1 < len(self.blk_last):
+                self._bi += 1
+                self._off = 0
+                self._docs = self._tfs = None  # next block stays undecoded
+            else:
+                self._exhausted = True
 
     def advance_to(self, target):
-        # binary search within remaining postings
-        self.pos += int(np.searchsorted(self.docs[self.pos :], target, side="left"))
+        """Advance to the first doc >= target. Blocks whose last_doc <
+        target are skipped compressed; if target lands before the next
+        block's first doc, even the landing block stays undecoded."""
+        if self._exhausted or self.cur_doc() >= target:
+            return
+        bi = int(np.searchsorted(self.blk_last, target, side="left"))
+        if bi >= len(self.blk_last):
+            self._exhausted = True
+            return
+        if bi != self._bi:
+            self._bi = bi
+            self._off = 0
+            self._docs = self._tfs = None
+        if target <= self.blk_first[bi] and self._off == 0:
+            return  # virtual landing — no decode needed
+        self._ensure()
+        self._off += int(np.searchsorted(self._docs[self._off :], target, side="left"))
+        if self._off >= len(self._docs):  # defensive: past block end
+            if self._bi + 1 < len(self.blk_last):
+                self._bi += 1
+                self._off = 0
+                self._docs = self._tfs = None
+            else:
+                self._exhausted = True
 
     def _blk_of(self, doc) -> int:
         return int(np.searchsorted(self.blk_last, doc, side="left"))
@@ -285,36 +355,40 @@ class _TermCursor:
 
     def block_last_at(self, doc):
         i = self._blk_of(doc)
-        return int(self.blk_last[i]) if i < len(self.blk_last) else np.iinfo(np.int64).max
+        return int(self.blk_last[i]) if i < len(self.blk_last) else self.INF
 
 
-def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, float]]:
-    """Block-max WAND over compressed segments (rank-identical to exhaustive)."""
+def wand_topk(
+    reader: IndexReader, query: str, k: int = 10, stats: dict | None = None
+) -> list[tuple[int, float]]:
+    """Block-max WAND over compressed segments (rank-identical to exhaustive).
+    Blocks are decoded lazily — a block-max skip jumps over them compressed.
+    Pass ``stats={}`` to receive blocks_decoded / blocks_total counters."""
     r = reader
     terms = sorted(set(tokenize_text(query)))
     if not terms:
         return []
     doc_len, doc_ids = r.doc_arrays()
-    postings = r.fetch_postings(terms)
-    cursors: list[_TermCursor] = []
-    for term in terms:
-        if term not in postings:
-            continue
-        docs, tfs, g = postings[term]
-        idf = r.idf(len(docs))
-        blk_last = g["last_doc_idx"].to_numpy(np.int64)
-        blk_max = g["max_score"].to_numpy(np.float64)
-        cursors.append(_TermCursor(term, docs, tfs, blk_last, blk_max, idf))
-    if not cursors:
+    blk = r.fetch_blocks(terms)
+    if len(blk) == 0:
         return []
+    cursors: list[_TermCursor] = []
+    for term, g in blk.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        df_t = int(g["n"].sum())
+        cursors.append(_TermCursor(term, g, r.idf(df_t)))
     if len(cursors) == 1:
         # single-cursor WAND degenerates to a full walk — score vectorized
         # instead (identical results, no per-posting Python)
         c = cursors[0]
-        tf = c.tfs.astype(np.float64)
-        dl = doc_len[c.docs]
+        docs = np.concatenate([delta_decode(b) for b in c.docs_bins]).astype(np.int64)
+        tf = np.concatenate([varint_decode(b) for b in c.tfs_bins]).astype(np.float64)
+        dl = doc_len[docs]
         scores = c.idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
-        return _select_topk(scores, doc_ids[c.docs], k)
+        if stats is not None:
+            stats["blocks_total"] = len(c.blk_last)
+            stats["blocks_decoded"] = len(c.blk_last)
+        return _select_topk(scores, doc_ids[docs], k)
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     theta = 0.0
@@ -325,7 +399,7 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, f
         dl = doc_len[didx]
         for c in cursors:  # cursors are in sorted-term order → deterministic sum
             if c.cur_doc() == didx:
-                tf = float(c.tfs[c.pos])
+                tf = c.cur_tf()
                 s += c.idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
         return s
 
@@ -378,9 +452,12 @@ def wand_topk(reader: IndexReader, query: str, k: int = 10) -> list[tuple[int, f
                 theta = heap[0][0]
             for c in live:
                 if c.cur_doc() == pivot_doc:
-                    c.pos += 1
+                    c.step()
         else:
             live[0].advance_to(pivot_doc)
 
+    if stats is not None:
+        stats["blocks_total"] = int(sum(len(c.blk_last) for c in cursors))
+        stats["blocks_decoded"] = int(sum(c.blocks_decoded for c in cursors))
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     return [(int(-d), float(s)) for s, d in out]

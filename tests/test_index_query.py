@@ -188,3 +188,15 @@ def test_edge_corpora(spark, tmp_path):
         got = TermAtATimeScorer(reader).score(q, 5)
         want = oi.score(q, 5)
         assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
+
+
+def test_wand_lazy_decode_stats(spark, small_index, small_oracle):
+    """Lazy WAND decodes at most all blocks, and stays rank-identical."""
+    idx_dir, _ = small_index
+    reader = IndexReader(spark, idx_dir)
+    for q, k in [("license apache the def return", 1), ("license", 5)]:
+        st = {}
+        got = wand_topk(reader, q, k, stats=st)
+        want = small_oracle.score(q, k)
+        assert_rank_identical(got, want)
+        assert 0 < st["blocks_decoded"] <= st["blocks_total"]
