@@ -31,24 +31,70 @@ class Tag:
     values: list[str]
 
 
+_SIMPLE_ESCAPES = {
+    "a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "v": "\v", "\\": "\\", '"': '"',
+}
+
+
 def _unquote(qvalue: str) -> str:
-    """Minimal double-quoted-string unquote with backslash escapes."""
+    """Go-compatible double-quoted-string unquote (strconv.Unquote semantics,
+    reference: conftags/tags.go:99): standard escapes decode to their control
+    characters, \\xHH / \\uHHHH / \\UHHHHHHHH / \\NNN (octal) decode to the
+    escaped code point/byte, and unknown escapes (including \\' inside double
+    quotes, exactly like Go) raise TagSyntaxError. Byte escapes that don't
+    form valid UTF-8 are preserved via latin-1 (Go strings tolerate raw
+    bytes; Python str can't, this is the closest faithful mapping)."""
     if len(qvalue) < 2 or qvalue[0] != '"' or qvalue[-1] != '"':
         raise TagSyntaxError("value not quoted")
     body = qvalue[1:-1]
-    out = []
+    out = bytearray()
     i = 0
     while i < len(body):
         c = body[i]
-        if c == "\\":
-            if i + 1 >= len(body):
-                raise TagSyntaxError("dangling escape")
-            out.append(body[i + 1])
-            i += 2
-        else:
-            out.append(c)
+        if c == "\n":
+            raise TagSyntaxError("newline in quoted value")
+        if c != "\\":
+            out += c.encode("utf-8")
             i += 1
-    return "".join(out)
+            continue
+        if i + 1 >= len(body):
+            raise TagSyntaxError("dangling escape")
+        e = body[i + 1]
+        if e in _SIMPLE_ESCAPES:
+            out += _SIMPLE_ESCAPES[e].encode("utf-8")
+            i += 2
+        elif e == "x":
+            h = body[i + 2 : i + 4]
+            if len(h) != 2 or any(ch not in "0123456789abcdefABCDEF" for ch in h):
+                raise TagSyntaxError(f"invalid hex escape \\x{h}")
+            out.append(int(h, 16))
+            i += 4
+        elif e in ("u", "U"):
+            n = 4 if e == "u" else 8
+            h = body[i + 2 : i + 2 + n]
+            if len(h) != n or any(ch not in "0123456789abcdefABCDEF" for ch in h):
+                raise TagSyntaxError(f"invalid unicode escape \\{e}{h}")
+            v = int(h, 16)
+            if v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
+                raise TagSyntaxError(f"escape \\{e}{h} is not a valid code point")
+            out += chr(v).encode("utf-8")
+            i += 2 + n
+        elif e in "01234567":
+            o = body[i + 1 : i + 4]
+            if len(o) != 3 or any(ch not in "01234567" for ch in o):
+                raise TagSyntaxError(f"invalid octal escape \\{o}")
+            v = int(o, 8)
+            if v > 255:
+                raise TagSyntaxError(f"octal escape \\{o} > 255")
+            out.append(v)
+            i += 4
+        else:
+            raise TagSyntaxError(f"unknown escape \\{e}")
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out.decode("latin-1")
 
 
 def parse(src: str) -> list[Tag]:

@@ -64,7 +64,17 @@ class Manifest:
 
 
 def input_fingerprint(df) -> str:
-    """Cheap input identity: schema + row count (stand-in for an Iceberg
-    snapshot id, which is what this would be on a real lakehouse table)."""
-    n = df.count()
-    return f"{df.schema.simpleString()}|{n}"
+    """Input identity: schema + row count + an order-independent content
+    digest (sum of per-row crc32 over all columns, JVM-side). The digest
+    catches in-place content updates that keep the row count unchanged —
+    schema+count alone would resume into a stale index. On a real lakehouse
+    table this whole function is replaced by the Iceberg snapshot id."""
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.crc32(F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns]))
+        ).alias("digest"),
+    ).collect()[0]
+    return f"{df.schema.simpleString()}|{agg['n']}|{agg['digest']}"

@@ -112,6 +112,34 @@ def ft_segment_postings(spark, sf_dir):
     )
 
 
+class _OrigIdReader:
+    """IndexReader whose doc_ids are the SOURCE doc_ids (parsed back from the
+    indexed path column), so every scorer tie-break (score desc, doc_id asc)
+    happens on the same key as the DuckDB oracle. Without this an exact float
+    score tie at the top-k boundary could pick different docs than the oracle
+    (the engine's hashed doc_id orders differently than the source id)."""
+
+    def __new__(cls, spark, index_dir):
+        from search_replica_spark.query.bm25 import IndexReader
+
+        class Reader(IndexReader):
+            def doc_arrays(self):
+                if self._doc_len is None:
+                    pdf = (
+                        self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                        .select("doc_idx", "path", "doc_len")
+                        .toPandas()
+                        .sort_values("doc_idx")
+                    )
+                    self._doc_len = pdf["doc_len"].to_numpy("float64")
+                    self._doc_ids = (
+                        pdf["path"].str.split("_", n=1).str[1].astype("int64").to_numpy()
+                    )
+                return self._doc_len, self._doc_ids
+
+        return Reader(spark, index_dir)
+
+
 def _bm25_sql(limit: int, tok_sql: str = _TOK, mode: str = "or") -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     having = f"HAVING count(*) = {len(BM25_QUERY_TERMS)}" if mode == "and" else ""
@@ -148,29 +176,22 @@ def ft_bm25_sql_top10(spark, sf_dir):
 # SQL oracle exactly (score rounded to 6dp).
 @register("ft_bm25_indexed_top10", _bm25_sql(10))
 def ft_bm25_indexed_top10(spark, sf_dir):
-    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
 
     idx = _index_dir_for(spark, sf_dir)
-    reader = IndexReader(spark, idx)
-    hits = TermAtATimeScorer(reader).score(" ".join(BM25_QUERY_TERMS), 10)
-    # map engine doc_id (hash of repo,path) back to the source doc_id
-    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
-    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
-    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    hits = TermAtATimeScorer(_OrigIdReader(spark, idx)).score(" ".join(BM25_QUERY_TERMS), 10)
+    rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 # B5c: block-max WAND path, same oracle — proves the pruning is lossless.
 @register("ft_bm25_wand_top10", _bm25_sql(10))
 def ft_bm25_wand_top10(spark, sf_dir):
-    from search_replica_spark.query.bm25 import IndexReader, wand_topk
+    from search_replica_spark.query.bm25 import wand_topk
 
     idx = _index_dir_for(spark, sf_dir)
-    reader = IndexReader(spark, idx)
-    hits = wand_topk(reader, " ".join(BM25_QUERY_TERMS), 10)
-    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
-    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
-    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    hits = wand_topk(_OrigIdReader(spark, idx), " ".join(BM25_QUERY_TERMS), 10)
+    rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
@@ -178,12 +199,11 @@ def ft_bm25_wand_top10(spark, sf_dir):
 # analyzed query term must occur in the doc.
 @register("ft_bm25_and_top10", _bm25_sql(10, mode="and"))
 def ft_bm25_and_top10(spark, sf_dir):
-    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
 
     idx = _index_dir_for(spark, sf_dir)
-    reader = IndexReader(spark, idx)
-    hits = TermAtATimeScorer(reader).score(" ".join(BM25_QUERY_TERMS), 10, mode="and")
-    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path").toPandas()
-    orig = {int(r.doc_id): int(r.path.split("_", 1)[1]) for r in docs.itertuples()}
-    rows = [(orig[d], round(s, 6)) for d, s in hits]
+    hits = TermAtATimeScorer(_OrigIdReader(spark, idx)).score(
+        " ".join(BM25_QUERY_TERMS), 10, mode="and"
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")

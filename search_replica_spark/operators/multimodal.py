@@ -55,19 +55,53 @@ def mm_image_meta(spark, sf_dir):
     )
 
 
-# Feature extraction stub (rows-only check): mean/std of payload bytes —
-# the batch shape, schema, and Arrow path of a real embedding extractor.
-@register("mm_fake_features", None)
+# Feature extraction stub: integer byte statistics (sum / sum-of-squares) of
+# the payload — the batch shape, schema, and Arrow path of a real embedding
+# extractor, but exactly reproducible in SQL (ascii() over chars), so the
+# driver's DuckDB oracle checks it bit-for-bit. mean derives from the sums
+# as one float64 division, identical in both engines.
+_MM_FEAT_SQL = """
+WITH ch AS (SELECT doc_id, ascii(c) AS v
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS byte_sum,
+       CAST(sum(v * v) AS BIGINT) AS byte_sqsum,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS byte_mean
+FROM ch GROUP BY doc_id
+"""
+
+
+@register("mm_fake_features", _MM_FEAT_SQL)
 def mm_fake_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def fn(batches):
         for pdf in batches:
-            rows = []
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
-                rows.append((int(did), round(float(a.mean()), 6), round(float(a.std()), 6)))
-            yield pd.DataFrame(rows, columns=["doc_id", "byte_mean", "byte_std"])
+            if pdf.empty:
+                continue
+            lens = pdf["payload"].map(len).to_numpy("int64")
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            if buf.size == 0:
+                s = sq = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                # vectorized per-row segment sums (no per-row Python loop);
+                # reduceat misbehaves on empty segments → mask them to 0
+                s = np.add.reduceat(buf, np.minimum(starts, buf.size - 1))
+                sq = np.add.reduceat(buf * buf, np.minimum(starts, buf.size - 1))
+                s[lens == 0] = 0
+                sq[lens == 0] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy("int64"),
+                    "n_bytes": lens,
+                    "byte_sum": s,
+                    "byte_sqsum": sq,
+                }
+            )
 
-    return payloads.mapInPandas(fn, schema="doc_id long, byte_mean double, byte_std double")
+    out = payloads.mapInPandas(
+        fn, schema="doc_id long, n_bytes long, byte_sum long, byte_sqsum long"
+    )
+    return out.withColumn("byte_mean", F.round(F.col("byte_sum") / F.col("n_bytes"), 6))

@@ -92,3 +92,16 @@ def test_values_with_escapes_and_filter():
 def test_unterminated_value():
     with pytest.raises(TagSyntaxError):
         parse('tag:"unterminated')
+
+
+def test_go_compatible_escapes():
+    # standard escapes decode to control chars (Go strconv.Unquote semantics)
+    assert parse(r'tag:"a\nb"')[0].values == ["a\nb"]
+    assert parse(r'tag:"a\tb"')[0].values == ["a\tb"]
+    assert parse(r'tag:"\x41é"')[0].values == ["Aé"]
+    assert parse(r'tag:"\U0001F600"')[0].values == ["\U0001F600"]
+    assert parse(r'tag:"\101"')[0].values == ["A"]  # octal
+    # unknown escapes are a syntax error, exactly like Go
+    for bad in (r'tag:"\q"', r'tag:"\x4"', r'tag:"\u12"', r'tag:"\8"', r"tag:\"\'\""):
+        with pytest.raises(TagSyntaxError):
+            parse(bad)
