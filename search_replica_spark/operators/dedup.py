@@ -117,25 +117,59 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 """
 
 
+JACCARD_T = 0.5
+
+
 @register("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard >= t via PPJoin-style PREFIX FILTERING (Xiao
+    et al., WWW'08): order each doc's tokens globally by (df asc, term asc)
+    and self-join only the first |x| - ceil(t*|x|) + 1 tokens of each doc —
+    provably lossless for Jaccard >= t, and hot tokens (high df) sort LAST so
+    they rarely enter a prefix: the stopword-blowup of a raw shared-token
+    join (10^6-doc token -> 10^12 join rows) cannot happen. Candidate pairs
+    are then verified exactly against the full token sets (equi-joins on
+    doc ids). The oracle SQL is the plain all-shared-token spec — only the
+    Spark plan needs to survive 100 TB."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
-    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
+    df_tbl = tok.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(df_tbl, "term")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
+    ).select("doc_id", "term")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates against the FULL token sets
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jac", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jac") >= 0.5)
+        .filter(F.col("jac") >= JACCARD_T)
     )
     return j.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
 
@@ -175,10 +209,233 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-# Embedding-cosine near-duplicates over the embeddings table: all pairs with
-# cosine >= 0.3 (the scale path replaces the pairwise join with the IVF /
-# LSH bucketing in operators.similarity; this is the exact reference).
-_EMB_DUP_SQL = """
+# 64-bit SimHash (Charikar) at realistic precision, stored as two 32-bit
+# halves (sim_hi, sim_lo) so both engines stay in signed BIGINT. Bit b of a
+# term's hash = bit (b%4) of md5 hex digit (b//4) — identical md5 hex math
+# in Spark and DuckDB, so the oracle is an exact twin.
+_SIMHASH64_BITS_SQL = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+bits AS (
+  SELECT doc_id, CAST(t.b AS INT) AS b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(term), CAST(t.b AS INT) // 4 + 1, 1)) - 1)
+                        >> (CAST(t.b AS INT) % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok, range(64) t(b) GROUP BY doc_id, t.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
+       CAST(sum(CASE WHEN s > 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+def _simhash64(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    withb = tok.select("doc_id", "term", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5("term"), F.floor(F.col("b") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    # (digit >> (b % 4)) & 1, in portable arithmetic (digit <= 15, exact)
+    bit = F.floor(digit / F.pow(F.lit(2.0), (F.col("b") % 4))).cast("long") % 2
+    contrib = F.when(bit == 1, 1).otherwise(-1)
+    bits = withb.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("b") >= 32),
+                F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
+            ).otherwise(0)
+        ).alias("sim_hi"),
+        F.sum(
+            F.when(
+                (F.col("s") > 0) & (F.col("b") < 32), F.pow(F.lit(2.0), F.col("b")).cast("long")
+            ).otherwise(0)
+        ).alias("sim_lo"),
+    )
+
+
+@register("dedup_simhash64", _SIMHASH64_BITS_SQL)
+def dedup_simhash64(spark, sf_dir):
+    return _simhash64(spark, sf_dir)
+
+
+# SimHash near-dup PAIRS at hamming distance <= 3 — Manku et al. (WWW'07)
+# block-permutation scheme: split the 64-bit signature into 4 x 16-bit
+# blocks; by pigeonhole any pair within hamming 3 agrees on >= 1 whole
+# block, so candidates come from an EQUI-join on (block_idx, block_value)
+# and are then verified with popcount(xor). Exact AND scale-safe (no
+# all-pairs anywhere in the Spark plan; the DuckDB twin uses the plain
+# all-pairs spec, which only ever runs at oracle scale).
+SIMHASH_HAM_T = 3
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({_SIMHASH64_BITS_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= {SIMHASH_HAM_T}
+"""
+
+
+@register("dedup_simhash_hamming", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_hamming(spark, sf_dir):
+    sig = _simhash64(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.shiftright("sim_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("blk"), (F.col("sim_hi") % 65536).alias("v")),
+                F.struct(F.lit(2).alias("blk"), F.shiftright("sim_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("blk"), (F.col("sim_lo") % 65536).alias("v")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim_hi", "sim_lo", F.col("bb.blk").alias("blk"), F.col("bb.v").alias("v"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+        .distinct()
+    )
+
+
+# Embedding near-duplicates, PRIMARY (scale path): banded random-hyperplane
+# LSH candidate generation + exact cosine within candidates. Candidates come
+# from an EQUI-join on (band, code) — balanced keys, ordinary shuffle hash
+# join, never a BroadcastNestedLoopJoin — then the pair ids are joined back
+# to their vectors (two more equi-joins) for exact verification. At 10^9
+# vectors this is the all-pairs-free plan; the capped all-pairs form below
+# is kept only as the small-n exact reference. Buckets are recomputed from
+# the same seeded hyperplanes in the DuckDB twin, so candidates and scores
+# are exactly specified, not approximated.
+EMB_N_BANDS = 3
+EMB_BAND_BITS = 4
+EMB_DUP_THRESHOLD = 0.3
+_EMB_CAP = 4096  # all-pairs reference cap (both engines)
+
+
+def _emb_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _emb_cosine(ea, eb):
+    return _emb_dot(ea, eb) / (F.sqrt(_emb_dot(ea, ea)) * F.sqrt(_emb_dot(eb, eb)))
+
+
+def _emb_lsh_sql() -> str:
+    from search_replica_spark.operators.similarity import _bucket_sql_expr, _hyperplanes
+
+    H = _hyperplanes(64)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_bucket_sql_expr('emb', H, range(b * EMB_BAND_BITS, (b + 1) * EMB_BAND_BITS))} AS code"
+        " FROM e"
+        for b in range(EMB_N_BANDS)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(ea.emb, eb.emb), x -> x[1] * x[2]))"
+        " / ( sqrt(list_sum(list_transform(ea.emb, x -> x * x)))"
+        "   * sqrt(list_sum(list_transform(eb.emb, x -> x * x))) )"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round({cos}, 5) AS sim
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE {cos} >= {EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh", _emb_lsh_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    from search_replica_spark.operators.similarity import _hyperplanes
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    H = _hyperplanes(64)
+
+    def band_code(b: int):
+        bits = [
+            F.when(
+                _emb_dot(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(x)) for x in H[b * EMB_BAND_BITS + j]]),
+                )
+                > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(EMB_BAND_BITS)
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_code(b).alias("code"))
+                    for b in range(EMB_N_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    sim = _emb_cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))
+    )
+
+
+# All-pairs embedding cosine — the SMALL-N EXACT REFERENCE for the LSH entry
+# above, explicitly capped at {_EMB_CAP} vectors on BOTH engines: the plan is
+# a deliberate O(n²) pairwise join and must never run uncapped at scale
+# (use dedup_embedding_lsh there).
+_EMB_DUP_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -187,7 +444,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
          5) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+WHERE a.vec_id < {_EMB_CAP} AND b.vec_id < {_EMB_CAP}
+  AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
                               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) >= 0.3
@@ -196,18 +454,15 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 @register("dedup_embedding_cosine", _EMB_DUP_SQL)
 def dedup_embedding_cosine(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_CAP)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    sim = _emb_cosine(F.col("ea"), F.col("eb"))
     return (
         pairs.withColumn("sim_raw", sim)
         .filter(F.col("sim_raw") >= 0.3)

@@ -56,9 +56,37 @@ def ann_cosine_top10(spark, sf_dir):
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
 
 
-# IVF-style bucketed ANN (rows-only check; recall vs brute force asserted in
-# pytest). Centroids per label, probe the 2 nearest, exact search inside.
-@register("ann_ivf_top10", None)
+# IVF-style bucketed ANN. Centroids per label, probe the 2 nearest, exact
+# search inside (recall vs brute force additionally asserted in pytest).
+# The DuckDB twin recomputes centroids/probes/scores from the same parquet,
+# so the whole IVF pipeline — not just the final scan — is oracle-checked.
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = {QUERY_VEC_ID}),
+pos AS (SELECT label, t.i AS i, emb[CAST(t.i AS INT) + 1] AS v FROM e, range(64) t(i)),
+cent AS (SELECT label, i, avg(v) AS c FROM pos GROUP BY label, i),
+centv AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY list_sum(list_transform(list_zip(centroid, qe), x -> x[1] * x[2]))
+           / ( sqrt(list_sum(list_transform(centroid, x -> x * x)))
+             * sqrt(list_sum(list_transform(qe, x -> x * x))) ) DESC, label
+  LIMIT 2
+)
+SELECT e.vec_id, e.label,
+       round(
+         list_sum(list_transform(list_zip(e.emb, q.qe), x -> x[1] * x[2]))
+         / ( sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+           * sqrt(list_sum(list_transform(q.qe, x -> x * x))) ),
+         5) AS sim
+FROM e JOIN probe USING (label), q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("ann_ivf_top10", _IVF_SQL)
 def ann_ivf_top10(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
     # centroids: posexplode + groupBy(label, pos) — scales to any n_vectors
@@ -125,11 +153,54 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return rng.standard_normal((N_HYPERPLANES, dim))
 
 
-# Random-hyperplane LSH bucketing (rows-only; exactness-within-bucket is
+def _dot_sql(vec_expr: str, plane: np.ndarray) -> str:
+    """DuckDB dot product of a list column with a literal hyperplane.
+    repr(float) round-trips, so the literal parses to the bit-identical
+    double that Spark's F.lit(float(x)) carries."""
+    lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {lit}), x -> x[1] * x[2]))"
+    )
+
+
+def _bucket_sql_expr(vec_expr: str, H: np.ndarray, bits: range) -> str:
+    """Sign-bit bucket code over the given hyperplane indices (SQL twin of
+    the Spark bucket_col below — same planes, same bit weights)."""
+    parts = [
+        f"(CASE WHEN {_dot_sql(vec_expr, H[i])} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, i in enumerate(bits)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _lsh_sql() -> str:
+    H = _hyperplanes(64)  # testdata embeddings are 64-dim
+    bucket = _bucket_sql_expr("emb", H, range(N_HYPERPLANES))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+qb AS (SELECT emb AS qe, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id, b.bucket,
+       round(
+         list_sum(list_transform(list_zip(b.emb, qb.qe), x -> x[1] * x[2]))
+         / ( sqrt(list_sum(list_transform(b.emb, x -> x * x)))
+           * sqrt(list_sum(list_transform(qb.qe, x -> x * x))) ),
+         5) AS sim
+FROM b, qb
+WHERE b.vec_id <> {QUERY_VEC_ID}
+  AND (b.bucket = qb.qbucket
+       OR bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) = 1)
+ORDER BY sim DESC, b.vec_id LIMIT 10
+"""
+
+
+# Random-hyperplane LSH bucketing (exactness-within-bucket additionally
 # asserted in pytest). The scale path: embeddings stored partitioned by
 # bucket; a query touches one bucket (plus hamming-1 neighbors for recall),
-# turning a full-corpus scan into a ~1/2^H partition-pruned read.
-@register("ann_lsh_top10", None)
+# turning a full-corpus scan into a ~1/2^H partition-pruned read. The DuckDB
+# twin recomputes buckets from the same seeded hyperplanes (as literals).
+@register("ann_lsh_top10", _lsh_sql())
 def ann_lsh_top10(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
