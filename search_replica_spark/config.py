@@ -35,6 +35,14 @@ class IndexConfig:
     # Both produce identical postings (tested); the shared regex lives in
     # analysis.tokenizer.
     tokenizer: str = "jvm"
+    # dedup input rows by (repo, path) before indexing (last-wins is
+    # undefined without an ordering column, so an arbitrary-but-single row
+    # survives). Off by default: the build instead FAILS FAST when the same
+    # doc_id appears twice (duplicate input or a 60-bit hash collision) —
+    # silent posting merges are never allowed. At a true 10^12-doc scale the
+    # identity should be the full 256-bit hash as two longs; doc_idx already
+    # carries all internal identity, so only this guard would change.
+    dedup_input: bool = False
 
 
 def default_parallelism() -> int:

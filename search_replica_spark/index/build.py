@@ -55,8 +55,8 @@ from search_replica_spark.index.manifest import Manifest, input_fingerprint
 
 SEGMENT_SCHEMA = (
     "term string, block_id int, n int, first_doc_idx long, last_doc_idx long, "
-    "max_score double, docs_bin binary, tfs_bin binary"
-)
+    "max_score double, docs_bin binary, tfs_bin binary, dls_bin binary"
+)  # dls_bin: per-posting doc_len varints — scoring never joins the docs table
 
 
 def with_doc_ids(df: DataFrame) -> DataFrame:
@@ -180,16 +180,16 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
         score = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avg_dl)))
         base_block = int(salt) * blocks_per_range
         rows = [
-            (term, base_block + bid, n, first, last, ms, dbin, tbin)
-            for bid, (n, first, last, ms, dbin, tbin) in enumerate(
-                encode_postings_blocks(doc_idx, tf, score, bs)
+            (term, base_block + bid, n, first, last, ms, dbin, tbin, lbin)
+            for bid, (n, first, last, ms, dbin, tbin, lbin) in enumerate(
+                encode_postings_blocks(doc_idx, tf, score, bs, dl=dl.astype(np.int64))
             )
         ]
         return pd.DataFrame(
             rows,
             columns=[
                 "term", "block_id", "n", "first_doc_idx", "last_doc_idx",
-                "max_score", "docs_bin", "tfs_bin",
+                "max_score", "docs_bin", "tfs_bin", "dls_bin",
             ],
         )
 
@@ -204,6 +204,8 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     # costs more than the residual imbalance (measured: repartition(32) of
     # a 30-split scan made the stage 2× slower from oversubscription).
     src = corpus.select(*cfg.input_columns)
+    if cfg.dedup_input:
+        src = src.dropDuplicates(["repo", "path"])
     if src.rdd.getNumPartitions() < max(2, P // 2):
         src = src.repartition(P)
     docs = with_doc_ids(src)
@@ -216,6 +218,18 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     postings = spark.read.parquet(os.path.join(out, "postings"))
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     doc_meta = docs.select("doc_id", "repo", "path", "lang", "content_sha256")
+    # identity guard: a doc_id seen twice means duplicate (repo, path) input
+    # rows or a 60-bit hash collision — either would silently merge postings
+    # and doc stats, so fail fast (one narrow agg; content is pruned away)
+    idc = doc_meta.agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+    ).collect()[0]
+    if int(idc["n"]) != int(idc["d"]):
+        raise ValueError(
+            f"doc_id not unique over input ({idc['n']} rows, {idc['d']} distinct ids): "
+            "duplicate (repo, path) rows or a doc_id hash collision. "
+            "Dedup the snapshot or pass IndexConfig(dedup_input=True)."
+        )
     doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
     doc_map = assign_dense_doc_idx(doc_stats, P)
     (

@@ -84,7 +84,11 @@ def delta_decode(buf: bytes) -> np.ndarray:
 
 
 def encode_postings_blocks(
-    doc_idx: np.ndarray, tf: np.ndarray, score: np.ndarray, block_size: int = BLOCK_SIZE
+    doc_idx: np.ndarray,
+    tf: np.ndarray,
+    score: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    dl: np.ndarray | None = None,
 ):
     """Encode a sorted posting list into blocks with ONE varint pass.
 
@@ -92,7 +96,9 @@ def encode_postings_blocks(
     but vectorized across the whole list: per-value byte lengths are computed
     once, so block boundaries become byte-offset slices instead of per-block
     NumPy calls. Returns (n, first_doc, last_doc, max_score, docs_bin, tfs_bin)
-    arrays/lists, one element per block.
+    arrays/lists, one element per block; with ``dl`` (per-posting doc length,
+    carried into segments so BM25 scoring never joins the docs table —
+    Lucene stores norms the same way) each tuple gains a trailing dls_bin.
     """
     n = doc_idx.shape[0]
     if n == 0:
@@ -123,19 +129,27 @@ def encode_postings_blocks(
     toff = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tlen, out=toff[1:])
 
+    if dl is not None:
+        dlv = dl.astype(np.uint64)
+        lbuf = varint_encode(dlv)
+        llen = _byte_lengths(dlv)
+        loff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(llen, out=loff[1:])
+
     max_scores = np.maximum.reduceat(score, starts)
     out = []
     for i, (s, e) in enumerate(zip(starts, ends)):
-        out.append(
-            (
-                int(e - s),
-                int(a[s]),
-                int(a[e - 1]),
-                float(max_scores[i]),
-                dbuf[doff[s] : doff[e]],
-                tbuf[toff[s] : toff[e]],
-            )
+        row = (
+            int(e - s),
+            int(a[s]),
+            int(a[e - 1]),
+            float(max_scores[i]),
+            dbuf[doff[s] : doff[e]],
+            tbuf[toff[s] : toff[e]],
         )
+        if dl is not None:
+            row = (*row, lbuf[loff[s] : loff[e]])
+        out.append(row)
     return out
 
 

@@ -68,17 +68,23 @@ def assemble_main_docs(main_df: DataFrame, inline_df: DataFrame) -> DataFrame:
     )
 
 
-def assemble_child_docs(child_df: DataFrame) -> DataFrame:
+def assemble_child_docs(
+    child_df: DataFrame, join_name: str = "immachild", join_name_col: str | None = None
+) -> DataFrame:
+    """``join_name_col``: take the ES join-field NAME from a column instead
+    of the config literal — the reference's polymorphic form where
+    ``join:"join"`` has no name and the value column supplies it per row
+    (reference: postgres/table_join.go:19-33)."""
+    name_expr = F.col(join_name_col) if join_name_col else F.lit(join_name)
+    doc_cols = ["id", "parent_id", "value"]
     return child_df.drop("ignore_me").select(
         F.col("id").alias("_id"),
         F.col("parent_id").alias("routing"),  # routed to the parent's shard
         F.lit("child_doc").alias("doc_type"),
         F.struct(
-            "id",
-            "parent_id",
-            "value",
+            *doc_cols,
             F.struct(
-                F.lit("immachild").alias("name"), F.col("parent_id").alias("parent")
+                name_expr.alias("name"), F.col("parent_id").alias("parent")
             ).alias("join"),
         ).alias("doc"),
     )

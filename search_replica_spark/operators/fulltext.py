@@ -43,7 +43,7 @@ def _index_dir_for(spark, sf_dir) -> str:
     from search_replica_spark.index.build import build_index
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/ssr_harness_idx_{tag}"
+    out = f"/tmp/ssr_harness_idx_{tag}_v2"  # v2: dls_bin segment layout
     if not os.path.exists(os.path.join(out, "stats.json")):
         build_index(
             spark,

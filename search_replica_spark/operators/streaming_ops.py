@@ -58,3 +58,44 @@ def events_windowed_agg(spark, sf_dir):
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+
+
+# P14/B9 streamed deletes: run the REAL generational engine — gen 0 indexes
+# every document, gen 1 is a delete-only tombstone batch (doc_id % 7 == 0)
+# — and read back the docs the liveDocs mask leaves visible. The oracle is
+# the plain anti-delete spec; matching it proves the tombstone machinery
+# (reference: Delete dispatch, postgres/replication.go:324-347).
+@register("cdc_delete_live_docs", "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0")
+def cdc_delete_live_docs(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.operators.fulltext import _corpus_from_documents
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        _load_gens,
+        add_generation,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
+    cfg = IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30)
+    if len(_load_gens(idx)) != 2:
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _corpus_from_documents(spark, sf_dir)
+        add_generation(spark, corpus, idx, cfg)
+        orig_id = F.split(F.col("path"), "_").getItem(1).cast("long")
+        dels = corpus.filter(orig_id % 7 == 0).withColumn("_change_type", F.lit("delete"))
+        add_generation(spark, dels, idx, cfg)
+    mg = MultiGenReader(spark, idx)
+    _, doc_ids = mg.doc_arrays()
+    live_ids = [(int(x),) for x in doc_ids[mg._live]]
+    live_df = spark.createDataFrame(live_ids, "doc_id long")
+    docs = spark.read.parquet(os.path.join(mg.live_gens[0]["dir"], "docs")).select(
+        "doc_id", "path"
+    )
+    return docs.join(live_df, "doc_id").select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id")
+    )

@@ -110,11 +110,17 @@ class IndexReader:
         )
 
     def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted."""
+        """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted.
+        An optional per-block ``doc_off`` column (generational indexes: each
+        generation's local doc_idx space starts at its slot base) is added to
+        the decoded ids."""
         blk = self.fetch_blocks(terms)
         out = {}
         for term, g in blk.groupby("term", sort=True):
-            docs = np.concatenate([delta_decode(bb) for bb in g["docs_bin"]]).astype(np.int64)
+            offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
+            docs = np.concatenate(
+                [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
+            ).astype(np.int64)
             tfs = np.concatenate([varint_decode(bb) for bb in g["tfs_bin"]]).astype(np.int64)
             out[term] = (docs, tfs, g)
         return out
@@ -154,35 +160,39 @@ def bm25_topk_spark(
             if pdf.empty:
                 yield pd.DataFrame({"term": pd.Series(dtype="object"),
                                     "doc_idx": pd.Series(dtype="int64"),
-                                    "tf": pd.Series(dtype="int64")})
+                                    "tf": pd.Series(dtype="int64"),
+                                    "doc_len": pd.Series(dtype="int64")})
                 continue
             parts = []
-            for term, docs_bin, tfs_bin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
+            for term, docs_bin, tfs_bin, dls_bin in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
+            ):
                 d = delta_decode(docs_bin).astype(np.int64)
                 t = varint_decode(tfs_bin).astype(np.int64)
-                parts.append(pd.DataFrame({"term": term, "doc_idx": d, "tf": t}))
+                dl = varint_decode(dls_bin).astype(np.int64)
+                parts.append(
+                    pd.DataFrame({"term": term, "doc_idx": d, "tf": t, "doc_len": dl})
+                )
             yield pd.concat(parts, ignore_index=True)
 
-    posts = seg.select("term", "docs_bin", "tfs_bin").mapInPandas(
-        decode, schema="term string, doc_idx long, tf long"
+    # doc_len rides inside the segment blocks (Lucene-norms-style), so the
+    # hot path needs NO join against the docs table — at 10^12 docs that
+    # join was the one shuffle this plan had left. doc_idx is assigned in
+    # doc_id order (assign_dense_doc_idx), so the (score desc, doc_idx asc)
+    # tie-break below is identical to tie-breaking on doc_id.
+    posts = seg.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+        decode, schema="term string, doc_idx long, tf long, doc_len long"
     )
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "doc_idx", "doc_id", "doc_len"
+    scored = posts.join(F.broadcast(dic.select("term", "idf")), "term").withColumn(
+        "score",
+        F.col("idf")
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_dl))
+        ),
     )
-    scored = (
-        posts.join(F.broadcast(dic.select("term", "idf")), "term")
-        .join(docs, "doc_idx")
-        .withColumn(
-            "score",
-            F.col("idf")
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_dl))
-            ),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_idx").agg(
         F.sum("score").alias("score"), F.count("*").alias("_nm")
     )
     if mode == "and":
@@ -190,10 +200,17 @@ def bm25_topk_spark(
         # IS the matched-term count; a term absent from the corpus caps it
         # below len(terms) → empty result, matching ES operator:and
         agg = agg.filter(F.col("_nm") == len(terms))
-    return (
+    topk = (
         agg.drop("_nm")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("score").desc(), F.col("doc_idx").asc())
         .limit(k)
+    )
+    # doc_id lookup for k rows only: broadcast the top-k side into the scan
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("doc_idx", "doc_id")
+    return (
+        docs.join(F.broadcast(topk), "doc_idx")
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 
 
@@ -221,9 +238,13 @@ class TermAtATimeScorer:
     def __init__(self, reader: IndexReader):
         self.r = reader
 
-    def score(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def score(
+        self, query: str, k: int = 10, mode: str = "or", live: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
         """mode="or": ES match default; mode="and": ES operator:and — every
-        analyzed term must match (rank-identical to OracleIndex.score)."""
+        analyzed term must match (rank-identical to OracleIndex.score).
+        ``live``: optional per-slot liveness mask (generational indexes:
+        superseded/tombstoned slots are skipped, Lucene liveDocs-style)."""
         r = self.r
         terms = sorted(set(tokenize_text(query)))
         if not terms:
@@ -245,7 +266,10 @@ class TermAtATimeScorer:
             full[docs] += contrib
             nmatch[docs] += 1
         need = len(terms) if mode == "and" else 1
-        idxs = np.nonzero(nmatch >= need)[0]
+        matched = nmatch >= need
+        if live is not None:
+            matched &= live
+        idxs = np.nonzero(matched)[0]
         if idxs.size == 0:
             return []
         return _select_topk(full[idxs], doc_ids[idxs], k)
@@ -264,8 +288,8 @@ class _TermCursor:
 
     __slots__ = (
         "term", "blk_first", "blk_last", "blk_max", "blk_n", "docs_bins",
-        "tfs_bins", "idf", "max_score", "n", "_bi", "_off", "_docs", "_tfs",
-        "blocks_decoded", "_exhausted",
+        "tfs_bins", "doc_offs", "idf", "max_score", "n", "_bi", "_off",
+        "_docs", "_tfs", "blocks_decoded", "_exhausted",
     )
 
     INF = np.iinfo(np.int64).max
@@ -278,6 +302,11 @@ class _TermCursor:
         self.blk_n = g["n"].to_numpy(np.int64)
         self.docs_bins = list(g["docs_bin"])
         self.tfs_bins = list(g["tfs_bin"])
+        # generational indexes remap each block's local doc_idx space by its
+        # generation's slot base (blk_first/blk_last arrive pre-remapped)
+        self.doc_offs = (
+            g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
+        )
         self.idf = idf
         self.max_score = float(self.blk_max.max())
         self.n = int(self.blk_n.sum())
@@ -293,7 +322,9 @@ class _TermCursor:
 
     def _ensure(self):
         if self._docs is None:
-            self._docs = delta_decode(self.docs_bins[self._bi]).astype(np.int64)
+            self._docs = delta_decode(self.docs_bins[self._bi]).astype(np.int64) + self.doc_offs[
+                self._bi
+            ]
             self._tfs = varint_decode(self.tfs_bins[self._bi]).astype(np.int64)
             self.blocks_decoded += 1
 
@@ -359,11 +390,18 @@ class _TermCursor:
 
 
 def wand_topk(
-    reader: IndexReader, query: str, k: int = 10, stats: dict | None = None
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    stats: dict | None = None,
+    live: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over compressed segments (rank-identical to exhaustive).
     Blocks are decoded lazily — a block-max skip jumps over them compressed.
-    Pass ``stats={}`` to receive blocks_decoded / blocks_total counters."""
+    Pass ``stats={}`` to receive blocks_decoded / blocks_total counters.
+    ``live``: optional per-slot liveness mask (Lucene liveDocs-style) — dead
+    docs are scored-over but never enter the heap; pruning stays lossless
+    because skipping candidates only ever leaves theta lower (safer)."""
     r = reader
     terms = sorted(set(tokenize_text(query)))
     if not terms:
@@ -381,8 +419,15 @@ def wand_topk(
         # single-cursor WAND degenerates to a full walk — score vectorized
         # instead (identical results, no per-posting Python)
         c = cursors[0]
-        docs = np.concatenate([delta_decode(b) for b in c.docs_bins]).astype(np.int64)
+        docs = np.concatenate(
+            [delta_decode(b) + o for b, o in zip(c.docs_bins, c.doc_offs)]
+        ).astype(np.int64)
         tf = np.concatenate([varint_decode(b) for b in c.tfs_bins]).astype(np.float64)
+        if live is not None:
+            keep = live[docs]
+            docs, tf = docs[keep], tf[keep]
+            if docs.size == 0:
+                return []
         dl = doc_len[docs]
         scores = c.idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
         if stats is not None:
@@ -404,13 +449,13 @@ def wand_topk(
         return s
 
     while True:
-        live = [c for c in cursors if c.cur_doc() != INF]
-        if not live:
+        act = [c for c in cursors if c.cur_doc() != INF]
+        if not act:
             break
-        live.sort(key=lambda c: c.cur_doc())
+        act.sort(key=lambda c: c.cur_doc())
         # find pivot: smallest prefix whose UB sum exceeds theta
         ub, pivot_i = 0.0, -1
-        for i, c in enumerate(live):
+        for i, c in enumerate(act):
             ub += c.max_score
             # >= not >: a doc scoring exactly theta can still enter the heap
             # on the doc_id tie-break, so it must be scored, not pruned
@@ -419,42 +464,43 @@ def wand_topk(
                 break
         if pivot_i < 0:
             break
-        pivot_doc = int(live[pivot_i].cur_doc())
+        pivot_doc = int(act[pivot_i].cur_doc())
         # block-max check: refine UB with per-block maxima at pivot. Cursors
         # beyond the pivot sitting exactly on pivot_doc also contribute, so
         # include them (else a real top-k doc can be wrongly pruned).
-        bub = sum(c.block_max_at(pivot_doc) for c in live[: pivot_i + 1])
-        for c in live[pivot_i + 1 :]:
+        bub = sum(c.block_max_at(pivot_doc) for c in act[: pivot_i + 1])
+        for c in act[pivot_i + 1 :]:
             if int(c.cur_doc()) == pivot_doc:
                 bub += c.block_max_at(pivot_doc)
         if len(heap) >= k and bub < theta:
             # safe skip: docs in (pivot, d] are covered only by prefix
             # cursors (d capped below the next cursor's position), whose
             # block UBs sum below theta
-            d = min(c.block_last_at(pivot_doc) for c in live[: pivot_i + 1])
-            if pivot_i + 1 < len(live):
-                d = min(d, int(live[pivot_i + 1].cur_doc()) - 1)
+            d = min(c.block_last_at(pivot_doc) for c in act[: pivot_i + 1])
+            if pivot_i + 1 < len(act):
+                d = min(d, int(act[pivot_i + 1].cur_doc()) - 1)
             d = max(d, pivot_doc)
-            live[0].advance_to(d + 1)
+            act[0].advance_to(d + 1)
             continue
-        if int(live[0].cur_doc()) == pivot_doc:
+        if int(act[0].cur_doc()) == pivot_doc:
             # all preceding cursors aligned on pivot → score it
-            for c in live:
+            for c in act:
                 if c.cur_doc() < pivot_doc:
                     c.advance_to(pivot_doc)
-            s = score_doc(pivot_doc)
-            entry = (s, -int(doc_ids[pivot_doc]))
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-            if len(heap) >= k:
-                theta = heap[0][0]
-            for c in live:
+            if live is None or live[pivot_doc]:
+                s = score_doc(pivot_doc)
+                entry = (s, -int(doc_ids[pivot_doc]))
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                if len(heap) >= k:
+                    theta = heap[0][0]
+            for c in act:
                 if c.cur_doc() == pivot_doc:
                     c.step()
         else:
-            live[0].advance_to(pivot_doc)
+            act[0].advance_to(pivot_doc)
 
     if stats is not None:
         stats["blocks_total"] = int(sum(len(c.blk_last) for c in cursors))

@@ -11,19 +11,35 @@ We re-express exactly that model Spark-first:
   - each micro-batch of new/changed docs becomes a new immutable
     **generation** (gen=N/) with the standard index layout, built by the
     same staged ``build_index``;
+  - a batch row with ``_change_type = 'delete'`` becomes a **tombstone**
+    for its (repo, path) key, recorded with the generation (reference:
+    Delete message dispatch, replication.go:324-347). A tombstone kills all
+    EARLIER versions of the doc; a later re-insert revives it. Deleting a
+    doc that was never indexed is a silent no-op — the reference ignores
+    document_missing_exception the same way (search/errors.go:9-47);
   - a doc_id appearing in a later generation supersedes earlier versions
     (last-wins by arrival order — reference P16, table.go:56-63); readers
-    resolve liveness via latest-generation-wins, i.e. implicit tombstones;
+    resolve liveness Lucene-style via a liveDocs mask;
   - global BM25 statistics (N, avgdl, df) are merged across generations at
-    read time. Like ES/Lucene, superseded versions still influence corpus
-    statistics until **compaction** — ``compact()`` rebuilds one generation
-    from the current table snapshot (the lakehouse table is the source of
-    truth, mirroring the reference's snapshot reindex, replication.go:100-112).
+    read time. Like ES/Lucene, superseded/tombstoned versions still
+    influence corpus statistics until **compaction** — ``compact()``
+    rebuilds one generation from the current table snapshot (the lakehouse
+    table is the source of truth, mirroring the reference's snapshot
+    reindex, replication.go:100-112).
 
 Structured Streaming wrapper: ``index_stream`` runs a parquet-source stream
-whose ``foreachBatch`` calls ``add_generation`` — checkpointLocation makes
-batch delivery exactly-once, so generation numbering is stable across
-restarts.
+whose ``foreachBatch`` calls ``add_generation``. foreachBatch is
+at-least-once, so add_generation records the epoch_id with each generation
+and replays of an already-committed epoch are no-ops — that, plus the
+checkpoint, makes generation content effectively exactly-once. The trigger
+is caller-selectable: availableNow (drain + stop, the default) or
+processingTime (a long-running replication loop like the reference's).
+
+Tombstone representation: delete keys are small per batch (a CDC micro-
+batch), so they live in generations.json as engine doc_ids; at true 100 TB
+scale the same ids would go to a per-generation parquet/roaring-bitmap
+sidecar and the liveness pass below would read that instead — nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -33,12 +49,16 @@ import os
 import shutil
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from search_replica_spark.analysis import tokenize_text
 from search_replica_spark.config import IndexConfig
-from search_replica_spark.index.build import build_index
+from search_replica_spark.errors import with_retries
+from search_replica_spark.index.build import build_index, with_doc_ids
+from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer, wand_topk
 
 GENS_FILE = "generations.json"
+CHANGE_COL = "_change_type"  # insert | update | delete (Iceberg CDC dialect)
 
 
 def _load_gens(index_dir: str) -> list[dict]:
@@ -57,26 +77,74 @@ def _save_gens(index_dir: str, gens: list[dict]) -> None:
     os.replace(tmp, os.path.join(index_dir, GENS_FILE))
 
 
-def add_generation(spark, batch_df, index_dir: str, cfg: IndexConfig | None = None) -> dict:
-    """Index one micro-batch as a new generation; returns its stats."""
+def add_generation(
+    spark,
+    batch_df,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    epoch_id: int | None = None,
+) -> dict:
+    """Index one micro-batch as a new generation; returns its stats.
+
+    Rows with ``_change_type = 'delete'`` become tombstones (only their
+    (repo, path) key is used); everything else is upserted. Passing the
+    foreachBatch ``epoch_id`` makes replays of an already-committed epoch
+    a no-op (exactly-once generation content over at-least-once delivery).
+    """
     cfg = cfg or IndexConfig()
     gens = _load_gens(index_dir)
+    if epoch_id is not None:
+        for g in gens:
+            if g.get("epoch_id") == epoch_id:
+                return {"n_docs": g["n_docs"], "total_tokens": g["total_tokens"],
+                        "replayed": True}
+
+    deleted_ids: list[int] = []
+    if CHANGE_COL in batch_df.columns:
+        dels = batch_df.filter(F.col(CHANGE_COL) == "delete")
+        deleted_ids = sorted(
+            int(r["doc_id"])
+            for r in with_doc_ids(dels.withColumn("content", F.lit("")))
+            .select("doc_id").distinct().collect()
+        )
+        batch_df = batch_df.filter(
+            (F.col(CHANGE_COL) != "delete") | F.col(CHANGE_COL).isNull()
+        ).drop(CHANGE_COL)
+
     gen_id = len(gens)
     gen_dir = os.path.join(index_dir, f"gen={gen_id}")
     shutil.rmtree(gen_dir, ignore_errors=True)  # partial output from a crash
-    stats = build_index(spark, batch_df, gen_dir, cfg)
-    gens.append({"gen": gen_id, "dir": gen_dir, "n_docs": stats["n_docs"],
-                 "total_tokens": stats["total_tokens"]})
+    if batch_df.isEmpty():
+        stats = {"n_docs": 0, "total_tokens": 0}
+        gen_dir = None  # delete-only generation: tombstones, no segments
+    else:
+        # transient sink failures retry with backoff; schema errors escalate
+        # (K6 taxonomy — reference search/errors.go:9-47)
+        stats = with_retries(lambda: build_index(spark, batch_df, gen_dir, cfg))
+    gens.append(
+        {
+            "gen": gen_id,
+            "dir": gen_dir,
+            "n_docs": stats["n_docs"],
+            "total_tokens": stats["total_tokens"],
+            "epoch_id": epoch_id,
+            "deleted_ids": deleted_ids,
+        }
+    )
     _save_gens(index_dir, gens)  # commit point (reference: LSN ack after flush)
     return stats
 
 
 def index_stream(spark, input_dir: str, index_dir: str, schema: str,
-                 cfg: IndexConfig | None = None):
+                 cfg: IndexConfig | None = None, trigger: dict | None = None):
     """Structured Streaming: parquet files arriving in input_dir → generations.
 
-    Uses availableNow + checkpoint so each file is indexed exactly once
-    across restarts. Returns the streaming query (caller awaits termination).
+    trigger: ``{"availableNow": True}`` (default — drain what exists, then
+    stop) or ``{"processingTime": "N seconds"}`` (long-running replication
+    loop, the reference's steady-state mode, replication.go:136-227).
+    Checkpoint + per-epoch generation commit make each file indexed exactly
+    once across restarts. Returns the streaming query (caller awaits /
+    stops it).
     """
     stream = spark.readStream.schema(schema).parquet(input_dir)
     checkpoint = os.path.join(index_dir, "_checkpoint")
@@ -84,12 +152,12 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
     def process(batch_df, epoch_id: int):
         if batch_df.isEmpty():
             return
-        add_generation(spark, batch_df, index_dir, cfg)
+        add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
 
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -97,96 +165,192 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
 def compact(spark, corpus_df, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     """Merge all generations into one by rebuilding from the current table
     snapshot (reference analogue: full reindex from a consistent snapshot,
-    postgres/reindex.go + replication.go:100-112)."""
+    postgres/reindex.go + replication.go:100-112). Tombstones and
+    superseded versions vanish — the snapshot is the truth."""
     cfg = cfg or IndexConfig()
     for g in _load_gens(index_dir):
-        shutil.rmtree(g["dir"], ignore_errors=True)
+        if g["dir"]:
+            shutil.rmtree(g["dir"], ignore_errors=True)
     gen_dir = os.path.join(index_dir, "gen=0")
     stats = build_index(spark, corpus_df, gen_dir, cfg)
     _save_gens(index_dir, [{"gen": 0, "dir": gen_dir, "n_docs": stats["n_docs"],
-                            "total_tokens": stats["total_tokens"]}])
+                            "total_tokens": stats["total_tokens"],
+                            "epoch_id": None, "deleted_ids": []}])
     return stats
 
 
-class MultiGenReader:
-    """Query reader over a generational index: merged stats, last-wins
-    visibility, NumPy term-at-a-time scoring (rank-identical to a single-gen
-    rebuild for append-only corpora)."""
+class MultiGenReader(IndexReader):
+    """IndexReader-compatible facade over a generational index: merged
+    stats, last-wins + tombstone liveness (Lucene liveDocs), and BATCHED
+    segment access — one Spark job fetches the query terms' blocks across
+    ALL generations (union read with `term IN` pushdown per generation
+    path), remapping each generation's local doc_idx space onto disjoint
+    global slots. Because the interface matches IndexReader, the same
+    TermAtATimeScorer and block-max WAND run unchanged over N generations.
+
+    Block-max rescaling: stored per-block max_score was computed with the
+    generation-LOCAL idf and avg_dl. The remap converts it to a valid
+    GLOBAL upper bound: ms * (idf_glob/idf_g) * max(1, avg_glob/avg_g) —
+    the last factor bounds the growth of tf/(tf + k1(1-b+b*dl/avgdl)) when
+    avgdl increases, so WAND pruning stays lossless (rank-identity tested).
+    """
 
     def __init__(self, spark, index_dir: str, k1: float = 1.2, b: float = 0.75):
-        from search_replica_spark.query.bm25 import IndexReader
-
         self.spark = spark
         self.index_dir = index_dir
         self.gens = _load_gens(index_dir)
         if not self.gens:
             raise FileNotFoundError(f"no generations at {index_dir}")
-        self.readers = [IndexReader(spark, g["dir"]) for g in self.gens]
+        self.live_gens = [g for g in self.gens if g["dir"]]
         self.k1, self.b = k1, b
-        self.bases = np.cumsum([0] + [g["n_docs"] for g in self.gens[:-1]]).astype(np.int64)
         self.n_docs = int(sum(g["n_docs"] for g in self.gens))
-        self.avg_dl = sum(g["total_tokens"] for g in self.gens) / self.n_docs
-        # global doc arrays in generation order
-        self._doc_len = np.concatenate([r.doc_arrays()[0] for r in self.readers])
-        self._doc_ids = np.concatenate([r.doc_arrays()[1] for r in self.readers])
-        # last-wins liveness: a slot is dead if the same doc_id appears in a
-        # later generation (implicit tombstone — Lucene-style)
-        self._live = np.ones(self.n_docs, dtype=bool)
-        seen: dict[int, int] = {}
-        gen_of = np.concatenate(
-            [np.full(g["n_docs"], i, dtype=np.int64) for i, g in enumerate(self.gens)]
-        )
-        order = np.argsort(-gen_of, kind="stable")  # latest generation first
-        for slot in order:
-            d = int(self._doc_ids[slot])
-            if d in seen:
-                self._live[slot] = False
-            else:
-                seen[d] = slot
+        total_tokens = sum(g["total_tokens"] for g in self.gens)
+        self.avg_dl = total_tokens / self.n_docs if self.n_docs else 0.0
+        # slot base per live generation (docs concatenate in gen order)
+        self.bases = {}
+        acc = 0
+        for g in self.live_gens:
+            self.bases[g["gen"]] = acc
+            acc += g["n_docs"]
+        # per-gen local stats for block-max rescale
+        self._gen_stats = {
+            g["gen"]: (g["n_docs"], (g["total_tokens"] / g["n_docs"]) if g["n_docs"] else 0.0)
+            for g in self.live_gens
+        }
+        self._doc_len = None
+        self._doc_ids = None
+        self._seg_df = None
+        self._pinned = None
+        self._live = self._liveness()
 
-    def _merged_df(self, terms: list[str]) -> dict[str, int]:
+    # --- merged doc store (ONE Spark action over all generations) ---
+    def doc_arrays(self):
+        if self._doc_len is None:
+            parts = []
+            for g in self.live_gens:
+                df = (
+                    self.spark.read.parquet(os.path.join(g["dir"], "docs"))
+                    .select("doc_idx", "doc_id", "doc_len")
+                    .withColumn("gen", F.lit(g["gen"]))
+                )
+                parts.append(df)
+            uni = parts[0]
+            for p in parts[1:]:
+                uni = uni.unionByName(p)
+            pdf = uni.toPandas()
+            pdf["slot"] = pdf["doc_idx"] + pdf["gen"].map(self.bases)
+            pdf = pdf.sort_values("slot")
+            self._doc_len = pdf["doc_len"].to_numpy(np.float64)
+            self._doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        return self._doc_len, self._doc_ids
+
+    def _liveness(self) -> np.ndarray:
+        """liveDocs mask: a slot is dead if its doc_id re-appears in a later
+        generation (last-wins) or a tombstone at a strictly later generation
+        covers it (a generation's own upserts beat its tombstones — a
+        delete+insert of the same key in one batch nets to the insert,
+        reference P12 key-change semantics, table.go:66-86)."""
         import pandas as pd
-        from pyspark.sql import functions as F
 
-        parts = []
-        for r in self.readers:
-            d = (
-                self.spark.read.parquet(os.path.join(r.index_dir, "dict"))
-                .filter(F.col("term").isin(terms))
-                .toPandas()
+        _, doc_ids = self.doc_arrays()
+        live = np.ones(self.n_docs, dtype=bool)
+        if self.n_docs:
+            gen_of = np.concatenate(
+                [np.full(g["n_docs"], g["gen"], dtype=np.int64) for g in self.live_gens]
             )
-            parts.append(d)
-        alld = pd.concat(parts, ignore_index=True)
-        return alld.groupby("term")["df"].sum().astype(int).to_dict()
+            # last-wins: keep each doc_id's latest-generation slot
+            order = np.lexsort((-np.arange(self.n_docs), -gen_of))  # gen desc
+            dup = pd.Series(doc_ids[order]).duplicated().to_numpy()
+            live[order[dup]] = False
+            # tombstones: delete at gen t kills slots of earlier generations
+            del_gen: dict[int, int] = {}
+            for g in self.gens:
+                for d in g.get("deleted_ids", ()):
+                    del_gen[int(d)] = max(del_gen.get(int(d), -1), g["gen"])
+            if del_gen:
+                dg = pd.Series(doc_ids).map(del_gen).fillna(-1).to_numpy(np.int64)
+                live &= ~(dg > gen_of)
+        return live
 
-    def score(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        import math
+    # --- batched segment access across generations ---
+    def _remap_blocks(self, pdf):
+        """Remap a multi-gen block frame (with a ``gen`` column) onto global
+        slots: shift block ranges by the gen base, renumber block_id into
+        one per-term sequence, rescale max_score to a global upper bound."""
+        import pandas as pd
 
-        terms = sorted(set(tokenize_text(query)))
-        if not terms:
-            return []
-        dfs = self._merged_df(terms)
-        full = np.zeros(self.n_docs, dtype=np.float64)
-        touched = np.zeros(self.n_docs, dtype=bool)
-        for term in terms:
-            df_t = dfs.get(term, 0)
-            if df_t == 0:
-                continue
-            idf = math.log(1.0 + (self.n_docs - df_t + 0.5) / (df_t + 0.5))
-            for gi, r in enumerate(self.readers):
-                p = r.fetch_postings([term])
-                if term not in p:
-                    continue
-                docs, tfs, _ = p[term]
-                slots = docs + self.bases[gi]
-                dl = self._doc_len[slots]
-                tf = tfs.astype(np.float64)
-                full[slots] += idf * (tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avg_dl)))
-                touched[slots] = True
-        touched &= self._live
-        idxs = np.nonzero(touched)[0]
-        if idxs.size == 0:
-            return []
-        from search_replica_spark.query.bm25 import _select_topk
+        if pdf.empty:
+            pdf = pdf.assign(doc_off=pd.Series(dtype="int64"))
+            return pdf
+        pdf = pdf.sort_values(["term", "gen", "block_id"]).reset_index(drop=True)
+        pdf["doc_off"] = pdf["gen"].map(self.bases).astype("int64")
+        pdf["first_doc_idx"] = pdf["first_doc_idx"] + pdf["doc_off"]
+        pdf["last_doc_idx"] = pdf["last_doc_idx"] + pdf["doc_off"]
+        # local df per (term, gen) = sum of block n; global df = sum over gens
+        grp = pdf.groupby(["term", "gen"], sort=False)["n"].transform("sum")
+        df_glob = pdf.groupby("term", sort=False)["n"].transform("sum")
+        n_g = pdf["gen"].map(lambda g: self._gen_stats[g][0])
+        avg_g = pdf["gen"].map(lambda g: self._gen_stats[g][1])
+        idf_g = np.log(1.0 + (n_g - grp + 0.5) / (grp + 0.5))
+        idf_glob = np.log(1.0 + (self.n_docs - df_glob + 0.5) / (df_glob + 0.5))
+        stretch = np.maximum(1.0, self.avg_dl / np.where(avg_g > 0, avg_g, self.avg_dl))
+        # 1+1e-12: keep the bound an upper bound under float rounding
+        pdf["max_score"] = pdf["max_score"] / idf_g * idf_glob * stretch * (1.0 + 1e-12)
+        pdf["block_id"] = pdf.groupby("term", sort=False).cumcount()
+        return pdf.drop(columns=["gen"])
 
-        return _select_topk(full[idxs], self._doc_ids[idxs], k)
+    def fetch_blocks(self, terms):
+        if self._pinned is not None:
+            hit = [t for t in set(terms) if t in self._pinned.index]
+            if not hit:
+                return self._pinned.iloc[0:0].reset_index(drop=True)
+            return self._pinned.loc[hit].reset_index(drop=True).sort_values(["term", "block_id"])
+        tset = list(set(terms))
+        parts = []
+        for g in self.live_gens:
+            parts.append(
+                self.spark.read.parquet(os.path.join(g["dir"], "segments"))
+                .filter(F.col("term").isin(tset))
+                .withColumn("gen", F.lit(g["gen"]))
+            )
+        uni = parts[0]
+        for p in parts[1:]:
+            uni = uni.unionByName(p)
+        return self._remap_blocks(uni.toPandas())
+
+    def pin_driver(self):
+        """Serving mode over ALL generations: one union read pins every
+        generation's segments, remapped, term-indexed (see IndexReader)."""
+        if self._pinned is None:
+            parts = []
+            for g in self.live_gens:
+                parts.append(
+                    self.spark.read.parquet(os.path.join(g["dir"], "segments"))
+                    .withColumn("gen", F.lit(g["gen"]))
+                )
+            uni = parts[0]
+            for p in parts[1:]:
+                uni = uni.unionByName(p)
+            pdf = self._remap_blocks(uni.toPandas())
+            self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
+        return self
+
+    # --- query API (same scorers as a single-generation index) ---
+    def score(self, query: str, k: int = 10, mode: str = "or"):
+        return TermAtATimeScorer(self).score(query, k, mode=mode, live=self._live)
+
+    def wand(self, query: str, k: int = 10, stats: dict | None = None):
+        return wand_topk(self, query, k, stats=stats, live=self._live)
+
+    def __len__(self):  # docs currently visible
+        return int(self._live.sum())
+
+
+# retained for callers that tokenized via this module
+__all__ = [
+    "MultiGenReader",
+    "add_generation",
+    "compact",
+    "index_stream",
+    "tokenize_text",
+]

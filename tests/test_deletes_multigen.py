@@ -1,0 +1,266 @@
+"""Streamed deletes (tombstone generations), exactly-once epochs, multi-gen
+WAND/pinned serving, and the K6 error taxonomy (reference:
+postgres/replication.go:324-347 delete dispatch; search/errors.go:9-47)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.corpus import generate_corpus
+from search_replica_spark.errors import (
+    SchemaMismatch,
+    SinkThrottled,
+    TransientSinkError,
+    classify,
+    with_retries,
+)
+from search_replica_spark.index.build import build_index
+from search_replica_spark.oracle import doc_id_of
+from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+from search_replica_spark.streaming.incremental import (
+    MultiGenReader,
+    add_generation,
+    index_stream,
+)
+
+CFG = IndexConfig(shuffle_partitions=4, hot_df_threshold=200, salt_range_docs=256)
+
+
+@pytest.fixture(scope="module")
+def corpus2():
+    c = generate_corpus(300)
+    return c.iloc[:200], c.iloc[200:]
+
+
+def _delete_batch(rows: pd.DataFrame) -> pd.DataFrame:
+    d = rows.copy()
+    d["_change_type"] = "delete"
+    return d
+
+
+def test_streamed_delete_hides_doc_without_compaction(spark, corpus2, tmp_path):
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    victim = a.iloc[[5]]
+    did = doc_id_of(victim["repo"].iloc[0], victim["path"].iloc[0])
+    # a query built from the victim's own content always matches it
+    from search_replica_spark.analysis import tokenize_text
+
+    q = " ".join(tokenize_text(victim["content"].iloc[0])[:3])
+    before = MultiGenReader(spark, idx)
+    assert any(d == did for d, _ in before.score(q, 300))
+
+    add_generation(spark, spark.createDataFrame(_delete_batch(victim)), idx, CFG)
+    after = MultiGenReader(spark, idx)
+    assert len(after.gens) == 2
+    assert after.gens[1]["dir"] is None  # delete-only generation
+    assert not any(d == did for d, _ in after.score(q, 300))
+    assert len(after) == len(before) - 1  # one fewer visible doc
+    # deleting an unindexed doc is a silent no-op (document_missing analogue)
+    ghost = victim.copy()
+    ghost["path"] = "never/indexed.py"
+    add_generation(spark, spark.createDataFrame(_delete_batch(ghost)), idx, CFG)
+    assert len(MultiGenReader(spark, idx)) == len(after)
+
+
+def test_reinsert_after_delete_revives(spark, corpus2, tmp_path):
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    victim = a.iloc[[7]]
+    did = doc_id_of(victim["repo"].iloc[0], victim["path"].iloc[0])
+    add_generation(spark, spark.createDataFrame(_delete_batch(victim)), idx, CFG)
+    revived = victim.copy()
+    revived["content"] = "qqrevivedqq fresh body"
+    add_generation(spark, spark.createDataFrame(revived), idx, CFG)
+
+    mg = MultiGenReader(spark, idx)
+    hits = mg.score("qqrevivedqq", 10)
+    assert [d for d, _ in hits] == [did]
+    # only the revived version is visible — the gen-0 slot stays dead, so a
+    # query from the ORIGINAL content no longer surfaces the doc
+    from search_replica_spark.analysis import tokenize_text
+
+    q_old = " ".join(tokenize_text(victim["content"].iloc[0])[:3])
+    assert not any(d == did for d, _ in mg.score(q_old, 300))
+
+
+def test_mixed_batch_delete_and_upsert_same_key(spark, corpus2, tmp_path):
+    """P12 key-change semantics: delete+insert of the same key in ONE batch
+    nets to the insert (the generation's upserts beat its tombstones)."""
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    victim = a.iloc[[9]]
+    did = doc_id_of(victim["repo"].iloc[0], victim["path"].iloc[0])
+    upd = victim.copy()
+    upd["content"] = "qqmixedqq body"
+    upd["_change_type"] = "update"
+    mixed = pd.concat([_delete_batch(victim), upd], ignore_index=True)
+    add_generation(spark, spark.createDataFrame(mixed), idx, CFG)
+
+    mg = MultiGenReader(spark, idx)
+    assert [d for d, _ in mg.score("qqmixedqq", 10)] == [did]
+
+
+def test_incremental_deletes_then_compact_equals_rebuild(spark, corpus2, tmp_path):
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    dels = a.iloc[[0, 3, 11]]
+    add_generation(spark, spark.createDataFrame(_delete_batch(dels)), idx, CFG)
+
+    snapshot = a.drop(a.index[[0, 3, 11]])
+    mg = MultiGenReader(spark, idx)
+    assert len(mg) == len(snapshot)
+    from search_replica_spark.streaming.incremental import compact
+
+    compact(spark, spark.createDataFrame(snapshot), idx, CFG)
+    full = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(snapshot), full, CFG)
+    got = MultiGenReader(spark, idx)
+    want = TermAtATimeScorer(IndexReader(spark, full))
+    for q in ("license apache", "def return", "the"):
+        g = got.score(q, 10)
+        w = want.score(q, 10)
+        assert [(d, round(s, 9)) for d, s in g] == [(d, round(s, 9)) for d, s in w], q
+
+
+def test_multigen_wand_and_pinned_rank_identity(spark, corpus2, tmp_path):
+    """WAND + pinned serving over >=3 generations (with a delete) must be
+    rank-identical to the batched TATA path."""
+    a, b = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a.iloc[:100]), idx, CFG)
+    add_generation(spark, spark.createDataFrame(a.iloc[100:]), idx, CFG)
+    add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[2]])), idx, CFG)
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+
+    mg = MultiGenReader(spark, idx)
+    queries = ["license apache", "def return", "VersubDelrel", "the"]
+    tata = {q: mg.score(q, 10) for q in queries}
+    for q in queries:
+        stats = {}
+        w = mg.wand(q, 10, stats=stats)
+        assert [(d, round(s, 9)) for d, s in w] == [
+            (d, round(s, 9)) for d, s in tata[q]
+        ], q
+    mg.pin_driver()
+    for q in queries:
+        p = mg.score(q, 10)
+        assert [(d, round(s, 9)) for d, s in p] == [(d, round(s, 9)) for d, s in tata[q]], q
+
+
+def test_epoch_replay_is_noop(spark, corpus2, tmp_path):
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a.iloc[:50]), idx, CFG, epoch_id=0)
+    n1 = MultiGenReader(spark, idx).n_docs
+    out = add_generation(spark, spark.createDataFrame(a.iloc[:50]), idx, CFG, epoch_id=0)
+    assert out.get("replayed") is True
+    mg = MultiGenReader(spark, idx)
+    assert mg.n_docs == n1 and len(mg.gens) == 1  # no duplicate generation
+
+
+def test_processing_time_trigger(spark, corpus2, tmp_path):
+    a, b = corpus2
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "sidx")
+    os.makedirs(in_dir)
+    schema = "repo string, path string, commit string, lang string, content string"
+    a.to_parquet(os.path.join(in_dir, "b0.parquet"), index=False)
+    q = index_stream(
+        spark, in_dir, idx, schema, CFG, trigger={"processingTime": "1 seconds"}
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(idx, "generations.json")):
+                if MultiGenReader(spark, idx).n_docs >= len(a):
+                    b.to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
+                    break
+            time.sleep(1)
+        while time.time() < deadline:
+            try:
+                if MultiGenReader(spark, idx).n_docs == len(a) + len(b):
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert MultiGenReader(spark, idx).n_docs == len(a) + len(b)
+
+
+def test_error_classification_and_retry():
+    assert classify(SchemaMismatch("bad")) == "fatal"
+    assert classify(TransientSinkError("net")) == "retry"
+    assert classify(SinkThrottled("429")) == "throttle"
+    assert classify(ValueError("?")) == "fatal"
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TransientSinkError("blip")
+        return "ok"
+
+    assert with_retries(flaky, sleep=lambda _s: None) == "ok"
+    assert calls["n"] == 3
+
+    with pytest.raises(SchemaMismatch):
+        with_retries(lambda: (_ for _ in ()).throw(SchemaMismatch("x")), sleep=lambda _s: None)
+
+    boom = {"n": 0}
+
+    def always():
+        boom["n"] += 1
+        raise SinkThrottled("busy")
+
+    with pytest.raises(SinkThrottled):
+        with_retries(always, max_attempts=3, sleep=lambda _s: None)
+    assert boom["n"] == 3
+
+
+def test_delete_marks_stats_until_compaction(spark, corpus2, tmp_path):
+    """ES/Lucene semantics: tombstoned docs still count in N/avgdl until
+    merge — verify we do the same (documented behavior, not a bug)."""
+    a, _ = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[1]])), idx, CFG)
+    mg = MultiGenReader(spark, idx)
+    assert mg.n_docs == len(a)  # stats unchanged
+    assert len(mg) == len(a) - 1  # visibility changed
+
+
+def test_fingerprint_detects_content_update(spark, tmp_path):
+    """Same row count, changed content → rebuild, not a stale resume."""
+    c = generate_corpus(40)
+    out = str(tmp_path / "fp")
+    build_index(spark, spark.createDataFrame(c), out, CFG)
+    c2 = c.copy()
+    c2.loc[c2.index[0], "content"] = "qqfingerprintqq new body"
+    build_index(spark, spark.createDataFrame(c2), out, CFG)
+    rd = IndexReader(spark, out)
+    hits = TermAtATimeScorer(rd).score("qqfingerprintqq", 5)
+    assert len(hits) == 1
+
+
+def test_validate_schema_against_spark_df(spark):
+    from search_replica_spark.sources.code_table import validate_input_schema
+
+    good = spark.createDataFrame(
+        [("r", "p", "c", "py", "body")], "repo string, path string, commit string, lang string, content string"
+    )
+    validate_input_schema(good)
+    bad = good.withColumn("commit", F.lit(1))
+    with pytest.raises(SchemaMismatch):
+        validate_input_schema(bad.select("repo", "path", "commit", "lang", "content"))

@@ -104,3 +104,42 @@ def test_child_docs_join_and_routing(assembled):
         assert doc["join"]["name"] == "immachild"  # join:"join,immachild"
         assert doc["join"]["parent"] == r.parent_id  # join:"parent"
         assert "ignore_me" not in doc
+
+
+def test_polymorphic_join_name_from_column(spark, trio):
+    """P10 sub-feature: the join-field NAME can come from a row column
+    instead of the config literal (reference: postgres/table_join.go:19-33)."""
+    from pyspark.sql import functions as F
+
+    from search_replica_spark.operators.doc_assembly import assemble_child_docs
+
+    _, _, child = trio
+    cdf = spark.createDataFrame(child).withColumn(
+        "kind", F.when(F.col("id").endswith("_0"), "specialchild").otherwise("immachild")
+    )
+    out = assemble_child_docs(cdf, join_name_col="kind").select(
+        "_id", F.col("doc.join.name").alias("jn"), F.col("doc.join.parent").alias("jp")
+    )
+    pdf = out.toPandas().set_index("_id")
+    assert (pdf.loc[pdf.index.str.endswith("_0"), "jn"] == "specialchild").all()
+    assert (pdf.loc[~pdf.index.str.endswith("_0"), "jn"] == "immachild").all()
+    assert (pdf["jp"] == child.set_index("id")["parent_id"]).all()
+
+
+def test_build_rejects_duplicate_keys(spark, tmp_path):
+    """Identity guard: duplicate (repo, path) input fails fast unless
+    dedup_input is on (silent posting merges are never allowed)."""
+    import pytest as _pytest
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+
+    c = generate_corpus(60)
+    dup = pd.concat([c, c.iloc[[0]]], ignore_index=True)
+    cfg = IndexConfig(shuffle_partitions=2)
+    with _pytest.raises(ValueError, match="doc_id not unique"):
+        build_index(spark, spark.createDataFrame(dup), str(tmp_path / "d1"), cfg)
+    cfg2 = IndexConfig(shuffle_partitions=2, dedup_input=True)
+    stats = build_index(spark, spark.createDataFrame(dup), str(tmp_path / "d2"), cfg2)
+    assert stats["n_docs"] == 60

@@ -200,3 +200,30 @@ def test_wand_lazy_decode_stats(spark, small_index, small_oracle):
         want = small_oracle.score(q, k)
         assert_rank_identical(got, want)
         assert 0 < st["blocks_decoded"] <= st["blocks_total"]
+
+
+def test_wand_pruning_fires_on_selective_query(spark, tmp_path):
+    """VERDICT r1 #6: with a Zipfian term mix (a handful of docs carrying a
+    rare marker vs the 80%-df license boilerplate), a selective query must
+    let block-max WAND skip most of the hot term's blocks COMPRESSED:
+    blocks_decoded / blocks_total < 0.5, with rank-identity preserved."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+
+    c = generate_corpus(1500)
+    rare = c.index.to_numpy() % 300 == 0  # 5 docs get the marker term
+    c.loc[rare, "content"] = c.loc[rare, "content"] + "\nzzmarkerzz special"
+    out = str(tmp_path / "zipf")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, block_size=64))
+    rd = IndexReader(spark, out)
+
+    q = "zzmarkerzz license apache software distributed"
+    stats = {}
+    got = wand_topk(rd, q, 3, stats=stats)
+    want = TermAtATimeScorer(rd).score(q, 3)
+    assert_rank_identical(got, want)
+    assert stats["blocks_total"] > 20
+    ratio = stats["blocks_decoded"] / stats["blocks_total"]
+    assert ratio < 0.5, f"pruning too weak: decoded {ratio:.0%} of blocks"
