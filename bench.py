@@ -113,10 +113,42 @@ def main():
     queries["bm25_p50_tata_pinned"] = round(lat_pin_t[len(lat_pin_t) // 2], 4)
     queries["bm25_p50_wand_pinned"] = round(lat_pin_w[len(lat_pin_w) // 2], 4)
 
+    # --- 2b. multi-generation serving: 4 generations over the same corpus,
+    # pinned; p50 must stay within ~1.5x of the single-generation index ---
+    from pyspark.sql import functions as F
+
+    from search_replica_spark.streaming.incremental import MultiGenReader, add_generation
+
+    mg_dir = f"/dev/shm/bench_mgidx_{corpus_sf}_{cpus}"
+    shutil.rmtree(mg_dir, ignore_errors=True)
+    mg_cfg = IndexConfig(shuffle_partitions=cpus, hot_df_threshold=50_000)
+    for i in range(4):  # deterministic 4-way split by path hash
+        add_generation(
+            spark, corpus.filter(F.crc32(F.col("path")) % 4 == i), mg_dir, mg_cfg
+        )
+    mg = MultiGenReader(spark, mg_dir)
+    mg.pin_driver()
+    lat_mg_t, lat_mg_w = [], []
+    for qtext, k in zip(qset["query_text"], qset["k"]):
+        t = time.time()
+        mg.score(qtext, int(k))
+        lat_mg_t.append(time.time() - t)
+        t = time.time()
+        mg.wand(qtext, int(k))
+        lat_mg_w.append(time.time() - t)
+    lat_mg_t.sort()
+    lat_mg_w.sort()
+    p50_mg_t = lat_mg_t[len(lat_mg_t) // 2]
+    p50_mg_w = lat_mg_w[len(lat_mg_w) // 2]
+    queries["bm25_p50_tata_multigen_pinned"] = round(p50_mg_t, 4)
+    queries["bm25_p50_wand_multigen_pinned"] = round(p50_mg_w, 4)
+    shutil.rmtree(mg_dir, ignore_errors=True)
+
     # --- 3. operator queries at the sf dir ---
     reg = all_registered()
     for name in ("ft_bm25_sql_top10", "dedup_minhash_lsh", "ann_cosine_top10",
-                 "p11_inline_denorm", "p16_lastwins_dedup", "ft_df_stats"):
+                 "p11_inline_denorm", "p16_lastwins_dedup", "ft_df_stats",
+                 "dedup_embedding_lsh", "dedup_simhash_hamming"):
         fn, _ = reg[name]
         t = time.time()
         df = fn(spark, sf_dir)
@@ -138,6 +170,12 @@ def main():
             "bytes_compressed": stats["bytes_compressed"],
             "bm25_p50_tata_sec": round(p50_tata, 4),
             "bm25_p50_wand_sec": round(p50_wand, 4),
+            "multigen_vs_single_p50_tata": round(
+                p50_mg_t / max(queries["bm25_p50_tata_pinned"], 1e-9), 3
+            ),
+            "multigen_vs_single_p50_wand": round(
+                p50_mg_w / max(queries["bm25_p50_wand_pinned"], 1e-9), 3
+            ),
         },
     }
     print(json.dumps(out))

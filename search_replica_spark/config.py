@@ -43,6 +43,14 @@ class IndexConfig:
     # identity should be the full 256-bit hash as two longs; doc_idx already
     # carries all internal identity, so only this guard would change.
     dedup_input: bool = False
+    # carry per-posting doc_len varints (dls_bin) inside segment blocks —
+    # Lucene-impact-style. Costs segment bytes (measured: dls_bin ≈ 58% of
+    # on-disk segment size on the synthetic corpus) but removes the ONLY
+    # remaining join/scan of the docs table from distributed BM25: at 10^12
+    # docs that join re-reads the whole doc store per query. Turn off for
+    # storage-constrained, query-light deployments — bm25_topk_spark then
+    # falls back to the docs join (rank-identical; tested).
+    store_doclens: bool = True
 
 
 def default_parallelism() -> int:

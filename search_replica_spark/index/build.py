@@ -166,6 +166,7 @@ def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
 def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
     """applyInPandas group encoder: one (term, salt) group → segment rows."""
     k1, b, bs, range_docs = cfg.k1, cfg.b, cfg.block_size, cfg.salt_range_docs
+    store_dl = cfg.store_doclens
     blocks_per_range = max(1, range_docs // bs)
     import math
 
@@ -179,11 +180,13 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
         dl = pdf["doc_len"].to_numpy(np.float64)
         score = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avg_dl)))
         base_block = int(salt) * blocks_per_range
+        if store_dl:
+            blocks = encode_postings_blocks(doc_idx, tf, score, bs, dl=dl.astype(np.int64))
+        else:
+            blocks = [(*blk, b"") for blk in encode_postings_blocks(doc_idx, tf, score, bs)]
         rows = [
             (term, base_block + bid, n, first, last, ms, dbin, tbin, lbin)
-            for bid, (n, first, last, ms, dbin, tbin, lbin) in enumerate(
-                encode_postings_blocks(doc_idx, tf, score, bs, dl=dl.astype(np.int64))
-            )
+            for bid, (n, first, last, ms, dbin, tbin, lbin) in enumerate(blocks)
         ]
         return pd.DataFrame(
             rows,
@@ -327,6 +330,7 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "n_blocks": lin["k"],
         "k1": cfg.k1,
         "b": cfg.b,
+        "store_doclens": cfg.store_doclens,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }

@@ -180,9 +180,36 @@ def bm25_topk_spark(
     # join was the one shuffle this plan had left. doc_idx is assigned in
     # doc_id order (assign_dense_doc_idx), so the (score desc, doc_idx asc)
     # tie-break below is identical to tie-breaking on doc_id.
-    posts = seg.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
-        decode, schema="term string, doc_idx long, tf long, doc_len long"
-    )
+    # (store_doclens=False indexes fall back to the docs join below.)
+    has_dls = stats.get("store_doclens", True)
+    if has_dls:
+        posts = seg.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+            decode, schema="term string, doc_idx long, tf long, doc_len long"
+        )
+    else:
+        def decode_nodl(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame({"term": pd.Series(dtype="object"),
+                                        "doc_idx": pd.Series(dtype="int64"),
+                                        "tf": pd.Series(dtype="int64")})
+                    continue
+                parts = []
+                for term, docs_bin, tfs_bin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
+                    parts.append(pd.DataFrame({
+                        "term": term,
+                        "doc_idx": delta_decode(docs_bin).astype(np.int64),
+                        "tf": varint_decode(tfs_bin).astype(np.int64),
+                    }))
+                yield pd.concat(parts, ignore_index=True)
+
+        raw = seg.select("term", "docs_bin", "tfs_bin").mapInPandas(
+            decode_nodl, schema="term string, doc_idx long, tf long"
+        )
+        dl_tbl = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_idx", "doc_len"
+        )
+        posts = raw.join(dl_tbl, "doc_idx")
     scored = posts.join(F.broadcast(dic.select("term", "idf")), "term").withColumn(
         "score",
         F.col("idf")
@@ -253,26 +280,38 @@ class TermAtATimeScorer:
         postings = r.fetch_postings(terms)
         if mode == "and" and len(postings) < len(terms):
             return []  # a query term is absent from the corpus
-        full = np.zeros(r.n_docs, dtype=np.float64)
-        nmatch = np.zeros(r.n_docs, dtype=np.int32)
-        for term in terms:  # sorted order → deterministic float summation
+        # accumulate over TOUCHED docs only (O(total postings), never
+        # O(n_docs) — a corpus-sized accumulator per query is the wrong
+        # ambition at 10^12 docs). Contributions concatenate in sorted-term
+        # order and np.add.at applies them sequentially, so per-doc float
+        # summation order — and therefore every bit of the result — is
+        # identical to the classic full-array formulation.
+        doc_parts, score_parts = [], []
+        for term in terms:
             if term not in postings:
                 continue
             docs, tfs, _ = postings[term]
             idf = r.idf(len(docs))
             dl = doc_len[docs]
             tf = tfs.astype(np.float64)
-            contrib = idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
-            full[docs] += contrib
-            nmatch[docs] += 1
+            doc_parts.append(docs)
+            score_parts.append(idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))))
+        if not doc_parts:
+            return []
+        all_docs = np.concatenate(doc_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        nmatch = np.bincount(inv, minlength=uniq.size)
         need = len(terms) if mode == "and" else 1
         matched = nmatch >= need
         if live is not None:
-            matched &= live
-        idxs = np.nonzero(matched)[0]
+            matched &= live[uniq]
+        idxs = uniq[matched]
         if idxs.size == 0:
             return []
-        return _select_topk(full[idxs], doc_ids[idxs], k)
+        return _select_topk(sums[matched], doc_ids[idxs], k)
 
 
 # ---------------------------------------------------------------------------

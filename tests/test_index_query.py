@@ -227,3 +227,29 @@ def test_wand_pruning_fires_on_selective_query(spark, tmp_path):
     assert stats["blocks_total"] > 20
     ratio = stats["blocks_decoded"] / stats["blocks_total"]
     assert ratio < 0.5, f"pruning too weak: decoded {ratio:.0%} of blocks"
+
+
+def test_store_doclens_off_falls_back_to_docs_join(spark, tmp_path):
+    """IndexConfig(store_doclens=False): segments carry no dls_bin and the
+    distributed scorer falls back to the docs join — rank-identical."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+
+    c = generate_corpus(400)
+    lean = str(tmp_path / "lean")
+    fat = str(tmp_path / "fat")
+    build_index(spark, spark.createDataFrame(c), lean,
+                IndexConfig(shuffle_partitions=4, store_doclens=False))
+    build_index(spark, spark.createDataFrame(c), fat,
+                IndexConfig(shuffle_partitions=4))
+    q = "license apache def return"
+    a = [(r.doc_id, round(r.score, 9)) for r in bm25_topk_spark(spark, lean, q, 10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in bm25_topk_spark(spark, fat, q, 10).collect()]
+    assert a == b and len(a) == 10
+    import duckdb
+
+    sz = duckdb.query(
+        f"SELECT sum(octet_length(dls_bin)) FROM read_parquet('{lean}/segments/*.parquet')"
+    ).fetchone()[0]
+    assert int(sz) == 0
