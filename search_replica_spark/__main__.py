@@ -48,6 +48,28 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index-dir", required=True)
     c.add_argument("--corpus", required=True)
 
+    g = sub.add_parser(
+        "ingest",
+        help="index one CDC batch as a generation (rows with _change_type="
+        "'delete' become tombstones — reference: Delete dispatch)",
+    )
+    g.add_argument("--index-dir", required=True)
+    g.add_argument("--batch", required=True, help="parquet path of the micro-batch")
+
+    st = sub.add_parser(
+        "stream",
+        help="run the Structured Streaming ingest loop over a parquet drop dir "
+        "(the reference's long-running replication loop)",
+    )
+    st.add_argument("--index-dir", required=True)
+    st.add_argument("--input-dir", required=True)
+    st.add_argument(
+        "--trigger", default="availableNow",
+        help='"availableNow" (drain+stop) or a processingTime interval like "5 seconds"',
+    )
+    st.add_argument("--with-deletes", action="store_true",
+                    help="input schema includes a _change_type column")
+
     args = p.parse_args(argv)
     spark = _spark(args)
 
@@ -69,7 +91,15 @@ def main(argv: list[str] | None = None) -> int:
             wand_topk,
         )
 
-        if args.strategy == "spark":
+        import os
+
+        if os.path.exists(os.path.join(args.index, "generations.json")):
+            # generational index: same strategies over the MultiGenReader facade
+            from search_replica_spark.streaming.incremental import MultiGenReader
+
+            mg = MultiGenReader(spark, args.index)
+            hits = mg.wand(args.q, args.k) if args.strategy == "wand" else mg.score(args.q, args.k)
+        elif args.strategy == "spark":
             rows = bm25_topk_spark(spark, args.index, args.q, args.k).collect()
             hits = [(r["doc_id"], r["score"]) for r in rows]
         else:
@@ -86,6 +116,25 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = compact(spark, read_corpus(spark, args.corpus), args.index_dir)
         print(json.dumps(stats))
+    elif args.cmd == "ingest":
+        from search_replica_spark.streaming.incremental import add_generation
+
+        stats = add_generation(spark, spark.read.parquet(args.batch), args.index_dir)
+        print(json.dumps(stats))
+    elif args.cmd == "stream":
+        from search_replica_spark.sources.code_table import INPUT_SCHEMA
+        from search_replica_spark.streaming.incremental import index_stream
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in INPUT_SCHEMA.fields)
+        if args.with_deletes:
+            schema += ", _change_type string"
+        trig = (
+            {"availableNow": True}
+            if args.trigger == "availableNow"
+            else {"processingTime": args.trigger}
+        )
+        q = index_stream(spark, args.input_dir, args.index_dir, schema, trigger=trig)
+        q.awaitTermination()
     return 0
 
 
