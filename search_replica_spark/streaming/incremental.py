@@ -346,10 +346,136 @@ class MultiGenReader(IndexReader):
         return int(self._live.sum())
 
 
+def bm25_topk_spark_multigen(spark, index_dir: str, query: str, k: int = 10,
+                             mode: str = "or"):
+    """Fully DISTRIBUTED BM25 over a generational index — the third strategy
+    (bm25_topk_spark) extended across generations. Everything is DataFrame
+    ops: per-generation term-IN-pruned segment scans union'd, Arrow decode
+    with per-generation slot offsets, merged-df idf broadcast, and LIVENESS
+    as a distributed anti-join (a slot is dead if its doc_id re-appears in a
+    later generation, or a strictly-later tombstone covers it) — no driver
+    array of corpus size anywhere, unlike MultiGenReader's pinned-shard
+    arrays. The liveness join is the one cost a generational index cannot
+    avoid (Lucene pays it as per-segment liveDocs bitmaps); AQE broadcasts
+    the matched-slot side for selective queries, and compaction bounds it.
+    """
+    import pandas as pd
+
+    from search_replica_spark.index.codec import delta_decode, varint_decode
+
+    gens = _load_gens(index_dir)
+    if not gens:
+        raise FileNotFoundError(f"no generations at {index_dir}")
+    live_gens = [g for g in gens if g["dir"]]
+    n_docs = int(sum(g["n_docs"] for g in gens))
+    total_tokens = sum(g["total_tokens"] for g in gens)
+    avg_dl = total_tokens / n_docs if n_docs else 0.0
+    bases, acc = {}, 0
+    for g in live_gens:
+        bases[g["gen"]] = acc
+        acc += g["n_docs"]
+    k1, b = 1.2, 0.75
+    terms = sorted(set(tokenize_text(query)))
+    if not terms or not live_gens:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    def union_all(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    seg = union_all(
+        [
+            spark.read.parquet(os.path.join(g["dir"], "segments"))
+            .filter(F.col("term").isin(terms))
+            .select(
+                "term", "docs_bin", "tfs_bin", "dls_bin",
+                F.lit(bases[g["gen"]]).alias("doc_off"),
+            )
+            for g in live_gens
+        ]
+    )
+    dic = (
+        union_all(
+            [
+                spark.read.parquet(os.path.join(g["dir"], "dict"))
+                .filter(F.col("term").isin(terms))
+                for g in live_gens
+            ]
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for term, docs_bin, tfs_bin, dls_bin, off in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], pdf["doc_off"]
+            ):
+                parts.append(pd.DataFrame({
+                    "term": term,
+                    "slot": delta_decode(docs_bin).astype("int64") + int(off),
+                    "tf": varint_decode(tfs_bin).astype("int64"),
+                    "doc_len": varint_decode(dls_bin).astype("int64"),
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    posts = seg.mapInPandas(decode, schema="term string, slot long, tf long, doc_len long")
+    scored = posts.join(F.broadcast(dic.select("term", "idf")), "term").withColumn(
+        "score",
+        F.col("idf") * F.col("tf")
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_dl))),
+    )
+    agg = scored.groupBy("slot").agg(F.sum("score").alias("score"), F.count("*").alias("_nm"))
+    if mode == "and":
+        agg = agg.filter(F.col("_nm") == len(terms))
+    agg = agg.drop("_nm")
+
+    # distributed liveness: slot -> (doc_id, gen); latest gen per doc wins,
+    # strictly-later tombstones kill older slots
+    docs_u = union_all(
+        [
+            spark.read.parquet(os.path.join(g["dir"], "docs"))
+            .select(
+                (F.col("doc_idx") + F.lit(bases[g["gen"]])).alias("slot"),
+                "doc_id",
+                F.lit(g["gen"]).alias("gen"),
+            )
+            for g in live_gens
+        ]
+    )
+    tomb_rows = [
+        (int(d), g["gen"]) for g in gens for d in g.get("deleted_ids", ())
+    ]
+    latest = docs_u.groupBy("doc_id").agg(F.max("gen").alias("max_gen"))
+    live_docs = docs_u.join(latest, "doc_id").filter(F.col("gen") == F.col("max_gen"))
+    if tomb_rows:
+        tombs = spark.createDataFrame(tomb_rows, "doc_id long, del_gen int")
+        tmax = tombs.groupBy("doc_id").agg(F.max("del_gen").alias("del_gen"))
+        live_docs = live_docs.join(F.broadcast(tmax), "doc_id", "left").filter(
+            F.col("del_gen").isNull() | (F.col("del_gen") <= F.col("gen"))
+        )
+    cand = agg.join(live_docs.select("slot", "doc_id"), "slot")
+    return (
+        cand.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 # retained for callers that tokenized via this module
 __all__ = [
     "MultiGenReader",
     "add_generation",
+    "bm25_topk_spark_multigen",
     "compact",
     "index_stream",
     "tokenize_text",

@@ -264,3 +264,27 @@ def test_validate_schema_against_spark_df(spark):
     bad = good.withColumn("commit", F.lit(1))
     with pytest.raises(SchemaMismatch):
         validate_input_schema(bad.select("repo", "path", "commit", "lang", "content"))
+
+
+def test_distributed_multigen_rank_identity(spark, corpus2, tmp_path):
+    """The DISTRIBUTED strategy over a generational index (with an update
+    and a delete) must be rank-identical to MultiGenReader's TATA path."""
+    from search_replica_spark.streaming.incremental import bm25_topk_spark_multigen
+
+    a, b = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    upd = a.iloc[[4]].copy()
+    upd["content"] = "qqdistqq updated body license"
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[6]])), idx, CFG)
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+
+    mg = MultiGenReader(spark, idx)
+    for q in ("license apache", "qqdistqq", "def return", "the"):
+        want = [(d, round(s, 9)) for d, s in mg.score(q, 10)]
+        rows = bm25_topk_spark_multigen(spark, idx, q, 10).collect()
+        got = [(r.doc_id, round(r.score, 9)) for r in rows]
+        assert got == want, q
+    # mode="and": a term missing from the corpus empties the result
+    assert bm25_topk_spark_multigen(spark, idx, "license zzznope", 5, mode="and").count() == 0
