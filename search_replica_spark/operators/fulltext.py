@@ -195,6 +195,43 @@ def ft_bm25_wand_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+# B5e: the distributed strategy over a GENERATIONAL index with streamed
+# deletes (reuses the cdc harness index: gen 0 = all documents, gen 1 =
+# tombstones for doc_id % 7 == 0). ES/Lucene stats semantics: N, avgdl and
+# df still count tombstoned docs until merge, so the oracle computes BM25
+# stats over ALL documents and only restricts the RESULT to live docs.
+def _bm25_multigen_sql(limit: int) -> str:
+    base = _bm25_sql(limit * 50)  # wide cut, then re-restrict below
+    return f"""
+WITH ranked AS ({base})
+SELECT doc_id, score FROM ranked WHERE doc_id % 7 <> 0
+ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
+@register("ft_bm25_multigen_top10", _bm25_multigen_sql(10))
+def ft_bm25_multigen_top10(spark, sf_dir):
+    from search_replica_spark.operators.streaming_ops import cdc_delete_live_docs
+    from search_replica_spark.streaming.incremental import bm25_topk_spark_multigen
+
+    cdc_delete_live_docs(spark, sf_dir).count()  # ensure the 2-gen index exists
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
+    rows = bm25_topk_spark_multigen(spark, idx, " ".join(BM25_QUERY_TERMS), 40).collect()
+    # map engine ids -> source ids, re-rank on the source id (oracle order)
+    docs = spark.read.parquet(os.path.join(idx, "gen=0", "docs")).select("doc_id", "path")
+    orig = {
+        int(r["doc_id"]): int(r["path"].split("_", 1)[1]) for r in docs.collect()
+    }
+    mapped = sorted(
+        ((orig[r.doc_id], r.score) for r in rows), key=lambda t: (-t[1], t[0])
+    )[:10]
+    out = [(d, round(s, 6)) for d, s in mapped]
+    return spark.createDataFrame(out, "doc_id long, score double")
+
+
 # B5d: conjunctive match (ES `operator: and`) via the real engine — every
 # analyzed query term must occur in the doc.
 @register("ft_bm25_and_top10", _bm25_sql(10, mode="and"))

@@ -374,7 +374,9 @@ def bm25_topk_spark_multigen(spark, index_dir: str, query: str, k: int = 10,
     for g in live_gens:
         bases[g["gen"]] = acc
         acc += g["n_docs"]
-    k1, b = 1.2, 0.75
+    with open(os.path.join(live_gens[0]["dir"], "stats.json")) as f:
+        gstats = json.load(f)
+    k1, b = gstats["k1"], gstats["b"]
     terms = sorted(set(tokenize_text(query)))
     if not terms or not live_gens:
         return spark.createDataFrame([], "doc_id long, score double")

@@ -129,3 +129,22 @@ def test_lsh_exact_within_probed_buckets(spark, registry):
     sub = emb[buckets.isin(probes) | (emb.vec_id == 0)].reset_index(drop=True)
     want = ann_brute_force_pandas(sub, 0, 10)
     assert got == want
+
+
+def test_ivf_partition_pruned_scan(spark, tmp_path):
+    """The IVF scale story made concrete: embeddings stored PARTITIONED BY
+    cluster label; a 2-probe query's scan must show partition pruning
+    (PartitionFilters on label), i.e. the probe reads ~n_probe/n_labels of
+    the data instead of a full scan."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    part_dir = str(tmp_path / "emb_by_label")
+    src.write.partitionBy("label").parquet(part_dir)
+
+    probed = spark.read.parquet(part_dir).filter(F.col("label").isin([1, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:80]
+    # pruning is real: rows read equal the two clusters' rows exactly
+    want = src.filter(F.col("label").isin([1, 2])).count()
+    assert probed.count() == want > 0
