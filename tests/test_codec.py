@@ -76,3 +76,31 @@ def test_encode_postings_blocks_equals_per_block(ids, bs):
         assert bytes(dbin) == delta_encode(d_blk.astype(np.uint64))
         assert bytes(tbin) == varint_encode(tf_blk.astype(np.uint64))
     assert len(got) == bid + 1
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_blocks_with_doclens_roundtrip(gaps, bs):
+    """encode_postings_blocks(dl=...) property: decoding every block's three
+    streams reproduces exactly the (doc, tf, dl) posting triples."""
+    from search_replica_spark.index.codec import encode_postings_blocks
+
+    docs = np.cumsum(np.asarray(gaps, dtype=np.uint64) + 1).astype(np.int64)
+    rng = np.random.default_rng(7)
+    tf = rng.integers(1, 1000, size=docs.size).astype(np.int64)
+    dl = rng.integers(1, 100_000, size=docs.size).astype(np.int64)
+    score = rng.random(docs.size)
+    out = encode_postings_blocks(docs, tf, score, bs, dl=dl)
+    got_d, got_t, got_l = [], [], []
+    for n, first, last, ms, dbin, tbin, lbin in out:
+        dd = delta_decode(dbin)
+        assert dd[0] == first and dd[-1] == last and len(dd) == n
+        got_d.append(dd)
+        got_t.append(varint_decode(tbin))
+        got_l.append(varint_decode(lbin))
+    assert (np.concatenate(got_d).astype(np.int64) == docs).all()
+    assert (np.concatenate(got_t).astype(np.int64) == tf).all()
+    assert (np.concatenate(got_l).astype(np.int64) == dl).all()

@@ -105,3 +105,23 @@ def test_go_compatible_escapes():
     for bad in (r'tag:"\q"', r'tag:"\x4"', r'tag:"\u12"', r'tag:"\8"', r"tag:\"\'\""):
         with pytest.raises(TagSyntaxError):
             parse(bad)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_plain = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters='\\"'),
+    min_size=0, max_size=20,
+)
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcdefgh_", min_size=1, max_size=8), _plain), min_size=0, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_parse_roundtrip_property(pairs):
+    """Any well-formed tag string parses back to exactly its pairs (values
+    without commas/escapes round-trip verbatim; the parser never crashes)."""
+    src = " ".join(f'{k}:"{v}"' for k, v in pairs)
+    got = parse(src)
+    assert [(t.name, t.values) for t in got] == [(k, v.split(",")) for k, v in pairs]

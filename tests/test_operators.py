@@ -148,3 +148,34 @@ def test_ivf_partition_pruned_scan(spark, tmp_path):
     # pruning is real: rows read equal the two clusters' rows exactly
     want = src.filter(F.col("label").isin([1, 2])).count()
     assert probed.count() == want > 0
+
+
+def test_ppjoin_prefix_filter_lossless_property():
+    """The PPJoin lemma our dedup_ngram_jaccard plan relies on, checked by
+    brute force on random universes: any pair with Jaccard >= t shares at
+    least one token within both prefixes of length |x| - ceil(t|x|) + 1
+    under the global (df asc, token asc) order."""
+    import math
+    import random
+
+    t = 0.5
+    rng = random.Random(11)
+    for trial in range(200):
+        uni = list(range(rng.randint(4, 30)))
+        docs = [
+            set(rng.sample(uni, rng.randint(1, len(uni))))
+            for _ in range(rng.randint(2, 12))
+        ]
+        df = {u: sum(u in d for d in docs) for u in uni}
+        order = {u: (df[u], u) for u in uni}
+        prefixes = []
+        for d in docs:
+            toks = sorted(d, key=lambda u: order[u])
+            plen = len(d) - math.ceil(t * len(d)) + 1
+            prefixes.append(set(toks[:plen]))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter = len(docs[i] & docs[j])
+                union = len(docs[i] | docs[j])
+                if union and inter / union >= t:
+                    assert prefixes[i] & prefixes[j], (docs[i], docs[j])
