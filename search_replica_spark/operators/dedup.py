@@ -72,6 +72,24 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
 """
 
 
+def _bucket_pairs(bucketed, key_cols: list[str], id_col: str):
+    """Within-bucket candidate pairs WITHOUT a self-join: one groupBy
+    collects each bucket's ids, pairs expand from the (small, by LSH
+    design) arrays. The expensive upstream (signatures) is computed ONCE —
+    a self-join would evaluate the whole subtree twice (measured: 2 scans,
+    0 reused exchanges) and shuffle it twice."""
+    buckets = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("_ids").alias("_a"), "_ids")
+        .select("_a", F.explode("_ids").alias("_b"))
+        .filter(F.col("_a") < F.col("_b"))
+    )
+
+
 # MinHash + LSH banding: candidate near-dup pairs = docs sharing any band.
 @register("dedup_minhash_lsh", _LSH_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
@@ -86,16 +104,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(bands, ["band", "bh"], "doc_id")
+        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
         .distinct()
     )
 
@@ -287,9 +298,7 @@ WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <=
 def dedup_simhash_hamming(spark, sf_dir):
     sig = _simhash64(spark, sf_dir)
     blocks = sig.select(
-        "doc_id",
-        "sim_hi",
-        "sim_lo",
+        F.struct("doc_id", "sim_hi", "sim_lo").alias("rec"),
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("blk"), F.shiftright("sim_hi", 16).alias("v")),
@@ -298,21 +307,15 @@ def dedup_simhash_hamming(spark, sf_dir):
                 F.struct(F.lit(3).alias("blk"), (F.col("sim_lo") % 65536).alias("v")),
             )
         ).alias("bb"),
-    ).select("doc_id", "sim_hi", "sim_lo", F.col("bb.blk").alias("blk"), F.col("bb.v").alias("v"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
-        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ).select("rec", F.col("bb.blk").alias("blk"), F.col("bb.v").alias("v"))
+    pairs = _bucket_pairs(blocks, ["blk", "v"], "rec")
+    ham = F.bit_count(F.col("_a.sim_hi").bitwiseXOR(F.col("_b.sim_hi"))) + F.bit_count(
+        F.col("_a.sim_lo").bitwiseXOR(F.col("_b.sim_lo"))
     )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            F.col("_a.doc_id").alias("doc_a"),
+            F.col("_b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAM_T)
@@ -408,15 +411,9 @@ def dedup_embedding_lsh(spark, sf_dir):
             )
         ).alias("bc"),
     ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        _bucket_pairs(bands, ["band", "code"], "vec_id")
+        .select(F.col("_a").alias("vec_a"), F.col("_b").alias("vec_b"))
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
