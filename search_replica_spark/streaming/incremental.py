@@ -346,6 +346,122 @@ class MultiGenReader(IndexReader):
         return int(self._live.sum())
 
 
+def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> dict:
+    """Lucene-style SEGMENT MERGE: collapse all generations into one WITHOUT
+    touching the source table. ``compact()`` re-reads and re-tokenizes the
+    snapshot (the reference's only option — a full reindex,
+    postgres/reindex.go); a merge instead rebuilds purely from index data:
+    decode every generation's postings (term, local doc_idx, tf, doc_len),
+    resolve liveness (last-wins + tombstones), reassign dense doc_idx over
+    the LIVE docs, and re-run the standard segment/finalize build stages on
+    the result. Statistics (N, avgdl, df, block maxima) come out computed
+    over live docs only — exactly what a Lucene merge does to purge
+    tombstones. Fully distributed: the only driver state is O(P) offsets.
+    """
+    import time as _time
+
+    import pandas as pd
+
+    from search_replica_spark.index.build import (
+        _stage_finalize,
+        _stage_segments,
+        assign_dense_doc_idx,
+    )
+    from search_replica_spark.index.codec import delta_decode, varint_decode
+
+    t0 = _time.time()
+    cfg = cfg or IndexConfig()
+    gens = _load_gens(index_dir)
+    live_gens = [g for g in gens if g["dir"]]
+    if not live_gens:
+        raise FileNotFoundError(f"no segment generations at {index_dir}")
+    bases, acc = {}, 0
+    for g in live_gens:
+        bases[g["gen"]] = acc
+        acc += g["n_docs"]
+
+    def union_all(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    docs_u = union_all(
+        [
+            spark.read.parquet(os.path.join(g["dir"], "docs"))
+            .withColumn("slot", F.col("doc_idx") + F.lit(bases[g["gen"]]))
+            .withColumn("gen", F.lit(g["gen"]))
+            for g in live_gens
+        ]
+    )
+    latest = docs_u.groupBy("doc_id").agg(F.max("gen").alias("max_gen"))
+    live = docs_u.join(latest, "doc_id").filter(F.col("gen") == F.col("max_gen"))
+    tomb_rows = [(int(d), g["gen"]) for g in gens for d in g.get("deleted_ids", ())]
+    if tomb_rows:
+        tombs = spark.createDataFrame(tomb_rows, "doc_id long, del_gen int")
+        tmax = tombs.groupBy("doc_id").agg(F.max("del_gen").alias("del_gen"))
+        live = live.join(F.broadcast(tmax), "doc_id", "left").filter(
+            F.col("del_gen").isNull() | (F.col("del_gen") <= F.col("gen"))
+        )
+    live = live.select("slot", "doc_id", "repo", "path", "lang", "content_sha256", "doc_len")
+    if live.isEmpty():
+        raise ValueError("merge would produce an empty index (everything deleted)")
+
+    out = os.path.join(index_dir, "gen=__merging")
+    shutil.rmtree(out, ignore_errors=True)
+    doc_map = assign_dense_doc_idx(
+        live.select("doc_id", "repo", "path", "lang", "content_sha256", "doc_len"),
+        cfg.shuffle_partitions,
+    )
+    (
+        doc_map.repartitionByRange(cfg.shuffle_partitions, "doc_idx")
+        .sortWithinPartitions("doc_idx")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "docs"))
+    )
+
+    seg = union_all(
+        [
+            spark.read.parquet(os.path.join(g["dir"], "segments"))
+            .select("term", "docs_bin", "tfs_bin", F.lit(bases[g["gen"]]).alias("doc_off"))
+            for g in live_gens
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for term, docs_bin, tfs_bin, off in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["doc_off"]
+            ):
+                parts.append(pd.DataFrame({
+                    "term": term,
+                    "slot": delta_decode(docs_bin).astype("int64") + int(off),
+                    "tf": varint_decode(tfs_bin).astype("int64"),
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    posts = seg.mapInPandas(decode, schema="term string, slot long, tf long")
+    live_map = live.select("slot", "doc_id")
+    merged = posts.join(live_map, "slot").select("doc_id", "term", "tf")
+    merged.write.mode("overwrite").parquet(os.path.join(out, "postings"))
+
+    core = _stage_segments(spark, out, cfg)
+    stats = _stage_finalize(spark, out, cfg, core, t0)
+
+    for g in live_gens:
+        shutil.rmtree(g["dir"], ignore_errors=True)
+    final_dir = os.path.join(index_dir, "gen=0")
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(out, final_dir)
+    _save_gens(index_dir, [{"gen": 0, "dir": final_dir, "n_docs": stats["n_docs"],
+                            "total_tokens": stats["total_tokens"],
+                            "epoch_id": None, "deleted_ids": []}])
+    return stats
+
+
 def bm25_topk_spark_multigen(spark, index_dir: str, query: str, k: int = 10,
                              mode: str = "or"):
     """Fully DISTRIBUTED BM25 over a generational index — the third strategy
@@ -480,5 +596,6 @@ __all__ = [
     "bm25_topk_spark_multigen",
     "compact",
     "index_stream",
+    "merge_generations",
     "tokenize_text",
 ]

@@ -288,3 +288,40 @@ def test_distributed_multigen_rank_identity(spark, corpus2, tmp_path):
         assert got == want, q
     # mode="and": a term missing from the corpus empties the result
     assert bm25_topk_spark_multigen(spark, idx, "license zzznope", 5, mode="and").count() == 0
+
+
+def test_merge_generations_equals_snapshot_rebuild(spark, corpus2, tmp_path):
+    """Lucene-style segment merge: collapse generations (with an update and
+    a delete) WITHOUT the source table; result must be rank-identical to a
+    fresh build over the equivalent live snapshot, with live-only stats."""
+    from search_replica_spark.streaming.incremental import merge_generations
+
+    a, b = corpus2
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    upd = a.iloc[[4]].copy()
+    upd["content"] = "qqmergedqq new content license apache"
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[6]])), idx, CFG)
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+
+    stats = merge_generations(spark, idx, CFG)
+
+    snap = a.copy()
+    snap.iloc[4, snap.columns.get_loc("content")] = "qqmergedqq new content license apache"
+    snap = snap.drop(snap.index[[6]])
+    snap = pd.concat([snap, b], ignore_index=True)
+    full = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(snap), full, CFG)
+
+    assert stats["n_docs"] == len(snap)  # dead docs purged from stats
+    mg = MultiGenReader(spark, idx)
+    assert len(mg.gens) == 1 and mg.n_docs == len(snap)
+    want = TermAtATimeScorer(IndexReader(spark, full))
+    for q in ("qqmergedqq", "license apache", "def return", "the"):
+        g = mg.score(q, 10)
+        w = want.score(q, 10)
+        assert [(d, round(s, 9)) for d, s in g] == [(d, round(s, 9)) for d, s in w], q
+    # the merged index keeps accepting generations
+    add_generation(spark, spark.createDataFrame(a.iloc[[0]]), idx, CFG)
+    assert len(MultiGenReader(spark, idx).gens) == 2
