@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     st.add_argument("--with-deletes", action="store_true",
                     help="input schema includes a _change_type column")
+    st.add_argument("--max-generations", type=int, default=None,
+                    help="Lucene-style merge policy: collapse generations when "
+                         "the count exceeds this (merge uses index data only)")
 
     args = p.parse_args(argv)
     spark = _spark(args)
@@ -94,11 +97,22 @@ def main(argv: list[str] | None = None) -> int:
         import os
 
         if os.path.exists(os.path.join(args.index, "generations.json")):
-            # generational index: same strategies over the MultiGenReader facade
-            from search_replica_spark.streaming.incremental import MultiGenReader
+            # generational index: same three strategies over the generations
+            from search_replica_spark.streaming.incremental import (
+                MultiGenReader,
+                bm25_topk_spark_multigen,
+            )
 
-            mg = MultiGenReader(spark, args.index)
-            hits = mg.wand(args.q, args.k) if args.strategy == "wand" else mg.score(args.q, args.k)
+            if args.strategy == "spark":
+                rows = bm25_topk_spark_multigen(spark, args.index, args.q, args.k).collect()
+                hits = [(r["doc_id"], r["score"]) for r in rows]
+            else:
+                mg = MultiGenReader(spark, args.index)
+                hits = (
+                    mg.wand(args.q, args.k)
+                    if args.strategy == "wand"
+                    else mg.score(args.q, args.k)
+                )
         elif args.strategy == "spark":
             rows = bm25_topk_spark(spark, args.index, args.q, args.k).collect()
             hits = [(r["doc_id"], r["score"]) for r in rows]
@@ -133,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.trigger == "availableNow"
             else {"processingTime": args.trigger}
         )
-        q = index_stream(spark, args.input_dir, args.index_dir, schema, trigger=trig)
+        q = index_stream(spark, args.input_dir, args.index_dir, schema, trigger=trig,
+                         max_generations=args.max_generations)
         q.awaitTermination()
     return 0
 

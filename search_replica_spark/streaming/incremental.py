@@ -95,7 +95,10 @@ def add_generation(
     gens = _load_gens(index_dir)
     if epoch_id is not None:
         for g in gens:
-            if g.get("epoch_id") == epoch_id:
+            committed = g.get("epoch_id") == epoch_id or (
+                g.get("max_epoch") is not None and epoch_id <= g["max_epoch"]
+            )
+            if committed:
                 return {"n_docs": g["n_docs"], "total_tokens": g["total_tokens"],
                         "replayed": True}
 
@@ -136,7 +139,9 @@ def add_generation(
 
 
 def index_stream(spark, input_dir: str, index_dir: str, schema: str,
-                 cfg: IndexConfig | None = None, trigger: dict | None = None):
+                 cfg: IndexConfig | None = None, trigger: dict | None = None,
+                 max_generations: int | None = None,
+                 max_files_per_trigger: int | None = None):
     """Structured Streaming: parquet files arriving in input_dir → generations.
 
     trigger: ``{"availableNow": True}`` (default — drain what exists, then
@@ -145,14 +150,27 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
     Checkpoint + per-epoch generation commit make each file indexed exactly
     once across restarts. Returns the streaming query (caller awaits /
     stops it).
+
+    ``max_generations``: Lucene-style merge policy — when the generation
+    count exceeds it after a batch, ``merge_generations`` collapses the
+    index in-place (from index data alone; queries between batches see
+    either the pre- or post-merge layout, both rank-identical). A merged
+    epoch stays replay-safe: the epoch watermark survives the merge.
     """
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     checkpoint = os.path.join(index_dir, "_checkpoint")
 
     def process(batch_df, epoch_id: int):
         if batch_df.isEmpty():
             return
         add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
+        if max_generations is not None:
+            gens = _load_gens(index_dir)
+            if len(gens) > max_generations and sum(1 for g in gens if g["dir"]) >= 1:
+                merge_generations(spark, index_dir, cfg)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -451,6 +469,10 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     core = _stage_segments(spark, out, cfg)
     stats = _stage_finalize(spark, out, cfg, core, t0)
 
+    # epoch watermark survives the merge so an at-least-once replay of a
+    # pre-merge epoch stays a no-op (exactly-once across merges)
+    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
+    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
     for g in live_gens:
         shutil.rmtree(g["dir"], ignore_errors=True)
     final_dir = os.path.join(index_dir, "gen=0")
@@ -458,7 +480,8 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     os.rename(out, final_dir)
     _save_gens(index_dir, [{"gen": 0, "dir": final_dir, "n_docs": stats["n_docs"],
                             "total_tokens": stats["total_tokens"],
-                            "epoch_id": None, "deleted_ids": []}])
+                            "epoch_id": None, "deleted_ids": [],
+                            "max_epoch": max(epochs) if epochs else None}])
     return stats
 
 

@@ -325,3 +325,31 @@ def test_merge_generations_equals_snapshot_rebuild(spark, corpus2, tmp_path):
     # the merged index keeps accepting generations
     add_generation(spark, spark.createDataFrame(a.iloc[[0]]), idx, CFG)
     assert len(MultiGenReader(spark, idx).gens) == 2
+
+
+def test_merge_policy_in_stream_and_epoch_watermark(spark, corpus2, tmp_path):
+    """index_stream(max_generations=2): generations collapse in-flight; a
+    replay of a pre-merge epoch stays a no-op after the merge."""
+    from search_replica_spark.streaming.incremental import _load_gens
+
+    a, b = corpus2
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "sidx")
+    os.makedirs(in_dir)
+    schema = "repo string, path string, commit string, lang string, content string"
+    for i, chunk in enumerate((a.iloc[:70], a.iloc[70:140], a.iloc[140:])):
+        chunk.to_parquet(os.path.join(in_dir, f"b{i}.parquet"), index=False)
+    q = index_stream(
+        spark, in_dir, idx, schema, CFG, max_generations=2, max_files_per_trigger=1
+    )
+    q.awaitTermination(600)
+    gens = _load_gens(idx)
+    assert len(gens) <= 2  # merge policy fired
+    mg = MultiGenReader(spark, idx)
+    assert mg.n_docs == len(a)
+    wm = max(g.get("max_epoch") or -1 for g in gens)
+    assert wm >= 0  # watermark survived the merge
+    # replaying a committed epoch after the merge is a no-op
+    out = add_generation(spark, spark.createDataFrame(a.iloc[:70]), idx, CFG, epoch_id=0)
+    assert out.get("replayed") is True
+    assert MultiGenReader(spark, idx).n_docs == len(a)
