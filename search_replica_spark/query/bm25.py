@@ -314,6 +314,69 @@ class TermAtATimeScorer:
         return _select_topk(sums[matched], doc_ids[idxs], k)
 
 
+def sharded_topk(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    n_shards: int = 4,
+    mode: str = "or",
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES-style DOC-SHARDED serving, dfs_query_then_fetch semantics: idf and
+    avgdl are GLOBAL (the dfs phase), each shard scores only its doc_idx
+    range and returns a local top-k, and the coordinator merges by
+    (score desc, doc_id asc). Exact: every doc lives in exactly one shard
+    and each shard's local top-k contains all of its global-top-k members,
+    so the merged result is rank-identical to unsharded scoring (tested
+    over the 50-query set). This is the serving layout for 10^12 docs —
+    each query node owns a doc range; only k-sized hit lists cross nodes."""
+    r = reader
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    postings = r.fetch_postings(terms)
+    if mode == "and" and len(postings) < len(terms):
+        return []
+    # dfs phase: global df per term (full posting lengths)
+    idfs = {t: r.idf(len(p[0])) for t, p in postings.items()}
+    bounds = np.linspace(0, r.n_docs, n_shards + 1).astype(np.int64)
+    merged: list[tuple[int, float]] = []
+    need = len(terms) if mode == "and" else 1
+    for si in range(n_shards):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        doc_parts, score_parts = [], []
+        for term in terms:
+            if term not in postings:
+                continue
+            docs, tfs, _ = postings[term]
+            m = (docs >= lo) & (docs < hi)
+            if not m.any():
+                continue
+            d = docs[m]
+            tf = tfs[m].astype(np.float64)
+            dl = doc_len[d]
+            doc_parts.append(d)
+            score_parts.append(
+                idfs[term] * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
+            )
+        if not doc_parts:
+            continue
+        all_docs = np.concatenate(doc_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        matched = np.bincount(inv, minlength=uniq.size) >= need
+        if live is not None:
+            matched &= live[uniq]
+        idxs = uniq[matched]
+        if idxs.size:
+            merged.extend(_select_topk(sums[matched], doc_ids[idxs], k))
+    merged.sort(key=lambda t: (-t[1], t[0]))
+    return merged[:k]
+
+
 # ---------------------------------------------------------------------------
 # Strategy 3: block-max WAND
 # ---------------------------------------------------------------------------

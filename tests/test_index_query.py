@@ -253,3 +253,19 @@ def test_store_doclens_off_falls_back_to_docs_join(spark, tmp_path):
         f"SELECT sum(octet_length(dls_bin)) FROM read_parquet('{lean}/segments/*.parquet')"
     ).fetchone()[0]
     assert int(sz) == 0
+
+
+def test_sharded_serving_rank_identity(spark, small_index, queries):
+    """ES-style doc-sharded serving (global dfs, local top-k, merge) must be
+    rank-identical to unsharded TATA for every reference query and shard
+    count — only k-sized hit lists ever cross 'nodes'."""
+    from search_replica_spark.query.bm25 import sharded_topk
+
+    idx_dir, _ = small_index
+    rd = IndexReader(spark, idx_dir)
+    scorer = TermAtATimeScorer(rd)
+    for qtext, k in zip(queries["query_text"], queries["k"]):
+        want = scorer.score(qtext, int(k))
+        for n in (1, 3, 7):
+            got = sharded_topk(rd, qtext, int(k), n_shards=n)
+            assert canon(got) == canon(want), (qtext, n)
