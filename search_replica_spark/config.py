@@ -51,6 +51,12 @@ class IndexConfig:
     # storage-constrained, query-light deployments — bm25_topk_spark then
     # falls back to the docs join (rank-identical; tested).
     store_doclens: bool = True
+    # store token POSITIONS per posting (npos_bin/pos_bin block streams) —
+    # enables phrase queries (Lucene PhraseQuery semantics). Off by default:
+    # positions cost ~1 varint per token OCCURRENCE (vs per posting for
+    # doclens), the classic Lucene omitTermFreqAndPositions trade. Requires
+    # the jvm tokenizer (posexplode supplies positions).
+    store_positions: bool = False
 
 
 def default_parallelism() -> int:

@@ -55,8 +55,10 @@ from search_replica_spark.index.manifest import Manifest, input_fingerprint
 
 SEGMENT_SCHEMA = (
     "term string, block_id int, n int, first_doc_idx long, last_doc_idx long, "
-    "max_score double, docs_bin binary, tfs_bin binary, dls_bin binary"
+    "max_score double, docs_bin binary, tfs_bin binary, dls_bin binary, "
+    "npos_bin binary, pos_bin binary"
 )  # dls_bin: per-posting doc_len varints — scoring never joins the docs table
+# npos_bin/pos_bin: optional token positions (store_positions) for phrase queries
 
 
 def with_doc_ids(df: DataFrame) -> DataFrame:
@@ -73,19 +75,31 @@ def with_doc_ids(df: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
-def tokenize_counts_jvm(docs: DataFrame) -> DataFrame:
-    """(doc_id, content) → (doc_id, term, tf), entirely inside whole-stage
-    codegen: regexp_extract_all + lower + explode + partial-agg groupBy.
-    Identical analysis to the Arrow path (same TOKEN_PATTERN; tested), but
-    no JVM→Python transfer of the raw content — on a shared-memory box the
-    Arrow copy is what stops tokenization scaling past ~8 cores."""
+def tokenize_counts_jvm(docs: DataFrame, with_positions: bool = False) -> DataFrame:
+    """(doc_id, content) → (doc_id, term, tf[, positions]), entirely inside
+    whole-stage codegen: regexp_extract_all + lower + explode + partial-agg
+    groupBy. Identical analysis to the Arrow path (same TOKEN_PATTERN;
+    tested), but no JVM→Python transfer of the raw content — on a
+    shared-memory box the Arrow copy is what stops tokenization scaling
+    past ~8 cores. ``with_positions`` adds each posting's sorted token
+    positions (the analyzed token index — Lucene .prx semantics)."""
     from search_replica_spark.analysis.tokenizer import TOKEN_PATTERN
 
     toks = F.regexp_extract_all(F.col("content"), F.lit(TOKEN_PATTERN), 0)
-    ex = docs.select("doc_id", F.explode(toks).alias("t"))
-    return ex.select("doc_id", F.lower(F.col("t")).alias("term")).groupBy(
-        "doc_id", "term"
-    ).agg(F.count("*").alias("tf"))
+    if not with_positions:
+        ex = docs.select("doc_id", F.explode(toks).alias("t"))
+        return ex.select("doc_id", F.lower(F.col("t")).alias("term")).groupBy(
+            "doc_id", "term"
+        ).agg(F.count("*").alias("tf"))
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+    return (
+        ex.select("doc_id", "pos", F.lower(F.col("t")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
 
 
 def tokenize_counts(docs: DataFrame) -> DataFrame:
@@ -167,6 +181,7 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
     """applyInPandas group encoder: one (term, salt) group → segment rows."""
     k1, b, bs, range_docs = cfg.k1, cfg.b, cfg.block_size, cfg.salt_range_docs
     store_dl = cfg.store_doclens
+    store_pos = cfg.store_positions
     blocks_per_range = max(1, range_docs // bs)
     import math
 
@@ -184,15 +199,27 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
             blocks = encode_postings_blocks(doc_idx, tf, score, bs, dl=dl.astype(np.int64))
         else:
             blocks = [(*blk, b"") for blk in encode_postings_blocks(doc_idx, tf, score, bs)]
+        if store_pos:
+            from search_replica_spark.index.codec import encode_position_lists
+
+            plists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
+            pos_bins = [
+                encode_position_lists(plists[s : min(s + bs, len(plists))])
+                for s in range(0, len(plists), bs)
+            ]
+        else:
+            pos_bins = [(b"", b"")] * len(blocks)
         rows = [
-            (term, base_block + bid, n, first, last, ms, dbin, tbin, lbin)
-            for bid, (n, first, last, ms, dbin, tbin, lbin) in enumerate(blocks)
+            (term, base_block + bid, n, first, last, ms, dbin, tbin, lbin, npb, pb)
+            for bid, ((n, first, last, ms, dbin, tbin, lbin), (npb, pb)) in enumerate(
+                zip(blocks, pos_bins)
+            )
         ]
         return pd.DataFrame(
             rows,
             columns=[
                 "term", "block_id", "n", "first_doc_idx", "last_doc_idx",
-                "max_score", "docs_bin", "tfs_bin", "dls_bin",
+                "max_score", "docs_bin", "tfs_bin", "dls_bin", "npos_bin", "pos_bin",
             ],
         )
 
@@ -212,7 +239,13 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     if src.rdd.getNumPartitions() < max(2, P // 2):
         src = src.repartition(P)
     docs = with_doc_ids(src)
-    tok = tokenize_counts_jvm(docs) if cfg.tokenizer == "jvm" else tokenize_counts(docs)
+    if cfg.store_positions and cfg.tokenizer != "jvm":
+        raise ValueError("store_positions requires the jvm tokenizer")
+    tok = (
+        tokenize_counts_jvm(docs, with_positions=cfg.store_positions)
+        if cfg.tokenizer == "jvm"
+        else tokenize_counts(docs)
+    )
     tok.write.mode("overwrite").parquet(os.path.join(out, "postings"))
 
     # reread the just-written postings instead of caching 47M+ rows in
@@ -331,6 +364,7 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "k1": cfg.k1,
         "b": cfg.b,
         "store_doclens": cfg.store_doclens,
+        "store_positions": cfg.store_positions,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }

@@ -159,3 +159,39 @@ def split_blocks(doc_idx: np.ndarray, tf: np.ndarray, block_size: int = BLOCK_SI
     for block_id, start in enumerate(range(0, n, block_size)):
         end = min(start + block_size, n)
         yield block_id, doc_idx[start:end], tf[start:end]
+
+
+def encode_position_lists(pos_lists) -> tuple[bytes, bytes]:
+    """Per-posting token-position lists → (npos_bin, pos_bin).
+
+    npos_bin: varint count per posting. pos_bin: positions delta-encoded
+    WITHIN each posting (first absolute, rest gaps), all postings
+    concatenated — the Lucene .prx layout, vectorized.
+    """
+    counts = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    if counts.sum() == 0:
+        return varint_encode(counts.astype(np.uint64)), b""
+    flat = np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_lists if len(p)])
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    starts = np.cumsum(counts) - counts
+    nz = starts[counts > 0]
+    deltas[nz] = flat[nz]
+    return varint_encode(counts.astype(np.uint64)), varint_encode(deltas)
+
+
+def decode_position_lists(npos_bin: bytes, pos_bin: bytes) -> list[np.ndarray]:
+    """Inverse of encode_position_lists: one absolute-position array per
+    posting (vectorized cumsum with per-posting resets)."""
+    counts = varint_decode(npos_bin).astype(np.int64)
+    if counts.sum() == 0:
+        return [np.empty(0, dtype=np.int64) for _ in counts]
+    deltas = varint_decode(pos_bin).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    cs = np.cumsum(deltas)
+    base = np.zeros(len(counts), dtype=np.int64)
+    nz = counts > 0
+    base[nz] = cs[starts[nz]] - deltas[starts[nz]]
+    abs_pos = cs - np.repeat(base, counts)
+    return np.split(abs_pos, ends[:-1])

@@ -112,6 +112,66 @@ def ft_segment_postings(spark, sf_dir):
     )
 
 
+PHRASE_TERMS = ("table", "hash")  # a real consecutive bigram in documents
+
+
+def _phrase_sql(limit: int) -> str:
+    """DuckDB twin of phrase_topk (Lucene PhraseQuery semantics): match =
+    consecutive positions, tf = phrase frequency, idf = sum of term idfs."""
+    t0, t1 = PHRASE_TERMS
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN ('{t0}', '{t1}') GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS v
+           FROM df CROSS JOIN stats),
+ph AS (SELECT a.doc_id, count(*) AS ptf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       WHERE a.term = '{t0}' AND b.term = '{t1}' GROUP BY a.doc_id)
+SELECT ph.doc_id,
+       round(idfsum.v * ph.ptf
+             / (ph.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY idfsum.v * ph.ptf / (ph.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         ph.doc_id
+LIMIT {limit}
+"""
+
+
+def _positional_index_dir_for(spark, sf_dir) -> str:
+    """Build (once per sf_dir) a POSITIONAL index over documents."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_pidx_{tag}_v2"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(
+            spark,
+            _corpus_from_documents(spark, sf_dir),
+            out,
+            IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30,
+                        store_positions=True),
+        )
+    return out
+
+
+# B5f: exact PHRASE query (Lucene PhraseQuery) over a positional index —
+# consecutive-position match, phrase-frequency tf, summed idfs.
+@register("ft_bm25_phrase_top10", _phrase_sql(10))
+def ft_bm25_phrase_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import phrase_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = phrase_topk(_OrigIdReader(spark, idx), " ".join(PHRASE_TERMS), 10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 class _OrigIdReader:
     """IndexReader whose doc_ids are the SOURCE doc_ids (parsed back from the
     indexed path column), so every scorer tie-break (score desc, doc_id asc)

@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_replica_spark.analysis import tokenize_text
-from search_replica_spark.index.codec import delta_decode, varint_decode
+from search_replica_spark.index.codec import (
+    decode_position_lists,
+    delta_decode,
+    varint_decode,
+)
 
 
 class IndexReader:
@@ -312,6 +316,83 @@ class TermAtATimeScorer:
         if idxs.size == 0:
             return []
         return _select_topk(sums[matched], doc_ids[idxs], k)
+
+
+def phrase_topk(
+    reader: IndexReader, phrase: str, k: int = 10, live: np.ndarray | None = None
+) -> list[tuple[int, float]]:
+    """Exact phrase query over a positional index (Lucene PhraseQuery
+    semantics): a doc matches when the analyzed phrase terms occur at
+    consecutive positions; tf is the PHRASE frequency (number of phrase
+    occurrences) and idf is the sum of the phrase terms' idfs (duplicate
+    terms counted each time, like Lucene):
+
+        score = (Σ_t idf(t)) * ptf / (ptf + k1·(1 − b + b·dl/avgdl))
+
+    Requires an index built with IndexConfig(store_positions=True)."""
+    r = reader
+    qterms = tokenize_text(phrase)  # order + duplicates matter
+    if not qterms:
+        return []
+    uniq = sorted(set(qterms))
+    blk = r.fetch_blocks(uniq)
+    if len(blk) == 0 or "npos_bin" not in blk:
+        return [] if len(blk) == 0 else _raise_no_positions()
+    if blk["npos_bin"].map(len).sum() == 0:
+        _raise_no_positions()
+    doc_len, doc_ids = r.doc_arrays()
+    # decode docs + per-posting position lists per term
+    per_term: dict[str, tuple[np.ndarray, list]] = {}
+    for term, g in blk.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
+        docs = np.concatenate(
+            [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
+        ).astype(np.int64)
+        plists: list = []
+        for npb, pb in zip(g["npos_bin"], g["pos_bin"]):
+            plists.extend(decode_position_lists(npb, pb))
+        per_term[term] = (docs, plists)
+    if any(t not in per_term for t in qterms):
+        return []  # a phrase term is absent from the corpus
+    # candidate docs: intersection across the phrase's distinct terms
+    cand = per_term[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    if cand.size == 0:
+        return []
+    idf_sum = sum(r.idf(len(per_term[t][0])) for t in qterms)
+    lookup = {
+        t: dict(zip(per_term[t][0].tolist(), range(len(per_term[t][1]))))
+        for t in set(qterms)
+    }
+    hits_d, hits_s = [], []
+    for d in cand.tolist():
+        if live is not None and not live[d]:
+            continue
+        base = per_term[qterms[0]][1][lookup[qterms[0]][d]]
+        ok = np.ones(base.shape, dtype=bool)
+        for i, t in enumerate(qterms[1:], start=1):
+            ok &= np.isin(base + i, per_term[t][1][lookup[t][d]], assume_unique=True)
+            if not ok.any():
+                break
+        ptf = int(ok.sum())
+        if ptf == 0:
+            continue
+        dl = doc_len[d]
+        hits_d.append(d)
+        hits_s.append(idf_sum * ptf / (ptf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
+    if not hits_d:
+        return []
+    idxs = np.asarray(hits_d, dtype=np.int64)
+    return _select_topk(np.asarray(hits_s, dtype=np.float64), doc_ids[idxs], k)
+
+
+def _raise_no_positions():
+    raise ValueError(
+        "phrase queries need a positional index — build with "
+        "IndexConfig(store_positions=True)"
+    )
 
 
 def sharded_topk(
