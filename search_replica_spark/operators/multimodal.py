@@ -105,3 +105,101 @@ def mm_fake_features(spark, sf_dir):
         fn, schema="doc_id long, n_bytes long, byte_sum long, byte_sqsum long"
     )
     return out.withColumn("byte_mean", F.round(F.col("byte_sum") / F.col("n_bytes"), 6))
+
+
+# Resize stub ("thumbnail"): deterministic downsampling of the payload to a
+# 16-point byte grid — the Spark-side shape of an image resize (fixed output
+# dims regardless of input size). Scalar outputs so the DuckDB twin compares
+# exactly: 4 grid samples + the 16-point checksum.
+_MM_THUMB_SQL = """
+SELECT doc_id,
+       ascii(substr(text, 1, 1)) AS p0,
+       ascii(substr(text, CAST(floor(4 * strlen(text) / 16) AS INT) + 1, 1)) AS p25,
+       ascii(substr(text, CAST(floor(8 * strlen(text) / 16) AS INT) + 1, 1)) AS p50,
+       ascii(substr(text, CAST(floor(12 * strlen(text) / 16) AS INT) + 1, 1)) AS p75,
+       CAST((SELECT sum(ascii(substr(text, CAST(floor(g.i * strlen(text) / 16) AS INT) + 1, 1)))
+             FROM range(16) g(i)) AS BIGINT) AS checksum
+FROM documents WHERE strlen(text) >= 16
+"""
+
+
+@register("mm_fake_thumbnail", _MM_THUMB_SQL)
+def mm_fake_thumbnail(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["payload"].map(len).to_numpy("int64")
+            keep = lens >= 16
+            if not keep.any():
+                continue
+            buf = np.frombuffer(b"".join(pdf["payload"][keep]), dtype=np.uint8).astype(np.int64)
+            kl = lens[keep]
+            starts = np.cumsum(kl) - kl
+            # 16-point grid per payload, fully vectorized
+            grid = (np.arange(16)[None, :] * kl[:, None]) // 16 + starts[:, None]
+            g = buf[grid]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"][keep].to_numpy("int64"),
+                    "p0": g[:, 0],
+                    "p25": g[:, 4],
+                    "p50": g[:, 8],
+                    "p75": g[:, 12],
+                    "checksum": g.sum(axis=1),
+                }
+            )
+
+    return payloads.mapInPandas(
+        fn, schema="doc_id long, p0 long, p25 long, p50 long, p75 long, checksum long"
+    )
+
+
+# Frame-sample stub ("video"): treat the payload as fixed-size frames and
+# sample the first / middle / last frame's byte sum — the plumbing of frame
+# extraction (seek + bounded decode), exactly reproducible in SQL.
+FRAME_BYTES = 256
+
+_MM_FRAMES_SQL = f"""
+WITH f AS (SELECT doc_id, text, strlen(text) // {FRAME_BYTES} AS n_frames
+           FROM documents WHERE strlen(text) >= {FRAME_BYTES}),
+sel AS (SELECT doc_id, text, n_frames,
+               unnest([0, n_frames // 2, n_frames - 1]) AS frame_idx
+        FROM f)
+SELECT DISTINCT doc_id, n_frames, frame_idx,
+       CAST((SELECT sum(ascii(substr(text, CAST(frame_idx * {FRAME_BYTES} AS INT) + CAST(g.i AS INT) + 1, 1)))
+             FROM range({FRAME_BYTES}) g(i)) AS BIGINT) AS frame_sum
+FROM sel
+"""
+
+
+@register("mm_frame_sample", _MM_FRAMES_SQL)
+def mm_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_sum": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p) // FRAME_BYTES
+                if n == 0:
+                    continue
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                for fi in {0, n // 2, n - 1}:
+                    rows["doc_id"].append(int(did))
+                    rows["n_frames"].append(n)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_sum"].append(
+                        int(buf[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES].sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        fn, schema="doc_id long, n_frames long, frame_idx long, frame_sum long"
+    )
