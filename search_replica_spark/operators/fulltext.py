@@ -172,6 +172,48 @@ def ft_bm25_phrase_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def _phrase_slop_sql(limit: int, slop: int = 1) -> str:
+    """DuckDB twin of phrase_topk(slop>0) — nearest-occurrence proximity:
+    m(p0) = min displacement of the second term from p0+1, weight 1/(m+1)
+    for m <= slop (dyadic for slop<=1, so float sums are order-independent)."""
+    t0, t1 = PHRASE_TERMS
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN ('{t0}', '{t1}') GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS v
+           FROM df CROSS JOIN stats),
+near AS (SELECT a.doc_id, a.ord AS p0, min(abs(b.ord - a.ord - 1)) AS m
+         FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+         WHERE a.term = '{t0}' AND b.term = '{t1}'
+         GROUP BY a.doc_id, a.ord),
+ptf AS (SELECT doc_id, sum(1.0 / (m + 1)) AS ptf FROM near
+        WHERE m <= {slop} GROUP BY doc_id)
+SELECT ptf.doc_id,
+       round(idfsum.v * ptf.ptf
+             / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY idfsum.v * ptf.ptf / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         ptf.doc_id
+LIMIT {limit}
+"""
+
+
+# B5g: proximity (sloppy phrase) query, slop=1, same positional index.
+@register("ft_bm25_phrase_slop_top10", _phrase_slop_sql(10, slop=1))
+def ft_bm25_phrase_slop_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import phrase_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = phrase_topk(_OrigIdReader(spark, idx), " ".join(PHRASE_TERMS), 10, slop=1)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 class _OrigIdReader:
     """IndexReader whose doc_ids are the SOURCE doc_ids (parsed back from the
     indexed path column), so every scorer tie-break (score desc, doc_id asc)

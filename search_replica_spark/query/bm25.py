@@ -319,15 +319,28 @@ class TermAtATimeScorer:
 
 
 def phrase_topk(
-    reader: IndexReader, phrase: str, k: int = 10, live: np.ndarray | None = None
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    live: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    """Exact phrase query over a positional index (Lucene PhraseQuery
-    semantics): a doc matches when the analyzed phrase terms occur at
-    consecutive positions; tf is the PHRASE frequency (number of phrase
-    occurrences) and idf is the sum of the phrase terms' idfs (duplicate
-    terms counted each time, like Lucene):
+    """Phrase / proximity query over a positional index.
+
+    slop=0: exact phrase (Lucene PhraseQuery) — terms at consecutive
+    positions, tf = phrase frequency, idf = sum of the phrase terms' idfs
+    (duplicates counted each time, like Lucene):
 
         score = (Σ_t idf(t)) * ptf / (ptf + k1·(1 − b + b·dl/avgdl))
+
+    slop>0: nearest-occurrence proximity (a deliberately SIMPLER spec than
+    Lucene's SloppyPhraseScorer, chosen to be exactly reproducible in SQL):
+    for each occurrence p0 of the first term, the displacement is
+    m(p0) = Σ_i min_{p∈P_i} |p − (p0 + i)|; occurrences with m ≤ slop
+    contribute weight 1/(m+1), and ptf is the weight sum. At slop=0 this
+    reduces bit-for-bit to the exact-phrase scoring above; at slop ≤ 1 all
+    weights are dyadic (1, 1/2), so float summation is order-independent
+    and the DuckDB twin matches exactly.
 
     Requires an index built with IndexConfig(store_positions=True)."""
     r = reader
@@ -371,14 +384,18 @@ def phrase_topk(
         if live is not None and not live[d]:
             continue
         base = per_term[qterms[0]][1][lookup[qterms[0]][d]]
-        ok = np.ones(base.shape, dtype=bool)
+        disp = np.zeros(base.shape, dtype=np.int64)
         for i, t in enumerate(qterms[1:], start=1):
-            ok &= np.isin(base + i, per_term[t][1][lookup[t][d]], assume_unique=True)
-            if not ok.any():
-                break
-        ptf = int(ok.sum())
-        if ptf == 0:
+            pos = per_term[t][1][lookup[t][d]]  # sorted positions of term i
+            want = base + i
+            j = np.searchsorted(pos, want)
+            left = np.abs(want - pos[np.maximum(j - 1, 0)])
+            right = np.abs(pos[np.minimum(j, len(pos) - 1)] - want)
+            disp += np.minimum(left, right)
+        m = disp[disp <= slop]
+        if m.size == 0:
             continue
+        ptf = float(np.sum(1.0 / (m + 1.0)))
         dl = doc_len[d]
         hits_d.append(d)
         hits_s.append(idf_sum * ptf / (ptf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))

@@ -323,3 +323,60 @@ def test_phrase_query_matches_python_reference(spark, tmp_path):
         assert got == want, ph
         matched_any = matched_any or bool(got)
     assert matched_any  # the fixture really exercises phrase matching
+
+
+def test_sloppy_phrase_matches_python_reference(spark, tmp_path):
+    """phrase_topk(slop>0): nearest-occurrence proximity spec vs an
+    independent pure-Python implementation, incl. a 3-term phrase."""
+    import math
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import phrase_topk
+
+    c = generate_corpus(400)
+    out = str(tmp_path / "pidx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, store_positions=True))
+    rd = IndexReader(spark, out)
+
+    toks = {doc_id_of(r.repo, r.path): tokenize_text(r.content) for r in c.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def py_sloppy(phrase, k, slop):
+        q = tokenize_text(phrase)
+        df = {t: sum(1 for tk in toks.values() if t in set(tk)) for t in set(q)}
+        if any(df[t] == 0 for t in q):
+            return []
+        idf_sum = sum(math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in q)
+        hits = []
+        for d, tk in toks.items():
+            pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(q)}
+            if any(not pos[t] for t in q):
+                continue
+            ptf = 0.0
+            for p0 in pos[q[0]]:
+                m = sum(min(abs(p - (p0 + i)) for p in pos[t])
+                        for i, t in enumerate(q[1:], start=1))
+                if m <= slop:
+                    ptf += 1.0 / (m + 1)
+            if ptf:
+                dl = len(tk)
+                hits.append((d, idf_sum * ptf / (ptf + k1 * (1 - b + b * dl / avgdl))))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    cases = [("apache license", 1), ("license version", 1),
+             ("the apache version", 1), ("under the license", 0)]
+    matched_any = False
+    for ph, slop in cases:
+        got = canon(phrase_topk(rd, ph, 10, slop=slop))
+        want = canon(py_sloppy(ph, 10, slop))
+        assert got == want, (ph, slop)
+        matched_any = matched_any or bool(got)
+    assert matched_any
