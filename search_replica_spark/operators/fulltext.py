@@ -114,6 +114,66 @@ def ft_segment_postings(spark, sf_dir):
 
 PHRASE_TERMS = ("table", "hash")  # a real consecutive bigram in documents
 
+BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT = ("spark",), ("join", "window"), ("hash",)
+
+
+def _bool_sql(limit: int) -> str:
+    """DuckDB twin of bool_topk: sum of BM25 contributions of matched
+    must/should terms, must required, must_not excluded (ES bool query)."""
+    scoring = ", ".join(f"'{t}'" for t in sorted(set(BOOL_MUST) | set(BOOL_SHOULD)))
+    must_pred = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tok m WHERE m.doc_id = sc.doc_id AND m.term = '{t}')"
+        for t in BOOL_MUST
+    )
+    not_pred = " AND ".join(
+        f"NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = sc.doc_id AND x.term = '{t}')"
+        for t in BOOL_MUST_NOT
+    )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({scoring}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE {must_pred} AND {not_pred}
+ORDER BY s DESC, doc_id LIMIT {limit}
+"""
+
+
+# B5h: ES bool query (must / should / must_not term clauses).
+@register("ft_bm25_bool_top10", _bool_sql(10))
+def ft_bm25_bool_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import bool_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = bool_topk(
+        _OrigIdReader(spark, idx),
+        must=list(BOOL_MUST), should=list(BOOL_SHOULD), must_not=list(BOOL_MUST_NOT),
+        k=10,
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5i: ES prefix query (constant-score term expansion from the dict).
+@register(
+    "ft_prefix_match",
+    f"SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term LIKE 'sp%'",
+)
+def ft_prefix_match(spark, sf_dir):
+    from search_replica_spark.query.bm25 import prefix_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    ids = prefix_match(_OrigIdReader(spark, idx), "sp")
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
 
 def _phrase_sql(limit: int) -> str:
     """DuckDB twin of phrase_topk (Lucene PhraseQuery semantics): match =

@@ -412,6 +412,82 @@ def _raise_no_positions():
     )
 
 
+def bool_topk(
+    reader: IndexReader,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES bool query: ``must`` terms are all required, ``must_not`` terms
+    exclude, and the score is the SUM of the BM25 contributions of every
+    matched must/should term (must_not never contributes) — exactly
+    Elasticsearch's bool scoring for term clauses."""
+    r = reader
+    must = sorted({t for q in (must or []) for t in tokenize_text(q)})
+    should = sorted({t for q in (should or []) for t in tokenize_text(q)})
+    must_not = sorted({t for q in (must_not or []) for t in tokenize_text(q)})
+    scoring = sorted(set(must) | set(should))
+    if not scoring:
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    postings = r.fetch_postings(sorted(set(scoring) | set(must_not)))
+    if any(t not in postings for t in must):
+        return []  # a required term is absent from the corpus
+    doc_parts, score_parts, must_parts = [], [], []
+    for term in scoring:
+        if term not in postings:
+            continue
+        docs, tfs, _ = postings[term]
+        idf = r.idf(len(docs))
+        dl = doc_len[docs]
+        tf = tfs.astype(np.float64)
+        doc_parts.append(docs)
+        score_parts.append(idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))))
+        must_parts.append(np.full(docs.shape, term in must, dtype=np.int64))
+    all_docs = np.concatenate(doc_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, np.concatenate(score_parts))
+    nmust = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(nmust, inv, np.concatenate(must_parts))
+    matched = nmust >= len(must)
+    for term in must_not:
+        if term in postings:
+            matched &= ~np.isin(uniq, postings[term][0], assume_unique=True)
+    if live is not None:
+        matched &= live[uniq]
+    idxs = uniq[matched]
+    if idxs.size == 0:
+        return []
+    return _select_topk(sums[matched], doc_ids[idxs], k)
+
+
+def prefix_match(reader: IndexReader, prefix: str) -> list[int]:
+    """ES prefix query (constant-score): doc_ids containing ANY term that
+    starts with ``prefix``. Term expansion comes from the dict parquet with
+    a pushed-down range predicate (prefix <= term < prefix+\xff) — at scale
+    the dict is term-sorted, so this is a row-group-pruned range seek, then
+    one multi-term posting fetch."""
+    r = reader
+    pre = prefix.lower()
+    terms = [
+        row["term"]
+        for row in r.spark.read.parquet(os.path.join(r.index_dir, "dict"))
+        .filter((F.col("term") >= pre) & (F.col("term") < pre + "￿"))
+        .filter(F.col("term").startswith(pre))
+        .select("term")
+        .collect()
+    ]
+    if not terms:
+        return []
+    _, doc_ids = r.doc_arrays()
+    postings = r.fetch_postings(terms)
+    slots = np.unique(np.concatenate([p[0] for p in postings.values()]))
+    return sorted(int(x) for x in doc_ids[slots])
+
+
 def sharded_topk(
     reader: IndexReader,
     query: str,
