@@ -66,23 +66,36 @@ bands AS (
   SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig UNION ALL
   SELECT doc_id, 2 AS band, md5(m4 || m5) AS bh FROM sig UNION ALL
   SELECT doc_id, 3 AS band, md5(m6 || m7) AS bh FROM sig
-)
+),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 100000)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+FROM bands a JOIN ok USING (band, bh)
+JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
 
 
-def _bucket_pairs(bucketed, key_cols: list[str], id_col: str):
+# buckets larger than this are DEGENERATE near-identical clusters: their s²
+# pair expansion is the one way LSH can still blow up at 10^9 rows. They are
+# skipped (standard LSH practice — run exact dedup first; the oracle twins
+# carry the same bound, which never fires at driver-gate scale).
+LSH_MAX_BUCKET = 100_000
+
+
+def _bucket_pairs(bucketed, key_cols: list[str], id_col: str,
+                  max_bucket: int | None = LSH_MAX_BUCKET):
     """Within-bucket candidate pairs WITHOUT a self-join: one groupBy
     collects each bucket's ids, pairs expand from the (small, by LSH
     design) arrays. The expensive upstream (signatures) is computed ONCE —
     a self-join would evaluate the whole subtree twice (measured: 2 scans,
-    0 reused exchanges) and shuffle it twice."""
+    0 reused exchanges) and shuffle it twice. ``max_bucket`` bounds the s²
+    expansion of degenerate buckets (see LSH_MAX_BUCKET)."""
     buckets = (
         bucketed.groupBy(*key_cols)
         .agg(F.collect_list(id_col).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     return (
         buckets.select(F.explode("_ids").alias("_a"), "_ids")
         .select("_a", F.explode("_ids").alias("_b"))

@@ -179,3 +179,21 @@ def test_ppjoin_prefix_filter_lossless_property():
                 union = len(docs[i] | docs[j])
                 if union and inter / union >= t:
                     assert prefixes[i] & prefixes[j], (docs[i], docs[j])
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """_bucket_pairs(max_bucket=N): buckets beyond the cap contribute no
+    pairs (the s² guard for degenerate near-identical clusters)."""
+    from pyspark.sql import functions as F
+
+    from search_replica_spark.operators.dedup import _bucket_pairs
+
+    rows = [("big", i) for i in range(5)] + [("ok", 100), ("ok", 101)]
+    df = spark.createDataFrame(rows, "bh string, doc_id long").withColumn(
+        "band", F.lit(0)
+    )
+    uncapped = _bucket_pairs(df, ["band", "bh"], "doc_id", max_bucket=None).count()
+    capped = _bucket_pairs(df, ["band", "bh"], "doc_id", max_bucket=3)
+    got = {(r["_a"], r["_b"]) for r in capped.collect()}
+    assert uncapped == 10 + 1
+    assert got == {(100, 101)}  # the 5-member bucket is skipped entirely
