@@ -68,11 +68,15 @@ def main():
     )
     shutil.rmtree("/dev/shm/warm_idx", ignore_errors=True)
 
+    with open("/proc/loadavg") as f:
+        load_before = [float(x) for x in f.read().split()[:3]]
     t0 = time.time()
     stats = build_index(
         spark, corpus, idx_dir, IndexConfig(shuffle_partitions=cpus, hot_df_threshold=50_000)
     )
     build_sec = time.time() - t0
+    with open("/proc/loadavg") as f:
+        load_after = [float(x) for x in f.read().split()[:3]]
     queries["index_build"] = round(build_sec, 3)
     files_per_sec = n_files / build_sec
 
@@ -165,6 +169,8 @@ def main():
         "detail": {
             "corpus_files": n_files,
             "cpus": cpus,
+            "loadavg_before_build": load_before,
+            "loadavg_after_build": load_after,
             "build_sec": round(build_sec, 3),
             "postings_emitted": stats["postings_emitted"],
             "bytes_compressed": stats["bytes_compressed"],
