@@ -180,12 +180,15 @@ def encode_position_lists(pos_lists) -> tuple[bytes, bytes]:
     return varint_encode(counts.astype(np.uint64)), varint_encode(deltas)
 
 
-def decode_position_lists(npos_bin: bytes, pos_bin: bytes) -> list[np.ndarray]:
-    """Inverse of encode_position_lists: one absolute-position array per
-    posting (vectorized cumsum with per-posting resets)."""
+def decode_position_flat(npos_bin: bytes, pos_bin: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_position_lists without splitting: returns
+    (counts, flat_abs_positions) — positions of posting i occupy the slice
+    ``flat[cumsum(counts)[i-1] : cumsum(counts)[i]]``. Vectorized cumsum
+    with per-posting resets; the flat form is what vectorized phrase
+    scoring consumes (no per-posting array objects)."""
     counts = varint_decode(npos_bin).astype(np.int64)
     if counts.sum() == 0:
-        return [np.empty(0, dtype=np.int64) for _ in counts]
+        return counts, np.empty(0, dtype=np.int64)
     deltas = varint_decode(pos_bin).astype(np.int64)
     ends = np.cumsum(counts)
     starts = ends - counts
@@ -194,4 +197,13 @@ def decode_position_lists(npos_bin: bytes, pos_bin: bytes) -> list[np.ndarray]:
     nz = counts > 0
     base[nz] = cs[starts[nz]] - deltas[starts[nz]]
     abs_pos = cs - np.repeat(base, counts)
-    return np.split(abs_pos, ends[:-1])
+    return counts, abs_pos
+
+
+def decode_position_lists(npos_bin: bytes, pos_bin: bytes) -> list[np.ndarray]:
+    """Inverse of encode_position_lists: one absolute-position array per
+    posting (vectorized cumsum with per-posting resets)."""
+    counts, abs_pos = decode_position_flat(npos_bin, pos_bin)
+    if abs_pos.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in counts]
+    return np.split(abs_pos, np.cumsum(counts)[:-1])

@@ -290,13 +290,21 @@ def dedup_simhash64(spark, sf_dir):
 
 
 # SimHash near-dup PAIRS at hamming distance <= 3 — Manku et al. (WWW'07)
-# block-permutation scheme: split the 64-bit signature into 4 x 16-bit
-# blocks; by pigeonhole any pair within hamming 3 agrees on >= 1 whole
-# block, so candidates come from an EQUI-join on (block_idx, block_value)
-# and are then verified with popcount(xor). Exact AND scale-safe (no
-# all-pairs anywhere in the Spark plan; the DuckDB twin uses the plain
-# all-pairs spec, which only ever runs at oracle scale).
+# block-permutation scheme, in its TABLE-DUPLICATED form: split the 64-bit
+# signature into 6 blocks (11/11/10 bits per 32-bit half); a pair within
+# hamming 3 differs in at most 3 blocks, so by pigeonhole it AGREES on some
+# 3 of the 6 — candidates come from an EQUI-join on every C(6,3)=20
+# 3-block combination (key ≈ 32 bits), then popcount(xor) verification.
+# Lossless, and the join key is ~2^32-valued: expected bucket size stays
+# O(n/2^32) even at 10^9+ rows, unlike the 4×16-bit variant whose 2^16
+# buckets grew quadratic within-bucket work at that scale. Cost: 20 rows
+# per doc in the explode — the standard Manku storage/filtering trade.
+# (The DuckDB twin is the plain all-pairs spec, which only ever runs at
+# oracle scale, so the blocking change is invisible to correctness.)
 SIMHASH_HAM_T = 3
+_SIMHASH_BLOCK_COMBOS = [
+    (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]
 
 _SIMHASH_PAIRS_SQL = f"""
 WITH sig AS ({_SIMHASH64_BITS_SQL.strip()})
@@ -310,18 +318,33 @@ WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <=
 @register("dedup_simhash_hamming", _SIMHASH_PAIRS_SQL)
 def dedup_simhash_hamming(spark, sf_dir):
     sig = _simhash64(spark, sf_dir)
+    # 6 blocks over the two 32-bit halves: [hi:11,11,10 | lo:11,11,10] bits
+    blk = [
+        F.shiftright("sim_hi", 21),
+        F.shiftright("sim_hi", 10).bitwiseAND(F.lit(0x7FF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0x3FF)),
+        F.shiftright("sim_lo", 21),
+        F.shiftright("sim_lo", 10).bitwiseAND(F.lit(0x7FF)),
+        F.col("sim_lo").bitwiseAND(F.lit(0x3FF)),
+    ]
+    combo_cols = [
+        F.struct(
+            F.lit(ci).alias("combo"),
+            blk[i].alias("v1"), blk[j].alias("v2"), blk[k].alias("v3"),
+        )
+        for ci, (i, j, k) in enumerate(_SIMHASH_BLOCK_COMBOS)
+    ]
     blocks = sig.select(
         F.struct("doc_id", "sim_hi", "sim_lo").alias("rec"),
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("blk"), F.shiftright("sim_hi", 16).alias("v")),
-                F.struct(F.lit(1).alias("blk"), (F.col("sim_hi") % 65536).alias("v")),
-                F.struct(F.lit(2).alias("blk"), F.shiftright("sim_lo", 16).alias("v")),
-                F.struct(F.lit(3).alias("blk"), (F.col("sim_lo") % 65536).alias("v")),
-            )
-        ).alias("bb"),
-    ).select("rec", F.col("bb.blk").alias("blk"), F.col("bb.v").alias("v"))
-    pairs = _bucket_pairs(blocks, ["blk", "v"], "rec")
+        F.explode(F.array(*combo_cols)).alias("bb"),
+    ).select(
+        "rec",
+        F.col("bb.combo").alias("combo"),
+        F.col("bb.v1").alias("v1"),
+        F.col("bb.v2").alias("v2"),
+        F.col("bb.v3").alias("v3"),
+    )
+    pairs = _bucket_pairs(blocks, ["combo", "v1", "v2", "v3"], "rec")
     ham = F.bit_count(F.col("_a.sim_hi").bitwiseXOR(F.col("_b.sim_hi"))) + F.bit_count(
         F.col("_a.sim_lo").bitwiseXOR(F.col("_b.sim_lo"))
     )

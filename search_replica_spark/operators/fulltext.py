@@ -163,6 +163,8 @@ def ft_bm25_bool_top10(spark, sf_dir):
 
 
 # B5i: ES prefix query (constant-score term expansion from the dict).
+# max_expansions=None = the uncapped rewrite, so the plain-LIKE oracle is an
+# exact twin; the expansion CAP is pytest-covered (test_round3).
 @register(
     "ft_prefix_match",
     f"SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term LIKE 'sp%'",
@@ -171,8 +173,34 @@ def ft_prefix_match(spark, sf_dir):
     from search_replica_spark.query.bm25 import prefix_match
 
     idx = _index_dir_for(spark, sf_dir)
-    ids = prefix_match(_OrigIdReader(spark, idx), "sp")
+    ids = prefix_match(_OrigIdReader(spark, idx), "sp", max_expansions=None)
     return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5j: prefix query over a GENERATIONAL index with streamed deletes — the
+# expansion unions per-generation dictionaries and the liveness mask hides
+# tombstoned docs (reuses the cdc harness index: gen 1 tombstones
+# doc_id % 7 == 0). Engine ids map back to source ids via a broadcast join
+# of the (small) hit list into the docs scan.
+@register(
+    "ft_prefix_multigen",
+    f"""SELECT DISTINCT doc_id FROM ({_TOK})
+        WHERE term LIKE 'sp%' AND doc_id % 7 <> 0""",
+)
+def ft_prefix_multigen(spark, sf_dir):
+    from search_replica_spark.operators.streaming_ops import cdc_delete_live_docs
+    from search_replica_spark.query.bm25 import prefix_match
+    from search_replica_spark.streaming.incremental import MultiGenReader
+
+    cdc_delete_live_docs(spark, sf_dir).count()  # ensure the 2-gen index exists
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
+    ids = prefix_match(MultiGenReader(spark, idx), "sp", max_expansions=None)
+    hit = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    docs = spark.read.parquet(os.path.join(idx, "gen=0", "docs")).select("doc_id", "path")
+    return docs.join(F.broadcast(hit), "doc_id").select(
+        F.split("path", "_").getItem(1).cast("long").alias("doc_id")
+    )
 
 
 def _phrase_sql(limit: int) -> str:
@@ -381,17 +409,40 @@ def ft_bm25_multigen_top10(spark, sf_dir):
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
-    rows = bm25_topk_spark_multigen(spark, idx, " ".join(BM25_QUERY_TERMS), 40).collect()
-    # map engine ids -> source ids, re-rank on the source id (oracle order)
+    top = bm25_topk_spark_multigen(spark, idx, " ".join(BM25_QUERY_TERMS), 40)
+    # map engine ids -> source ids by broadcasting the k-row top list INTO
+    # the docs scan (never collect the docs table) and re-rank on the
+    # source id (oracle order)
     docs = spark.read.parquet(os.path.join(idx, "gen=0", "docs")).select("doc_id", "path")
-    orig = {
-        int(r["doc_id"]): int(r["path"].split("_", 1)[1]) for r in docs.collect()
-    }
-    mapped = sorted(
-        ((orig[r.doc_id], r.score) for r in rows), key=lambda t: (-t[1], t[0])
-    )[:10]
-    out = [(d, round(s, 6)) for d, s in mapped]
-    return spark.createDataFrame(out, "doc_id long, score double")
+    mapped = docs.join(F.broadcast(top), "doc_id").select(
+        F.split("path", "_").getItem(1).cast("long").alias("doc_id"), "score"
+    )
+    return (
+        mapped.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+# B5k: the DISTRIBUTED plan with BLOCK-MAX PRUNING (two-pass theta +
+# per-term metadata threshold — query/bm25.py:bm25_topk_spark_pruned).
+# Must match the same exhaustive SQL oracle: proves the pruning is lossless
+# at the driver gate, not just in pytest.
+@register("ft_bm25_pruned_top10", _bm25_sql(10))
+def ft_bm25_pruned_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import bm25_topk_spark_pruned
+
+    idx = _index_dir_for(spark, sf_dir)
+    top = bm25_topk_spark_pruned(spark, idx, " ".join(BM25_QUERY_TERMS), 40)
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path")
+    mapped = docs.join(F.broadcast(top), "doc_id").select(
+        F.split("path", "_").getItem(1).cast("long").alias("doc_id"), "score"
+    )
+    return (
+        mapped.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
 
 
 # B5d: conjunctive match (ES `operator: and`) via the real engine — every

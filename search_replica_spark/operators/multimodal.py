@@ -81,21 +81,22 @@ def mm_fake_features(spark, sf_dir):
             if pdf.empty:
                 continue
             lens = pdf["payload"].map(len).to_numpy("int64")
-            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).astype(np.int64)
-            starts = np.cumsum(lens) - lens
-            if buf.size == 0:
-                s = sq = np.zeros(len(pdf), dtype=np.int64)
-            else:
-                # vectorized per-row segment sums (no per-row Python loop);
-                # reduceat misbehaves on empty segments → mask them to 0
-                s = np.add.reduceat(buf, np.minimum(starts, buf.size - 1))
-                sq = np.add.reduceat(buf * buf, np.minimum(starts, buf.size - 1))
-                s[lens == 0] = 0
-                sq[lens == 0] = 0
+            # empty payloads are dropped up front (the SQL twin's unnest
+            # emits no rows for them) — this also keeps the reduceat index
+            # list strictly increasing and in-bounds, so no clamping that
+            # could split the last non-empty row's segment
+            keep = lens > 0
+            if not keep.any():
+                continue
+            kl = lens[keep]
+            buf = np.frombuffer(b"".join(pdf["payload"][keep]), dtype=np.uint8).astype(np.int64)
+            starts = np.cumsum(kl) - kl
+            s = np.add.reduceat(buf, starts)
+            sq = np.add.reduceat(buf * buf, starts)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].to_numpy("int64"),
-                    "n_bytes": lens,
+                    "doc_id": pdf["doc_id"][keep].to_numpy("int64"),
+                    "n_bytes": kl,
                     "byte_sum": s,
                     "byte_sqsum": sq,
                 }
@@ -185,20 +186,34 @@ def mm_frame_sample(spark, sf_dir):
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_sum": []}
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(p) // FRAME_BYTES
-                if n == 0:
-                    continue
-                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
-                for fi in {0, n // 2, n - 1}:
-                    rows["doc_id"].append(int(did))
-                    rows["n_frames"].append(n)
-                    rows["frame_idx"].append(fi)
-                    rows["frame_sum"].append(
-                        int(buf[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES].sum())
-                    )
-            yield pd.DataFrame(rows)
+            # vectorized seek + bounded "decode": same grid-gather pattern
+            # as mm_fake_thumbnail — no per-row Python loop
+            lens = pdf["payload"].map(len).to_numpy("int64")
+            keep = lens >= FRAME_BYTES
+            if not keep.any():
+                continue
+            buf = np.frombuffer(b"".join(pdf["payload"][keep]), dtype=np.uint8).astype(np.int64)
+            kl = lens[keep]
+            starts = np.cumsum(kl) - kl
+            nf = kl // FRAME_BYTES
+            # candidate frames per doc: first / middle / last, deduplicated
+            # (n=1 → all three coincide; n=2 → middle == last)
+            fidx = np.stack([np.zeros_like(nf), nf // 2, nf - 1], axis=1)
+            dedup = np.ones(fidx.shape, dtype=bool)
+            dedup[:, 1] = fidx[:, 1] != fidx[:, 0]
+            dedup[:, 2] = (fidx[:, 2] != fidx[:, 1]) & (fidx[:, 2] != fidx[:, 0])
+            rows, cols = np.nonzero(dedup)
+            sel_fi = fidx[rows, cols]
+            offs = starts[rows] + sel_fi * FRAME_BYTES
+            sums = buf[offs[:, None] + np.arange(FRAME_BYTES)[None, :]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"][keep].to_numpy("int64")[rows],
+                    "n_frames": nf[rows],
+                    "frame_idx": sel_fi,
+                    "frame_sum": sums,
+                }
+            )
 
     return payloads.mapInPandas(
         fn, schema="doc_id long, n_frames long, frame_idx long, frame_sum long"

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from search_replica_spark.analysis import tokenize_text
 from search_replica_spark.index.codec import (
-    decode_position_lists,
+    decode_position_flat,
     delta_decode,
     varint_decode,
 )
@@ -41,6 +41,17 @@ from search_replica_spark.index.codec import (
 
 class IndexReader:
     """Driver-side handle on an index directory (stats + lazy postings fetch)."""
+
+    # columns the scorers need; dls_bin is deliberately NOT here — doc_len
+    # for driver-side scoring comes from doc_arrays(), so fetching the
+    # (+58%-of-segment-bytes) dls_bin stream would be pure read tax on the
+    # query path. Only the distributed bm25_topk_spark* plans read dls_bin,
+    # straight from parquet with column pruning.
+    META_COLS = (
+        "term", "block_id", "n", "first_doc_idx", "last_doc_idx",
+        "max_score", "docs_bin", "tfs_bin",
+    )
+    POS_COLS = ("npos_bin", "pos_bin")
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -83,23 +94,29 @@ class IndexReader:
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def pin_driver(self):
+    def pin_driver(self, positions: bool = False):
         """Serving mode: pull the segment store into driver memory, indexed
         by term. This is how a query node actually serves a shard (ES holds
         its segments in RAM/page cache); per-query latency drops from a
         Spark job (~100 ms) to a hash lookup (~ms). Only sensible when this
         process owns a shard-sized slice of the index — at 100 TB each query
         node pins its own term-range partition, which is exactly how the
-        segment files are laid out (hash(term) → file)."""
+        segment files are laid out (hash(term) → file). ``positions``: also
+        pin the npos/pos streams (phrase serving); dls_bin is never pinned
+        (see META_COLS)."""
         if self._pinned is None:
-            pdf = self.spark.read.parquet(os.path.join(self.index_dir, "segments")).toPandas()
+            cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
+            seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+            cols = [c for c in cols if c in seg.columns]
+            pdf = seg.select(*cols).toPandas()
             self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
         return self
 
-    def fetch_blocks(self, terms: list[str]) -> pd.DataFrame:
+    def fetch_blocks(self, terms: list[str], positions: bool = False) -> pd.DataFrame:
         """Segment rows for the query terms — `term IN` pushed to parquet
-        (or served from the cached/pinned segment store)."""
-        if self._pinned is not None:
+        (or served from the cached/pinned segment store). Only the scorer
+        columns are transferred (META_COLS; + position streams on demand)."""
+        if self._pinned is not None and (not positions or "npos_bin" in self._pinned.columns):
             hit = [t for t in set(terms) if t in self._pinned.index]
             if not hit:
                 return self._pinned.iloc[0:0].reset_index(drop=True)
@@ -107,11 +124,31 @@ class IndexReader:
         seg = self._seg_df
         if seg is None:
             seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
+        cols = [c for c in cols if c in seg.columns]
         return (
             seg.filter(F.col("term").isin(list(set(terms))))
+            .select(*cols)
             .toPandas()
             .sort_values(["term", "block_id"])
         )
+
+    def expand_prefix(self, prefix: str, max_expansions: int | None = 50) -> list[str]:
+        """Term-dictionary range seek: the terms starting with ``prefix``,
+        in term order, capped at ``max_expansions`` (ES's cap, default 50).
+        The range predicate (prefix <= term < prefix+\\uffff) is pushed down
+        to the term-sorted dict parquet — a row-group-pruned seek, never a
+        dictionary scan."""
+        q = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "dict"))
+            .filter((F.col("term") >= prefix) & (F.col("term") < prefix + "￿"))
+            .filter(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy("term")
+        )
+        if max_expansions is not None:
+            q = q.limit(max_expansions)
+        return [row["term"] for row in q.collect()]
 
     def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted.
@@ -184,8 +221,10 @@ def bm25_topk_spark(
     # join was the one shuffle this plan had left. doc_idx is assigned in
     # doc_id order (assign_dense_doc_idx), so the (score desc, doc_idx asc)
     # tie-break below is identical to tie-breaking on doc_id.
-    # (store_doclens=False indexes fall back to the docs join below.)
-    has_dls = stats.get("store_doclens", True)
+    # (store_doclens=False indexes fall back to the docs join below.
+    # A stats.json that predates the dls_bin layout has no key at all —
+    # and no dls_bin column — so the missing key must default to False.)
+    has_dls = stats.get("store_doclens", False)
     if has_dls:
         posts = seg.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
             decode, schema="term string, doc_idx long, tf long, doc_len long"
@@ -237,6 +276,137 @@ def bm25_topk_spark(
         .limit(k)
     )
     # doc_id lookup for k rows only: broadcast the top-k side into the scan
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("doc_idx", "doc_id")
+    return (
+        docs.join(F.broadcast(topk), "doc_idx")
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def bm25_topk_spark_pruned(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    prune_stats: dict | None = None,
+) -> DataFrame:
+    """Distributed BM25 top-k with BLOCK-MAX PRUNING — the 100 TB refinement
+    of ``bm25_topk_spark``: most block payloads are never Arrow-decoded, the
+    scan reads their (tiny) metadata columns and skips the binary streams.
+
+    Two passes, both fully distributed:
+
+      1. **theta pass** — decode only each term's top-``k`` blocks by stored
+         ``max_score`` (chosen from block metadata alone; parquet column
+         pruning keeps payload bytes out of that scan) and take the k-th
+         best PARTIAL score. Partial scores are lower bounds of true scores,
+         so theta is a valid lower bound of the true k-th score.
+      2. **main pass** — decode only blocks passing the per-term threshold
+         ``max_score(b) >= theta - Σ_{t'≠t} gmax(t')`` (gmax = the term's
+         global max block score). For any doc with a pruned block, that
+         block's max plus every other term's global max upper-bounds its
+         total below theta → it cannot reach the top-k; and every true
+         top-k doc keeps ALL its blocks (each block's UB covers the doc's
+         true score >= theta), so its aggregated score stays exact.
+
+    Rank-identical to ``bm25_topk_spark`` in OR mode (tested; a small
+    relative epsilon on theta absorbs float summation-order differences).
+    AND-mode theta needs conjunctive semantics — not implemented; use the
+    unpruned plan. Pass ``prune_stats={}`` to receive blocks_total /
+    blocks_decoded counters (costs two extra metadata-only count jobs).
+    """
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    if not stats.get("store_doclens", False):
+        return bm25_topk_spark(spark, index_dir, query, k)  # no dls_bin → no fast path
+    n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("term").isin(terms)
+    )
+    meta = seg.select("term", "block_id", "max_score")
+    gmax = {
+        r["term"]: float(r["gm"])
+        for r in meta.groupBy("term").agg(F.max("max_score").alias("gm")).collect()
+    }
+    if not gmax:
+        return spark.createDataFrame([], "doc_id long, score double")
+    G = sum(gmax.values())
+    dic = (
+        spark.read.parquet(os.path.join(index_dir, "dict"))
+        .filter(F.col("term").isin(terms))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("term", "idf")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for term, docs_bin, tfs_bin, dls_bin in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
+            ):
+                parts.append(pd.DataFrame({
+                    "term": term,
+                    "doc_idx": delta_decode(docs_bin).astype(np.int64),
+                    "tf": varint_decode(tfs_bin).astype(np.int64),
+                    "doc_len": varint_decode(dls_bin).astype(np.int64),
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    def score_agg(seg_subset):
+        posts = seg_subset.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+            decode, schema="term string, doc_idx long, tf long, doc_len long"
+        )
+        scored = posts.join(F.broadcast(dic), "term").withColumn(
+            "score",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf")
+               + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_dl))),
+        )
+        return scored.groupBy("doc_idx").agg(F.sum("score").alias("score"))
+
+    # pass 1: theta from each term's top-k blocks by max_score
+    w = Window.partitionBy("term").orderBy(F.col("max_score").desc(), F.col("block_id"))
+    ph1_keys = (
+        meta.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("term", "block_id")
+    )
+    kth = (
+        score_agg(seg.join(F.broadcast(ph1_keys), ["term", "block_id"]))
+        .orderBy(F.col("score").desc())
+        .limit(k)
+        .collect()
+    )
+    theta = float(kth[-1]["score"]) if len(kth) == k else 0.0
+    theta *= 1.0 - 1e-9  # absorb float summation-order differences
+
+    # pass 2: per-term scalar threshold → metadata-only filter, then decode
+    thr = spark.createDataFrame(
+        [(t, theta - (G - gm)) for t, gm in gmax.items()], "term string, thr double"
+    )
+    surv = seg.join(F.broadcast(thr), "term").filter(F.col("max_score") >= F.col("thr"))
+    if prune_stats is not None:
+        prune_stats["blocks_total"] = meta.count()
+        prune_stats["blocks_decoded"] = surv.count()
+        prune_stats["blocks_theta_pass"] = ph1_keys.count()
+        prune_stats["theta"] = theta
+    topk = (
+        score_agg(surv)
+        .orderBy(F.col("score").desc(), F.col("doc_idx").asc())
+        .limit(k)
+    )
     docs = spark.read.parquet(os.path.join(index_dir, "docs")).select("doc_idx", "doc_id")
     return (
         docs.join(F.broadcast(topk), "doc_idx")
@@ -348,61 +518,91 @@ def phrase_topk(
     if not qterms:
         return []
     uniq = sorted(set(qterms))
-    blk = r.fetch_blocks(uniq)
+    blk = r.fetch_blocks(uniq, positions=True)
     if len(blk) == 0 or "npos_bin" not in blk:
         return [] if len(blk) == 0 else _raise_no_positions()
     if blk["npos_bin"].map(len).sum() == 0:
         _raise_no_positions()
     doc_len, doc_ids = r.doc_arrays()
-    # decode docs + per-posting position lists per term
-    per_term: dict[str, tuple[np.ndarray, list]] = {}
+    # decode docs + FLAT position streams per term (counts + one abs-position
+    # array — never one small array object per posting)
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, g in blk.groupby("term", sort=True):
         g = g.sort_values("block_id")
         offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
         docs = np.concatenate(
             [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
         ).astype(np.int64)
-        plists: list = []
+        cnt_parts, pos_parts = [], []
         for npb, pb in zip(g["npos_bin"], g["pos_bin"]):
-            plists.extend(decode_position_lists(npb, pb))
-        per_term[term] = (docs, plists)
+            c, p = decode_position_flat(npb, pb)
+            cnt_parts.append(c)
+            pos_parts.append(p)
+        per_term[term] = (docs, np.concatenate(cnt_parts), np.concatenate(pos_parts))
     if any(t not in per_term for t in qterms):
         return []  # a phrase term is absent from the corpus
     # candidate docs: intersection across the phrase's distinct terms
     cand = per_term[uniq[0]][0]
     for t in uniq[1:]:
         cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
     if cand.size == 0:
         return []
     idf_sum = sum(r.idf(len(per_term[t][0])) for t in qterms)
-    lookup = {
-        t: dict(zip(per_term[t][0].tolist(), range(len(per_term[t][1]))))
-        for t in set(qterms)
-    }
-    hits_d, hits_s = [], []
-    for d in cand.tolist():
-        if live is not None and not live[d]:
-            continue
-        base = per_term[qterms[0]][1][lookup[qterms[0]][d]]
-        disp = np.zeros(base.shape, dtype=np.int64)
-        for i, t in enumerate(qterms[1:], start=1):
-            pos = per_term[t][1][lookup[t][d]]  # sorted positions of term i
-            want = base + i
-            j = np.searchsorted(pos, want)
-            left = np.abs(want - pos[np.maximum(j - 1, 0)])
-            right = np.abs(pos[np.minimum(j, len(pos) - 1)] - want)
-            disp += np.minimum(left, right)
-        m = disp[disp <= slop]
-        if m.size == 0:
-            continue
-        ptf = float(np.sum(1.0 / (m + 1.0)))
-        dl = doc_len[d]
-        hits_d.append(d)
-        hits_s.append(idf_sum * ptf / (ptf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
-    if not hits_d:
+
+    # --- vectorized candidate scoring (no per-doc Python) ---
+    # Each term's candidate positions are gathered into ONE flat array in
+    # candidate order, shifted by doc_rank * BIG so the concatenation stays
+    # globally sorted and a neighbor from an adjacent doc can never win the
+    # min-displacement (its distance exceeds any within-doc distance by
+    # construction of BIG). Then ONE searchsorted per query term scores
+    # every candidate occurrence at once — identical arithmetic, per
+    # occurrence, to the per-doc formulation (tested against it).
+    def _gather(term):
+        docs_t, counts_t, flat_t = per_term[term]
+        idx = np.searchsorted(docs_t, cand)  # cand ⊆ docs_t
+        ends_t = np.cumsum(counts_t)
+        starts_t = ends_t - counts_t
+        sc = counts_t[idx]
+        ss = starts_t[idx]
+        total = int(sc.sum())
+        o_ends = np.cumsum(sc)
+        o_starts = o_ends - sc
+        take = np.arange(total, dtype=np.int64) - np.repeat(o_starts, sc) + np.repeat(ss, sc)
+        drank = np.repeat(np.arange(cand.size, dtype=np.int64), sc)
+        return flat_t[take], drank, sc
+
+    max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
+    big = np.int64(2 * (max_pos + len(qterms)) + slop + 2)
+    base_pos, base_rank, base_counts = _gather(qterms[0])
+    base_sh = base_pos + base_rank * big
+    disp = np.zeros(base_pos.shape, dtype=np.int64)
+    shifted_cache: dict[str, np.ndarray] = {}
+    for i, t in enumerate(qterms[1:], start=1):
+        if t in shifted_cache:
+            tp = shifted_cache[t]
+        else:
+            tpos, trank, _ = _gather(t)
+            tp = tpos + trank * big
+            shifted_cache[t] = tp
+        want = base_sh + i
+        j = np.searchsorted(tp, want)
+        left = np.abs(want - tp[np.maximum(j - 1, 0)])
+        right = np.abs(tp[np.minimum(j, tp.size - 1)] - want)
+        disp += np.minimum(left, right)
+    ok = disp <= slop
+    w = 1.0 / (disp[ok] + 1.0)
+    ptf = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(ptf, base_rank[ok], w)  # sequential, in-occurrence-order sums
+    hit = ptf > 0.0
+    if not hit.any():
         return []
-    idxs = np.asarray(hits_d, dtype=np.int64)
-    return _select_topk(np.asarray(hits_s, dtype=np.float64), doc_ids[idxs], k)
+    idxs = cand[hit]
+    pt = ptf[hit]
+    dl = doc_len[idxs]
+    scores = idf_sum * pt / (pt + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))
+    return _select_topk(scores, doc_ids[idxs], k)
 
 
 def _raise_no_positions():
@@ -446,6 +646,8 @@ def bool_topk(
         doc_parts.append(docs)
         score_parts.append(idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))))
         must_parts.append(np.full(docs.shape, term in must, dtype=np.int64))
+    if not doc_parts:
+        return []  # no must terms and every should term absent from the corpus
     all_docs = np.concatenate(doc_parts)
     uniq, inv = np.unique(all_docs, return_inverse=True)
     sums = np.zeros(uniq.size, dtype=np.float64)
@@ -464,28 +666,39 @@ def bool_topk(
     return _select_topk(sums[matched], doc_ids[idxs], k)
 
 
-def prefix_match(reader: IndexReader, prefix: str) -> list[int]:
+def prefix_match(
+    reader: IndexReader,
+    prefix: str,
+    k: int | None = None,
+    max_expansions: int | None = 50,
+    live: np.ndarray | None = None,
+) -> list[int]:
     """ES prefix query (constant-score): doc_ids containing ANY term that
-    starts with ``prefix``. Term expansion comes from the dict parquet with
-    a pushed-down range predicate (prefix <= term < prefix+\xff) — at scale
-    the dict is term-sorted, so this is a row-group-pruned range seek, then
-    one multi-term posting fetch."""
+    starts with ``prefix``.
+
+    Term expansion goes through ``reader.expand_prefix`` (so MultiGenReader
+    unions its per-generation dictionaries) and is capped at
+    ``max_expansions`` terms in term order — ES's expansion cap, default 50;
+    pass None for the uncapped rewrite. Every score is the same constant, so
+    top-k under the (score desc, doc_id asc) tie-break is simply the k
+    smallest doc_ids; ``k=None`` returns all matches. ``live`` defaults to
+    the reader's own liveness mask when it has one (generational indexes),
+    so superseded/tombstoned docs never surface."""
     r = reader
-    pre = prefix.lower()
-    terms = [
-        row["term"]
-        for row in r.spark.read.parquet(os.path.join(r.index_dir, "dict"))
-        .filter((F.col("term") >= pre) & (F.col("term") < pre + "￿"))
-        .filter(F.col("term").startswith(pre))
-        .select("term")
-        .collect()
-    ]
+    terms = r.expand_prefix(prefix.lower(), max_expansions)
     if not terms:
         return []
+    if live is None:
+        live = getattr(r, "_live", None)
     _, doc_ids = r.doc_arrays()
     postings = r.fetch_postings(terms)
     slots = np.unique(np.concatenate([p[0] for p in postings.values()]))
-    return sorted(int(x) for x in doc_ids[slots])
+    if live is not None:
+        slots = slots[live[slots]]
+    out = np.sort(doc_ids[slots])
+    if k is not None:
+        out = out[:k]
+    return [int(x) for x in out]
 
 
 def sharded_topk(

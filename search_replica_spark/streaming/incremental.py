@@ -317,8 +317,14 @@ class MultiGenReader(IndexReader):
         pdf["block_id"] = pdf.groupby("term", sort=False).cumcount()
         return pdf.drop(columns=["gen"])
 
-    def fetch_blocks(self, terms):
-        if self._pinned is not None:
+    def _gen_cols(self, seg, positions: bool):
+        cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
+        return [c for c in cols if c in seg.columns]
+
+    def fetch_blocks(self, terms, positions: bool = False):
+        if self._pinned is not None and (
+            not positions or "npos_bin" in self._pinned.columns
+        ):
             hit = [t for t in set(terms) if t in self._pinned.index]
             if not hit:
                 return self._pinned.iloc[0:0].reset_index(drop=True)
@@ -326,9 +332,10 @@ class MultiGenReader(IndexReader):
         tset = list(set(terms))
         parts = []
         for g in self.live_gens:
+            seg = self.spark.read.parquet(os.path.join(g["dir"], "segments"))
             parts.append(
-                self.spark.read.parquet(os.path.join(g["dir"], "segments"))
-                .filter(F.col("term").isin(tset))
+                seg.filter(F.col("term").isin(tset))
+                .select(*self._gen_cols(seg, positions))
                 .withColumn("gen", F.lit(g["gen"]))
             )
         uni = parts[0]
@@ -336,14 +343,15 @@ class MultiGenReader(IndexReader):
             uni = uni.unionByName(p)
         return self._remap_blocks(uni.toPandas())
 
-    def pin_driver(self):
+    def pin_driver(self, positions: bool = False):
         """Serving mode over ALL generations: one union read pins every
         generation's segments, remapped, term-indexed (see IndexReader)."""
         if self._pinned is None:
             parts = []
             for g in self.live_gens:
+                seg = self.spark.read.parquet(os.path.join(g["dir"], "segments"))
                 parts.append(
-                    self.spark.read.parquet(os.path.join(g["dir"], "segments"))
+                    seg.select(*self._gen_cols(seg, positions))
                     .withColumn("gen", F.lit(g["gen"]))
                 )
             uni = parts[0]
@@ -352,6 +360,25 @@ class MultiGenReader(IndexReader):
             pdf = self._remap_blocks(uni.toPandas())
             self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
         return self
+
+    def expand_prefix(self, prefix: str, max_expansions: int | None = 50):
+        """Prefix expansion over the UNION of per-generation dictionaries
+        (a generational index has no top-level dict) — same pushed-down
+        range seek per generation, distinct, term order, capped."""
+        parts = [
+            self.spark.read.parquet(os.path.join(g["dir"], "dict"))
+            .filter((F.col("term") >= prefix) & (F.col("term") < prefix + "￿"))
+            .filter(F.col("term").startswith(prefix))
+            .select("term")
+            for g in self.live_gens
+        ]
+        uni = parts[0]
+        for p in parts[1:]:
+            uni = uni.unionByName(p)
+        q = uni.distinct().orderBy("term")
+        if max_expansions is not None:
+            q = q.limit(max_expansions)
+        return [row["term"] for row in q.collect()]
 
     # --- query API (same scorers as a single-generation index) ---
     def score(self, query: str, k: int = 10, mode: str = "or"):
@@ -393,6 +420,26 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     live_gens = [g for g in gens if g["dir"]]
     if not live_gens:
         raise FileNotFoundError(f"no segment generations at {index_dir}")
+
+    # a merge must preserve what the generations actually stored, regardless
+    # of the cfg handed in: a positional index silently losing its positions
+    # (phrase queries break after merge) is never acceptable, and a
+    # non-positional one cannot invent them. Derive store_positions from the
+    # generations' own stats and fail fast on a mixed set.
+    import dataclasses
+
+    gen_pos = set()
+    for g in live_gens:
+        with open(os.path.join(g["dir"], "stats.json")) as f:
+            gen_pos.add(bool(json.load(f).get("store_positions", False)))
+    if len(gen_pos) > 1:
+        raise ValueError(
+            "cannot merge generations with mixed store_positions — compact() "
+            "from the source snapshot instead"
+        )
+    has_positions = gen_pos.pop()
+    if cfg.store_positions != has_positions:
+        cfg = dataclasses.replace(cfg, store_positions=has_positions)
     bases, acc = {}, 0
     for g in live_gens:
         bases[g["gen"]] = acc
@@ -438,32 +485,44 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
         .parquet(os.path.join(out, "docs"))
     )
 
+    pos_cols = ["npos_bin", "pos_bin"] if has_positions else []
     seg = union_all(
         [
             spark.read.parquet(os.path.join(g["dir"], "segments"))
-            .select("term", "docs_bin", "tfs_bin", F.lit(bases[g["gen"]]).alias("doc_off"))
+            .select("term", "docs_bin", "tfs_bin", *pos_cols,
+                    F.lit(bases[g["gen"]]).alias("doc_off"))
             for g in live_gens
         ]
     )
 
     def decode(batches):
+        from search_replica_spark.index.codec import decode_position_lists
+
         for pdf in batches:
             if pdf.empty:
                 continue
             parts = []
-            for term, docs_bin, tfs_bin, off in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["doc_off"]
-            ):
-                parts.append(pd.DataFrame({
-                    "term": term,
-                    "slot": delta_decode(docs_bin).astype("int64") + int(off),
-                    "tf": varint_decode(tfs_bin).astype("int64"),
-                }))
+            for row in pdf.itertuples(index=False):
+                blk = pd.DataFrame({
+                    "term": row.term,
+                    "slot": delta_decode(row.docs_bin).astype("int64") + int(row.doc_off),
+                    "tf": varint_decode(row.tfs_bin).astype("int64"),
+                })
+                if has_positions:
+                    # re-emit per-posting absolute positions so the standard
+                    # segment stage re-encodes them over the merged doc space
+                    blk["positions"] = decode_position_lists(row.npos_bin, row.pos_bin)
+                parts.append(blk)
             yield pd.concat(parts, ignore_index=True)
 
-    posts = seg.mapInPandas(decode, schema="term string, slot long, tf long")
+    post_schema = "term string, slot long, tf long" + (
+        ", positions array<long>" if has_positions else ""
+    )
+    posts = seg.mapInPandas(decode, schema=post_schema)
     live_map = live.select("slot", "doc_id")
-    merged = posts.join(live_map, "slot").select("doc_id", "term", "tf")
+    merged = posts.join(live_map, "slot").select(
+        "doc_id", "term", "tf", *(["positions"] if has_positions else [])
+    )
     merged.write.mode("overwrite").parquet(os.path.join(out, "postings"))
 
     core = _stage_segments(spark, out, cfg)

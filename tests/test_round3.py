@@ -1,0 +1,351 @@
+"""Round-3 fixes: positional segment merges, bool/prefix edge cases,
+vectorized phrase scoring, legacy (pre-dls_bin) index layouts.
+
+Reference parity notes: prefix expansion capping mirrors Elasticsearch's
+``max_expansions`` (default 50); merge-preserves-positions mirrors what a
+Lucene segment merge does to .prx data (the reference delegates all of this
+to ES — demo/mapping.json configures the index, search/bulk.go ships docs).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.index.build import build_index
+from search_replica_spark.query.bm25 import (
+    IndexReader,
+    TermAtATimeScorer,
+    bool_topk,
+    phrase_topk,
+    prefix_match,
+)
+from search_replica_spark.streaming.incremental import (
+    MultiGenReader,
+    add_generation,
+    merge_generations,
+)
+
+CFG = IndexConfig(shuffle_partitions=4, hot_df_threshold=200, salt_range_docs=256)
+PCFG = IndexConfig(
+    shuffle_partitions=4, hot_df_threshold=200, salt_range_docs=256, store_positions=True
+)
+
+
+def _mk_docs(rows):
+    return pd.DataFrame(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": ["0" * 40] * len(rows),
+            "lang": ["py"] * len(rows),
+            "content": [r[2] for r in rows],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_generations over a positional index
+# ---------------------------------------------------------------------------
+
+
+def test_merge_preserves_positions(spark, tmp_path):
+    """A merge of positional generations must keep phrase queries working
+    and rank-identical to a fresh positional build over the live snapshot —
+    even when the caller passes a cfg that forgot store_positions."""
+    a = _mk_docs(
+        [("r0", f"a/{i}.py", f"alpha table hash beta w{i % 5} gamma table hash") for i in range(60)]
+    )
+    b = _mk_docs([("r0", f"b/{i}.py", f"delta table hash w{i % 3}") for i in range(40)])
+    idx = str(tmp_path / "pidx")
+    add_generation(spark, spark.createDataFrame(a), idx, PCFG)
+    add_generation(spark, spark.createDataFrame(b), idx, PCFG)
+
+    before = phrase_topk(MultiGenReader(spark, idx), "table hash", 10)
+    assert before
+    merge_generations(spark, idx, CFG)  # cfg WITHOUT store_positions
+    with open(os.path.join(idx, "gen=0", "stats.json")) as f:
+        assert json.load(f)["store_positions"] is True
+
+    mg = MultiGenReader(spark, idx)
+    after = phrase_topk(mg, "table hash", 10, live=mg._live)
+    full = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(pd.concat([a, b], ignore_index=True)), full, PCFG)
+    want = phrase_topk(IndexReader(spark, full), "table hash", 10)
+    assert [(d, round(s, 9)) for d, s in after] == [(d, round(s, 9)) for d, s in want]
+
+
+def test_merge_mixed_positions_fails_fast(spark, tmp_path):
+    a = _mk_docs([("r0", f"a/{i}.py", "alpha beta") for i in range(10)])
+    b = _mk_docs([("r0", f"b/{i}.py", "gamma delta") for i in range(10)])
+    idx = str(tmp_path / "midx")
+    add_generation(spark, spark.createDataFrame(a), idx, PCFG)
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+    with pytest.raises(ValueError, match="mixed store_positions"):
+        merge_generations(spark, idx, PCFG)
+
+
+# ---------------------------------------------------------------------------
+# bool / prefix edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_bool_topk_all_should_terms_absent(spark, small_index):
+    idx_dir, _ = small_index
+    r = IndexReader(spark, idx_dir)
+    assert bool_topk(r, must=[], should=["zzznope", "qqmissingqq"], k=5) == []
+
+
+def test_prefix_expansion_cap_and_topk(spark, tmp_path):
+    """More matching terms than max_expansions → only the first
+    ``max_expansions`` terms in term order are expanded (ES semantics);
+    k returns the k smallest doc_ids (constant-score tie-break)."""
+    # doc i contains ONLY the term f"pre{i:03d}" → term order == doc order
+    rows = [("r0", f"d/{i}.py", f"pre{i:03d}xx filler") for i in range(80)]
+    idx = str(tmp_path / "cidx")
+    build_index(spark, spark.createDataFrame(_mk_docs(rows)), idx, CFG)
+    r = IndexReader(spark, idx)
+    terms = r.expand_prefix("pre", max_expansions=10)
+    assert terms == sorted(terms) and len(terms) == 10  # cap fired, term order
+    capped = prefix_match(r, "pre", max_expansions=10)
+    assert len(capped) == 10  # one doc per expanded term
+    full = prefix_match(r, "pre", max_expansions=None)
+    assert len(full) == 80
+    topk = prefix_match(r, "pre", k=7, max_expansions=None)
+    assert topk == sorted(full)[:7]
+
+
+def test_prefix_multigen_unions_dicts_and_masks_tombstones(spark, tmp_path):
+    a = _mk_docs([("r0", f"a/{i}.py", f"qqpref{i:02d} body") for i in range(20)])
+    b = _mk_docs([("r0", f"b/{i}.py", f"qqpref9{i} later") for i in range(3)])
+    idx = str(tmp_path / "gidx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+    victim = a.iloc[[5]].copy()
+    victim["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(victim), idx, CFG)
+
+    from search_replica_spark.oracle import doc_id_of
+
+    mg = MultiGenReader(spark, idx)
+    hits = prefix_match(mg, "qqpref", max_expansions=None)  # live defaults to mg._live
+    assert len(hits) == 22  # 20 + 3 - 1 tombstoned
+    dead = doc_id_of("r0", "a/5.py")
+    assert dead not in hits
+    # gen-1-only terms are reachable → the dict union worked
+    assert doc_id_of("r0", "b/0.py") in hits
+
+
+# ---------------------------------------------------------------------------
+# vectorized phrase scoring
+# ---------------------------------------------------------------------------
+
+
+def _phrase_naive(reader, phrase, k=10, slop=0):
+    """The pre-vectorization per-candidate-doc loop, kept as the reference
+    implementation for equivalence testing."""
+    import math
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.index.codec import decode_position_lists, delta_decode
+
+    r = reader
+    qterms = tokenize_text(phrase)
+    uniq = sorted(set(qterms))
+    blk = r.fetch_blocks(uniq, positions=True)
+    doc_len, doc_ids = r.doc_arrays()
+    per_term = {}
+    for term, g in blk.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
+        docs = np.concatenate(
+            [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
+        ).astype(np.int64)
+        plists = []
+        for npb, pb in zip(g["npos_bin"], g["pos_bin"]):
+            plists.extend(decode_position_lists(npb, pb))
+        per_term[term] = (docs, plists)
+    cand = per_term[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    idf_sum = sum(
+        math.log(1.0 + (r.n_docs - len(per_term[t][0]) + 0.5) / (len(per_term[t][0]) + 0.5))
+        for t in qterms
+    )
+    lookup = {
+        t: dict(zip(per_term[t][0].tolist(), range(len(per_term[t][1]))))
+        for t in set(qterms)
+    }
+    hits = []
+    for d in cand.tolist():
+        base = per_term[qterms[0]][1][lookup[qterms[0]][d]]
+        disp = np.zeros(base.shape, dtype=np.int64)
+        for i, t in enumerate(qterms[1:], start=1):
+            pos = per_term[t][1][lookup[t][d]]
+            want = base + i
+            j = np.searchsorted(pos, want)
+            left = np.abs(want - pos[np.maximum(j - 1, 0)])
+            right = np.abs(pos[np.minimum(j, len(pos) - 1)] - want)
+            disp += np.minimum(left, right)
+        m = disp[disp <= slop]
+        if m.size == 0:
+            continue
+        ptf = float(np.sum(1.0 / (m + 1.0)))
+        dl = doc_len[d]
+        hits.append((d, idf_sum * ptf / (ptf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))))
+    hits.sort(key=lambda t: (-t[1], doc_ids[t[0]]))
+    return [(int(doc_ids[d]), float(s)) for d, s in hits[:k]]
+
+
+@pytest.fixture(scope="module")
+def wide_phrase_index(spark, tmp_path_factory):
+    """12k docs ALL containing the phrase — the candidate set the old
+    per-doc loop choked on."""
+    n = 12_000
+    rows = [
+        ("r0", f"w/{i}.py", f"alpha w{i % 7} table hash beta table gamma hash table hash")
+        for i in range(n)
+    ]
+    out = str(tmp_path_factory.mktemp("widx"))
+    build_index(spark, spark.createDataFrame(_mk_docs(rows)), out, PCFG)
+    return out, n
+
+
+def test_phrase_vectorized_equals_naive_wide(spark, wide_phrase_index):
+    idx, n = wide_phrase_index
+    r = IndexReader(spark, idx)
+    r.doc_arrays()  # preload outside the timed window
+    r.pin_driver(positions=True)
+    for slop in (0, 1):
+        t0 = time.time()
+        got = phrase_topk(r, "table hash", 25, slop=slop)
+        fast_sec = time.time() - t0
+        want = _phrase_naive(r, "table hash", 25, slop=slop)
+        assert [(d, round(s, 12)) for d, s in got] == [(d, round(s, 12)) for d, s in want]
+        # >10k candidate docs scored without per-doc Python → well under
+        # the old loop's multi-second cost
+        assert fast_sec < 5.0, f"phrase scoring too slow ({fast_sec:.2f}s) — per-doc loop back?"
+
+
+def test_phrase_vectorized_small_cases(spark, small_index):
+    """Cross-check on the organic corpus too (partial overlaps, rare terms)."""
+    idx_dir, _ = small_index
+    pidx = idx_dir + "_pos"
+    if not os.path.exists(os.path.join(pidx, "stats.json")):
+        docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+        # rebuild positionally from the original corpus via the docs table
+        from search_replica_spark.corpus import generate_corpus
+
+        build_index(spark, spark.createDataFrame(generate_corpus(600)), pidx, PCFG)
+        assert docs.count() == 600
+    r = IndexReader(spark, pidx)
+    for phrase, slop in (("license apache", 0), ("def return", 1), ("the the", 0)):
+        got = phrase_topk(r, phrase, 10, slop=slop)
+        want = _phrase_naive(r, phrase, 10, slop=slop)
+        assert [(d, round(s, 12)) for d, s in got] == [(d, round(s, 12)) for d, s in want], phrase
+
+
+# ---------------------------------------------------------------------------
+# legacy (pre-dls_bin) layout
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_stats_without_store_doclens_key(spark, tmp_path):
+    """A stats.json that predates dls_bin (no store_doclens key, no dls_bin
+    column) must route bm25_topk_spark to the docs-join fallback."""
+    from search_replica_spark.query.bm25 import bm25_topk_spark
+
+    rows = [("r0", f"l/{i}.py", f"omega w{i % 4} shared tail") for i in range(50)]
+    idx = str(tmp_path / "legacy")
+    build_index(spark, spark.createDataFrame(_mk_docs(rows)), idx, CFG)
+    # strip the index down to the legacy layout
+    seg = spark.read.parquet(os.path.join(idx, "segments")).drop("dls_bin")
+    seg.write.mode("overwrite").parquet(os.path.join(idx, "segments_legacy"))
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "segments"))
+    os.rename(os.path.join(idx, "segments_legacy"), os.path.join(idx, "segments"))
+    with open(os.path.join(idx, "stats.json")) as f:
+        st = json.load(f)
+    st.pop("store_doclens")
+    with open(os.path.join(idx, "stats.json"), "w") as f:
+        json.dump(st, f)
+
+    got = [(r.doc_id, round(r.score, 9)) for r in bm25_topk_spark(spark, idx, "omega shared", 5).collect()]
+    want = [
+        (d, round(s, 9))
+        for d, s in TermAtATimeScorer(IndexReader(spark, idx)).score("omega shared", 5)
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed block-max pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_tf_index(spark, tmp_path_factory):
+    """Corpus with heavy tf skew: a few docs repeat the query terms many
+    times, most mention them once — so most blocks carry low max_score and
+    are prunable once theta is established."""
+    rows = []
+    for i in range(6000):
+        hot = i % 389 == 0  # ~15 hot docs spread across the doc_idx space
+        body = ("needle haystack " * 40) if hot else "needle haystack "
+        rows.append(("r0", f"s/{i}.py", body + f"w{i % 11} pad{i % 301} tail"))
+    out = str(tmp_path_factory.mktemp("sidx"))
+    build_index(
+        spark,
+        spark.createDataFrame(_mk_docs(rows)),
+        out,
+        IndexConfig(shuffle_partitions=4, hot_df_threshold=1 << 30, block_size=64),
+    )
+    return out
+
+
+def test_pruned_bm25_rank_identity_and_skips_blocks(spark, skewed_tf_index):
+    from search_replica_spark.query.bm25 import bm25_topk_spark, bm25_topk_spark_pruned
+
+    idx = skewed_tf_index
+    for q in ("needle", "needle haystack", "needle w3"):
+        ps = {}
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in bm25_topk_spark_pruned(spark, idx, q, 10, prune_stats=ps).collect()
+        ]
+        want = [
+            (r.doc_id, round(r.score, 9))
+            for r in bm25_topk_spark(spark, idx, q, 10).collect()
+        ]
+        assert got == want, q
+        assert ps["blocks_total"] > 0
+        if q == "needle":
+            # selective single-term query over the skewed corpus: the vast
+            # majority of block payloads must never be decoded
+            frac = ps["blocks_decoded"] / ps["blocks_total"]
+            assert frac < 0.5, f"only pruned to {frac:.2f}"
+
+
+def test_pruned_bm25_no_doclens_falls_back(spark, tmp_path):
+    from search_replica_spark.query.bm25 import bm25_topk_spark, bm25_topk_spark_pruned
+
+    rows = [("r0", f"f/{i}.py", f"fallback w{i % 5} body") for i in range(40)]
+    idx = str(tmp_path / "nodl")
+    import dataclasses
+
+    build_index(
+        spark,
+        spark.createDataFrame(_mk_docs(rows)),
+        idx,
+        dataclasses.replace(CFG, store_doclens=False),
+    )
+    got = [(r.doc_id, round(r.score, 9))
+           for r in bm25_topk_spark_pruned(spark, idx, "fallback w3", 5).collect()]
+    want = [(r.doc_id, round(r.score, 9))
+            for r in bm25_topk_spark(spark, idx, "fallback w3", 5).collect()]
+    assert got == want
