@@ -51,6 +51,15 @@ class IndexConfig:
     # storage-constrained, query-light deployments — bm25_topk_spark then
     # falls back to the docs join (rank-identical; tested).
     store_doclens: bool = True
+    # per-field analysis (ES mapping parity, demo/mapping.json:22-29):
+    # ((field, "text"|"keyword"), ...). When set, every term is qualified as
+    # "field:term" (Lucene per-field term space) — "text" runs the standard
+    # analyzer, "keyword" indexes the exact value as one untokenized term.
+    # None (default) = the single-field contract (content, text analyzer).
+    # doc_len then counts tokens across ALL mapped fields (one norm per doc
+    # — a deliberate simplification of ES's per-field norms; scoring stays
+    # self-consistent and oracle-twinnable). Requires the jvm tokenizer.
+    field_analyzers: tuple[tuple[str, str], ...] | None = None
     # store token POSITIONS per posting (npos_bin/pos_bin block streams) —
     # enables phrase queries (Lucene PhraseQuery semantics). Off by default:
     # positions cost ~1 varint per token OCCURRENCE (vs per posting for

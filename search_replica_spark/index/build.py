@@ -75,15 +75,45 @@ def with_doc_ids(df: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
-def tokenize_counts_jvm(docs: DataFrame, with_positions: bool = False) -> DataFrame:
+def tokenize_counts_jvm(
+    docs: DataFrame,
+    with_positions: bool = False,
+    field_analyzers: tuple[tuple[str, str], ...] | None = None,
+) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf[, positions]), entirely inside
     whole-stage codegen: regexp_extract_all + lower + explode + partial-agg
     groupBy. Identical analysis to the Arrow path (same TOKEN_PATTERN;
     tested), but no JVM→Python transfer of the raw content — on a
     shared-memory box the Arrow copy is what stops tokenization scaling
     past ~8 cores. ``with_positions`` adds each posting's sorted token
-    positions (the analyzed token index — Lucene .prx semantics)."""
+    positions (the analyzed token index — Lucene .prx semantics).
+
+    ``field_analyzers``: per-field mapping (ES mapping parity — see
+    analysis/fields.py). Terms come out qualified as ``field:term``;
+    positions are per-field (each field is its own position space, like
+    Lucene's per-field .prx)."""
     from search_replica_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    if field_analyzers is not None:
+        from search_replica_spark.analysis.fields import field_tokens
+
+        parts = []
+        for fld, kind in field_analyzers:
+            toks = field_tokens(fld, kind)
+            qual = F.concat(F.lit(fld + ":"), F.col("t")).alias("term")
+            if with_positions:
+                ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+                parts.append(ex.select("doc_id", "pos", qual))
+            else:
+                ex = docs.select("doc_id", F.explode(toks).alias("t"))
+                parts.append(ex.select("doc_id", qual))
+        ex = parts[0]
+        for p in parts[1:]:
+            ex = ex.unionByName(p)
+        aggs = [F.count("*").alias("tf")]
+        if with_positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        return ex.groupBy("doc_id", "term").agg(*aggs)
 
     toks = F.regexp_extract_all(F.col("content"), F.lit(TOKEN_PATTERN), 0)
     if not with_positions:
@@ -241,8 +271,20 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     docs = with_doc_ids(src)
     if cfg.store_positions and cfg.tokenizer != "jvm":
         raise ValueError("store_positions requires the jvm tokenizer")
+    if cfg.field_analyzers is not None:
+        if cfg.tokenizer != "jvm":
+            raise ValueError("field_analyzers requires the jvm tokenizer")
+        missing = [f for f, _k in cfg.field_analyzers if f not in src.columns]
+        if missing:
+            raise ValueError(
+                f"field_analyzers references columns not in input_columns: {missing}"
+            )
     tok = (
-        tokenize_counts_jvm(docs, with_positions=cfg.store_positions)
+        tokenize_counts_jvm(
+            docs,
+            with_positions=cfg.store_positions,
+            field_analyzers=cfg.field_analyzers,
+        )
         if cfg.tokenizer == "jvm"
         else tokenize_counts(docs)
     )

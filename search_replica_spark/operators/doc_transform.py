@@ -197,6 +197,25 @@ def b6_has_child_semijoin(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
+# B6b: has_parent — the inverse of B6's has_child (ES parent-child join
+# field, reference: demo/mapping.json join declaration). Children (orders)
+# whose PARENT (customer) matches a predicate: a left-semi join with the
+# filtered parent side, which AQE broadcasts when selective.
+@register(
+    "b6b_has_parent_semijoin",
+    """SELECT o_orderkey, o_custkey FROM orders o
+       WHERE EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey
+                       AND c.c_mktsegment = 'BUILDING')""",
+)
+def b6b_has_parent_semijoin(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 # B7: nested query on inlined arrays (mapping.json "type":"nested") —
 # build array<struct>, explode, filter. Exercises arrays-of-composites,
 # which the reference explicitly cannot do (discovery.go:144, README.md:23).

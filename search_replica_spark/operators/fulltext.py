@@ -330,9 +330,11 @@ class _OrigIdReader:
         return Reader(spark, index_dir)
 
 
-def _bm25_sql(limit: int, tok_sql: str = _TOK, mode: str = "or") -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    having = f"HAVING count(*) = {len(BM25_QUERY_TERMS)}" if mode == "and" else ""
+def _bm25_sql(
+    limit: int, tok_sql: str = _TOK, mode: str = "or", qterms: tuple = BM25_QUERY_TERMS
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in qterms)
+    having = f"HAVING count(*) = {len(qterms)}" if mode == "and" else ""
     return f"""
 WITH tok AS ({tok_sql}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -381,6 +383,89 @@ def ft_bm25_wand_top10(spark, sf_dir):
 
     idx = _index_dir_for(spark, sf_dir)
     hits = wand_topk(_OrigIdReader(spark, idx), " ".join(BM25_QUERY_TERMS), 10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# C3/P-mapping: per-field analysis (ES mapping parity — keyword vs text,
+# demo/mapping.json:22-29). Pure operator form: (doc_id, field, term, tf)
+# over three mapped fields; keyword fields are the exact value, untokenized.
+_FIELD_TOK = """
+  SELECT doc_id, 'text' AS field, unnest(string_split(text, ' ')) AS term FROM documents
+  UNION ALL SELECT doc_id, 'lang', lang FROM documents
+  UNION ALL SELECT doc_id, 'source', source FROM documents
+"""
+
+
+@register(
+    "field_analyzer_tokens",
+    f"""SELECT doc_id, field, term, count(*) AS tf
+        FROM ({_FIELD_TOK}) GROUP BY doc_id, field, term""",
+)
+def field_analyzer_tokens(spark, sf_dir):
+    from search_replica_spark.analysis.fields import field_tokens
+
+    d = load(spark, sf_dir, "documents")
+    parts = [
+        d.select(
+            "doc_id",
+            F.lit(fld).alias("field"),
+            F.explode(field_tokens(fld, kind)).alias("term"),
+        )
+        for fld, kind in (("text", "text"), ("lang", "keyword"), ("source", "keyword"))
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
+
+
+# B5l: BM25 over a FIELDED index (field_analyzers build): one index holds
+# content (text analyzer) and lang (keyword) as "field:term" qualified
+# terms; the query mixes a text term and a keyword term, ES
+# cross-field-bool style. doc_len counts tokens across both mapped fields
+# (text tokens + 1), which the oracle mirrors exactly.
+_FIELDED_TOK = """
+  SELECT doc_id, 'content:' || term AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  UNION ALL SELECT doc_id, 'lang:' || lang FROM documents
+"""
+FIELDED_QUERY_TERMS = ("content:spark", "lang:de")
+
+
+def _fielded_index_dir_for(spark, sf_dir) -> str:
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_fidx_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(
+            spark,
+            _corpus_from_documents(spark, sf_dir),
+            out,
+            IndexConfig(
+                shuffle_partitions=8,
+                hot_df_threshold=1 << 30,
+                field_analyzers=(("content", "text"), ("lang", "keyword")),
+            ),
+        )
+    return out
+
+
+@register(
+    "ft_bm25_fielded_top10",
+    _bm25_sql(10, tok_sql=_FIELDED_TOK, qterms=FIELDED_QUERY_TERMS),
+)
+def ft_bm25_fielded_top10(spark, sf_dir):
+    from search_replica_spark.analysis.fields import field_query_terms
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    terms = field_query_terms("content", "spark") + field_query_terms(
+        "lang", "de", kind="keyword"
+    )
+    hits = TermAtATimeScorer(_OrigIdReader(spark, idx)).score(terms=terms, k=10)
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
 

@@ -440,14 +440,23 @@ class TermAtATimeScorer:
         self.r = reader
 
     def score(
-        self, query: str, k: int = 10, mode: str = "or", live: np.ndarray | None = None
+        self,
+        query: str = "",
+        k: int = 10,
+        mode: str = "or",
+        live: np.ndarray | None = None,
+        terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """mode="or": ES match default; mode="and": ES operator:and — every
         analyzed term must match (rank-identical to OracleIndex.score).
         ``live``: optional per-slot liveness mask (generational indexes:
-        superseded/tombstoned slots are skipped, Lucene liveDocs-style)."""
+        superseded/tombstoned slots are skipped, Lucene liveDocs-style).
+        ``terms``: pre-analyzed terms, bypassing tokenization — the entry
+        point for FIELDED queries ("lang:go"-style qualified terms from
+        analysis.fields.field_query_terms), whose ':' the standard analyzer
+        would split."""
         r = self.r
-        terms = sorted(set(tokenize_text(query)))
+        terms = sorted(set(terms)) if terms is not None else sorted(set(tokenize_text(query)))
         if not terms:
             return []
         doc_len, doc_ids = r.doc_arrays()

@@ -138,6 +138,51 @@ def add_generation(
     return stats
 
 
+METRICS_FILE = "metrics.json"
+
+
+def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
+    """K9 runtime observability for the replication loop — the engine's
+    analogue of the reference's Prometheus counters + /state healthcheck
+    (reference: state.go:9-17 healthcheck state; postgres/slot_lag.go:15-39
+    slot-lag gauge; postgres/replication.go:24-32 counter registry).
+
+    Derived from generations.json (the commit log), so it is always
+    consistent with what queries can see: generation counts, docs/tokens
+    indexed, tombstone totals, and the epoch watermark (= replication
+    progress, the LSN analogue). ``extra`` lets the streaming loop attach
+    per-batch gauges (rows, duration). Written atomically next to the
+    index; a metrics scraper tails this file instead of an HTTP endpoint —
+    the right shape for a Spark driver, which may not own a stable port.
+    """
+    import time as _time
+
+    gens = _load_gens(index_dir)
+    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
+    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
+    m = {
+        "generations": len(gens),
+        "live_generations": sum(1 for g in gens if g["dir"]),
+        "docs_indexed": int(sum(g["n_docs"] for g in gens)),
+        "tokens_indexed": int(sum(g["total_tokens"] for g in gens)),
+        "tombstones_total": int(sum(len(g.get("deleted_ids", ())) for g in gens)),
+        "last_epoch": max(epochs) if epochs else None,
+        "updated_unix": round(_time.time(), 3),
+    }
+    if extra:
+        m.update(extra)
+    tmp = os.path.join(index_dir, METRICS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, METRICS_FILE))
+    return m
+
+
+def read_metrics(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, METRICS_FILE)) as f:
+        return json.load(f)
+
+
 def index_stream(spark, input_dir: str, index_dir: str, schema: str,
                  cfg: IndexConfig | None = None, trigger: dict | None = None,
                  max_generations: int | None = None,
@@ -164,13 +209,21 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
     checkpoint = os.path.join(index_dir, "_checkpoint")
 
     def process(batch_df, epoch_id: int):
+        import time as _time
+
         if batch_df.isEmpty():
             return
-        add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
+        t0 = _time.time()
+        st = add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
         if max_generations is not None:
             gens = _load_gens(index_dir)
             if len(gens) > max_generations and sum(1 for g in gens if g["dir"]) >= 1:
                 merge_generations(spark, index_dir, cfg)
+        write_metrics(index_dir, {
+            "last_batch_docs": int(st.get("n_docs", 0)),
+            "last_batch_sec": round(_time.time() - t0, 3),
+            "last_batch_replayed": bool(st.get("replayed", False)),
+        })
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -679,5 +732,7 @@ __all__ = [
     "compact",
     "index_stream",
     "merge_generations",
+    "read_metrics",
     "tokenize_text",
+    "write_metrics",
 ]
