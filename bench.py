@@ -101,6 +101,23 @@ def main():
     queries["bm25_p50_tata"] = round(p50_tata, 4)
     queries["bm25_p50_wand"] = round(p50_wand, 4)
 
+    # distributed strategies (full Spark job per query — the 100 TB serving
+    # shape): unpruned vs block-max pruned over 10 reference queries
+    from search_replica_spark.query.bm25 import bm25_topk_spark, bm25_topk_spark_pruned
+
+    lat_dist, lat_pruned = [], []
+    for qtext, k in list(zip(qset["query_text"], qset["k"]))[:10]:
+        t = time.time()
+        bm25_topk_spark(spark, idx_dir, qtext, int(k)).collect()
+        lat_dist.append(time.time() - t)
+        t = time.time()
+        bm25_topk_spark_pruned(spark, idx_dir, qtext, int(k)).collect()
+        lat_pruned.append(time.time() - t)
+    lat_dist.sort()
+    lat_pruned.sort()
+    queries["bm25_p50_spark_dist"] = round(lat_dist[len(lat_dist) // 2], 4)
+    queries["bm25_p50_spark_pruned"] = round(lat_pruned[len(lat_pruned) // 2], 4)
+
     # serving mode: segments pinned in driver memory (how a query node
     # holds its shard) — per-query cost without the Spark-job round trip
     reader.pin_driver()

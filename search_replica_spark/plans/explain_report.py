@@ -58,9 +58,19 @@ CHECKS = {
         "why": "prefix filtering (df-ranked window, prefix tokens only) sits BELOW the self-join, so hot tokens cannot explode the join",
     },
     "dedup_simhash_hamming": {
-        "want": [],
+        "want": ["v1", "v2", "v3"],
         "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
-        "why": "hamming<=3 pairs via pigeonhole block equi-join (Manku), verified with popcount — never all-pairs",
+        "why": "hamming<=3 pairs via pigeonhole block equi-join (Manku C(6,3) table-duplication: key = combo + THREE ~11-bit blocks ≈ 2^32 buckets, so within-bucket expansion stays bounded at 10^9+ rows), verified with popcount — never all-pairs",
+    },
+    "b6b_has_parent_semijoin": {
+        "want": ["LeftSemi", "Filter"],
+        "avoid": ["CartesianProduct"],
+        "why": "has_parent = semi-join against the filtered parent side (inverse of has_child)",
+    },
+    "bm25_pruned_main_pass": {
+        "want": ["PushedFilters: [In(term", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "block-max pruned scorer: the main pass scans segment METADATA with term pushdown, broadcast-joins the tiny per-term threshold table, and only surviving blocks' payloads reach the Arrow decode",
     },
 }
 
@@ -87,6 +97,13 @@ def main():
     from search_replica_spark.query.bm25 import bm25_topk_spark
 
     plans["bm25_distributed"] = plan_of(bm25_topk_spark(spark, idx, "spark join window", 10))
+    plans["b6b_has_parent_semijoin"] = plan_of(reg["b6b_has_parent_semijoin"][0](spark, sf_dir))
+
+    from search_replica_spark.query.bm25 import bm25_topk_spark_pruned
+
+    plans["bm25_pruned_main_pass"] = plan_of(
+        bm25_topk_spark_pruned(spark, idx, "spark join window", 10)
+    )
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))

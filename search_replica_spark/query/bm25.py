@@ -67,14 +67,15 @@ class IndexReader:
         self._seg_df = None
         self._pinned: pd.DataFrame | None = None
 
-    def cache_segments(self):
+    def cache_segments(self, positions: bool = False):
         """Pin the segment store in Spark executor memory (hot-serving mode):
         repeated queries then pushdown-filter the cached columnar batches
-        instead of re-reading parquet."""
+        instead of re-reading parquet. Only the scorer columns are cached —
+        dls_bin (58% of segment bytes) never enters executor memory here."""
         if self._seg_df is None:
-            self._seg_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "segments")
-            ).cache()
+            seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+            cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
+            self._seg_df = seg.select(*[c for c in cols if c in seg.columns]).cache()
             self._seg_df.count()  # materialize
         return self._seg_df
 
