@@ -153,6 +153,31 @@ def encode_postings_blocks(
     return out
 
 
+def decode_doc_blocks(docs_bins, counts: np.ndarray, offs: np.ndarray | None = None) -> np.ndarray:
+    """Decode MANY delta-encoded doc blocks in ONE vectorized pass.
+
+    Equivalent to ``concatenate([delta_decode(b) + o for b, o in zip(...)])``
+    (tested identical) but with a single varint decode over the joined
+    buffers and one cumsum with per-block resets — a 1000-block posting
+    list costs ~4 NumPy calls instead of ~2000. ``counts`` is the per-block
+    posting count (the segment `n` column); ``offs`` the per-block doc_idx
+    offset (generational slot bases)."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas = varint_decode(b"".join(docs_bins)).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    cs = np.cumsum(deltas)
+    # each block's first delta is its absolute first doc: subtract the carry
+    base = cs[starts] - deltas[starts]
+    out = cs - np.repeat(base, counts)
+    if offs is not None:
+        out += np.repeat(np.ascontiguousarray(offs, dtype=np.int64), counts)
+    return out
+
+
 def split_blocks(doc_idx: np.ndarray, tf: np.ndarray, block_size: int = BLOCK_SIZE):
     """Yield (block_id, doc_idx_block, tf_block) chunks of a sorted posting list."""
     n = doc_idx.shape[0]

@@ -1,0 +1,83 @@
+"""Elasticsearch search-API aggregations, Spark-first (SURVEY §2B family).
+
+The reference serves its index through the full ES search API, and real ES
+users pair every query with aggregations — so an engine a reference user
+could "switch to" needs them. Each aggregation here is the exact ES
+semantics re-expressed as one Catalyst-optimized groupBy (partial
+aggregation map-side, one shuffle on the bucket key — the plan that holds
+at 100 TB), with a DuckDB twin:
+
+  - ``terms``           — top-N buckets of a keyword field, ES tie-break
+                          (doc_count desc, key asc)
+  - ``stats``           — count/min/max/sum/avg, here as a sub-aggregation
+                          inside a terms bucket (the idiomatic ES nesting)
+  - ``percentiles``     — exact linear-interpolation percentiles (ES uses
+                          TDigest approximations; we spec the exact value
+                          so the oracle can verify it bit-for-bit)
+
+Sums/avgs run over an integer column (n_chars), so cross-engine float
+summation order cannot perturb the EXACT value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_replica_spark.operators import load, register
+
+TOP_N = 3
+
+
+# ES terms aggregation over a keyword field: {"terms": {"field": "lang"}}.
+@register(
+    "agg_terms_lang",
+    f"""SELECT lang AS key, count(*) AS doc_count FROM documents
+        GROUP BY lang ORDER BY doc_count DESC, key LIMIT {TOP_N}""",
+)
+def agg_terms_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("lang").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(TOP_N)
+    )
+
+
+# ES stats sub-aggregation inside a terms bucket:
+# {"terms": {"field": "lang"}, "aggs": {"stats": {"field": "n_chars"}}}.
+@register(
+    "agg_stats_by_lang",
+    """SELECT lang AS key, count(*) AS cnt,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              sum(n_chars) AS sum_chars,
+              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def agg_stats_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+# ES percentiles aggregation (exact-interpolation spec; ES's own numbers are
+# TDigest approximations, so the deterministic exact value IS the contract
+# here): {"percentiles": {"field": "n_chars", "percents": [50, 95]}}.
+@register(
+    "agg_percentiles_by_lang",
+    """SELECT lang AS key,
+              round(quantile_cont(n_chars, 0.5), 6) AS p50,
+              round(quantile_cont(n_chars, 0.95), 6) AS p95
+       FROM documents GROUP BY lang""",
+)
+def agg_percentiles_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("lang").alias("key")).agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+    )

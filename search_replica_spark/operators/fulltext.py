@@ -203,6 +203,64 @@ def ft_prefix_multigen(spark, sf_dir):
     )
 
 
+# B5m: ES fuzzy query — edit-distance term expansion from the dict
+# (prefix_length=1 pins the range seek; fuzziness=2, levenshtein is
+# identical in both engines), constant-score doc set.
+@register(
+    "ft_fuzzy_match",
+    f"""WITH tok AS ({_TOK}),
+        exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+                WHERE term LIKE 's%' AND levenshtein(term, 'smal') <= 2
+                ORDER BY term LIMIT 50))
+        SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM exp)""",
+)
+def ft_fuzzy_match(spark, sf_dir):
+    from search_replica_spark.query.bm25 import fuzzy_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    ids = fuzzy_match(_OrigIdReader(spark, idx), "smal", fuzziness=2, prefix_length=1)
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5n: ES wildcard query — * / ? translate verbatim to SQL LIKE % / _;
+# the fixed prefix drives the dict range seek.
+@register(
+    "ft_wildcard_match",
+    f"""WITH tok AS ({_TOK}),
+        exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+                WHERE term LIKE 's%a%' ORDER BY term LIMIT 50))
+        SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM exp)""",
+)
+def ft_wildcard_match(spark, sf_dir):
+    from search_replica_spark.query.bm25 import wildcard_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    ids = wildcard_match(_OrigIdReader(spark, idx), "s*a*")
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5o: ES match_phrase_prefix — fixed terms at consecutive positions
+# immediately followed by any expansion of the trailing prefix (expansion
+# capped in term order, ES's own cap for this query). Positional index.
+@register(
+    "ft_match_phrase_prefix",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                           generate_subscripts(string_split(text, ' '), 1) AS ord
+                    FROM documents),
+       exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+               WHERE term LIKE 'ha%' ORDER BY term LIMIT 50))
+       SELECT DISTINCT a.doc_id
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       WHERE a.term = 'table' AND b.term IN (SELECT term FROM exp)""",
+)
+def ft_match_phrase_prefix(spark, sf_dir):
+    from search_replica_spark.query.bm25 import match_phrase_prefix
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    ids = match_phrase_prefix(_OrigIdReader(spark, idx), "table ha")
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
 def _phrase_sql(limit: int) -> str:
     """DuckDB twin of phrase_topk (Lucene PhraseQuery semantics): match =
     consecutive positions, tf = phrase frequency, idf = sum of term idfs."""

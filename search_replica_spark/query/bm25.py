@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from search_replica_spark.analysis import tokenize_text
 from search_replica_spark.index.codec import (
+    decode_doc_blocks,
     decode_position_flat,
     delta_decode,
     varint_decode,
@@ -75,7 +76,12 @@ class IndexReader:
         if self._seg_df is None:
             seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
             cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
-            self._seg_df = seg.select(*[c for c in cols if c in seg.columns]).cache()
+            # ~8 cached partitions is the local-mode latency sweet spot:
+            # enough scan parallelism per query, minimal per-task scheduling
+            # overhead (measured 24→8 parts: p50 134→116 ms)
+            self._seg_df = (
+                seg.select(*[c for c in cols if c in seg.columns]).coalesce(8).cache()
+            )
             self._seg_df.count()  # materialize
         return self._seg_df
 
@@ -123,7 +129,9 @@ class IndexReader:
                 return self._pinned.iloc[0:0].reset_index(drop=True)
             return self._pinned.loc[hit].reset_index(drop=True).sort_values(["term", "block_id"])
         seg = self._seg_df
-        if seg is None:
+        if seg is None or (positions and "npos_bin" not in seg.columns):
+            # cache built without position streams → serve a positional
+            # request straight from parquet rather than silently degrading
             seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
         cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
         cols = [c for c in cols if c in seg.columns]
@@ -155,15 +163,15 @@ class IndexReader:
         """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted.
         An optional per-block ``doc_off`` column (generational indexes: each
         generation's local doc_idx space starts at its slot base) is added to
-        the decoded ids."""
+        the decoded ids. Decode is one vectorized pass over ALL of a term's
+        blocks (decode_doc_blocks) — never a per-block Python loop."""
         blk = self.fetch_blocks(terms)
         out = {}
         for term, g in blk.groupby("term", sort=True):
-            offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
-            docs = np.concatenate(
-                [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
-            ).astype(np.int64)
-            tfs = np.concatenate([varint_decode(bb) for bb in g["tfs_bin"]]).astype(np.int64)
+            offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
+            counts = g["n"].to_numpy(np.int64)
+            docs = decode_doc_blocks(list(g["docs_bin"]), counts, offs)
+            tfs = varint_decode(b"".join(g["tfs_bin"])).astype(np.int64)
             out[term] = (docs, tfs, g)
         return out
 
@@ -539,16 +547,12 @@ def phrase_topk(
     per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, g in blk.groupby("term", sort=True):
         g = g.sort_values("block_id")
-        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else np.zeros(len(g), np.int64)
-        docs = np.concatenate(
-            [delta_decode(bb) + o for bb, o in zip(g["docs_bin"], offs)]
-        ).astype(np.int64)
-        cnt_parts, pos_parts = [], []
-        for npb, pb in zip(g["npos_bin"], g["pos_bin"]):
-            c, p = decode_position_flat(npb, pb)
-            cnt_parts.append(c)
-            pos_parts.append(p)
-        per_term[term] = (docs, np.concatenate(cnt_parts), np.concatenate(pos_parts))
+        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
+        docs = decode_doc_blocks(list(g["docs_bin"]), g["n"].to_numpy(np.int64), offs)
+        # per-block varint streams concatenate losslessly (each posting's
+        # first position delta is absolute) → ONE flat decode per term
+        counts, flat = decode_position_flat(b"".join(g["npos_bin"]), b"".join(g["pos_bin"]))
+        per_term[term] = (docs, counts, flat)
     if any(t not in per_term for t in qterms):
         return []  # a phrase term is absent from the corpus
     # candidate docs: intersection across the phrase's distinct terms
@@ -696,19 +700,208 @@ def prefix_match(
     so superseded/tombstoned docs never surface."""
     r = reader
     terms = r.expand_prefix(prefix.lower(), max_expansions)
+    out = _expansion_docs(r, terms, live)
+    return out[:k] if k is not None else out
+
+
+def _expansion_docs(
+    r: IndexReader, terms: list[str], live: np.ndarray | None
+) -> list[int]:
+    """Shared tail of the constant-score expansion queries (prefix / fuzzy /
+    wildcard): one multi-term posting fetch, union of slots, liveness mask,
+    doc_id-sorted list."""
     if not terms:
         return []
     if live is None:
         live = getattr(r, "_live", None)
     _, doc_ids = r.doc_arrays()
     postings = r.fetch_postings(terms)
+    if not postings:
+        return []
     slots = np.unique(np.concatenate([p[0] for p in postings.values()]))
     if live is not None:
         slots = slots[live[slots]]
-    out = np.sort(doc_ids[slots])
-    if k is not None:
-        out = out[:k]
-    return [int(x) for x in out]
+    return [int(x) for x in np.sort(doc_ids[slots])]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (insert/delete/substitute, unit costs) — the
+    same definition as DuckDB's levenshtein(), so the oracle is exact."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_match(
+    reader: IndexReader,
+    term: str,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int | None = 50,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES fuzzy query (constant-score): docs containing any term within
+    ``fuzziness`` edits of ``term``. ``prefix_length`` (ES default 0; ours 1
+    — the scale-sane setting ES docs themselves recommend) pins the first
+    characters so expansion is a pushed-down dictionary RANGE seek, never a
+    dict scan; candidates are then edit-distance-filtered driver-side (the
+    range is small by construction) and capped at ``max_expansions`` in term
+    order. Edit distance matches DuckDB's levenshtein() exactly."""
+    r = reader
+    q = term.lower()
+    if prefix_length <= 0:
+        raise ValueError("prefix_length must be >= 1 (a dict scan is not a plan)")
+    pre = q[:prefix_length]
+    cand = r.expand_prefix(pre, None)
+    terms = [t for t in cand if _levenshtein(t, q) <= fuzziness]
+    if max_expansions is not None:
+        terms = terms[:max_expansions]
+    out = _expansion_docs(r, terms, live)
+    return out[:k] if k is not None else out
+
+
+def wildcard_match(
+    reader: IndexReader,
+    pattern: str,
+    max_expansions: int | None = 50,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES wildcard query (constant-score): ``*`` = any run, ``?`` = one
+    char — exactly SQL LIKE's %/_ (the oracle translates verbatim). The
+    fixed prefix before the first wildcard drives the dictionary range
+    seek; the residual pattern filters the (small) expansion driver-side.
+    A leading-wildcard pattern is refused, as ES operators do in practice —
+    it cannot seek and would scan the whole term dictionary."""
+    import re as _re
+
+    r = reader
+    pat = pattern.lower()
+    fixed = _re.split(r"[*?]", pat, maxsplit=1)[0]
+    if not fixed:
+        raise ValueError("leading-wildcard pattern would scan the whole dictionary")
+    rx = _re.compile(
+        "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch) for ch in pat
+        )
+        + r"\Z"
+    )
+    cand = r.expand_prefix(fixed, None)
+    terms = [t for t in cand if rx.match(t)]
+    if max_expansions is not None:
+        terms = terms[:max_expansions]
+    out = _expansion_docs(r, terms, live)
+    return out[:k] if k is not None else out
+
+
+def match_phrase_prefix(
+    reader: IndexReader,
+    phrase: str,
+    k: int | None = None,
+    max_expansions: int | None = 50,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES match_phrase_prefix (constant-score spec): the last analyzed term
+    is a PREFIX; a doc matches when the fixed terms occur at consecutive
+    positions immediately followed by any expansion of the prefix
+    (expansion = dictionary range seek, capped at ``max_expansions`` in term
+    order — ES's own cap for this query). Returns matching doc_ids sorted
+    (constant score → doc_id tie-break), like the other expansion queries.
+    Requires a positional index."""
+    r = reader
+    qterms = tokenize_text(phrase)
+    if not qterms:
+        return []
+    fixed, pre = qterms[:-1], qterms[-1]
+    expansions = r.expand_prefix(pre, max_expansions)
+    if not expansions:
+        return []
+    if not fixed:
+        out = _expansion_docs(r, expansions, live)
+        return out[:k] if k is not None else out
+    if live is None:
+        live = getattr(r, "_live", None)
+    _, doc_ids = r.doc_arrays()
+    uniq = sorted(set(fixed) | set(expansions))
+    blk = r.fetch_blocks(uniq, positions=True)
+    if len(blk) == 0 or "npos_bin" not in blk:
+        return [] if len(blk) == 0 else _raise_no_positions()
+    if blk["npos_bin"].map(len).sum() == 0:
+        _raise_no_positions()
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for term, g in blk.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
+        docs = decode_doc_blocks(list(g["docs_bin"]), g["n"].to_numpy(np.int64), offs)
+        counts, flat = decode_position_flat(b"".join(g["npos_bin"]), b"".join(g["pos_bin"]))
+        per_term[term] = (docs, counts, flat)
+    if any(t not in per_term for t in fixed):
+        return []
+    # candidates: all fixed terms AND at least one expansion
+    cand = per_term[fixed[0]][0]
+    for t in sorted(set(fixed[1:])):
+        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    exp_present = [t for t in expansions if t in per_term]
+    if not exp_present or cand.size == 0:
+        return []
+    exp_docs = np.unique(np.concatenate([per_term[t][0] for t in exp_present]))
+    cand = np.intersect1d(cand, exp_docs, assume_unique=True)
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
+    if cand.size == 0:
+        return []
+
+    max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
+    big = np.int64(2 * (max_pos + len(qterms)) + 2)
+
+    def _gather(term):
+        """Candidate-ordered flat positions, tolerating docs the term lacks
+        (zero-count slices)."""
+        docs_t, counts_t, flat_t = per_term[term]
+        idx = np.searchsorted(docs_t, cand)
+        idx_c = np.minimum(idx, docs_t.size - 1)
+        present = docs_t[idx_c] == cand
+        ends_t = np.cumsum(counts_t)
+        starts_t = ends_t - counts_t
+        sc = np.where(present, counts_t[idx_c], 0)
+        ss = np.where(present, starts_t[idx_c], 0)
+        total = int(sc.sum())
+        o_ends = np.cumsum(sc)
+        o_starts = o_ends - sc
+        take = np.arange(total, dtype=np.int64) - np.repeat(o_starts, sc) + np.repeat(ss, sc)
+        drank = np.repeat(np.arange(cand.size, dtype=np.int64), sc)
+        return flat_t[take] + drank * big, drank
+
+    base_sh, base_rank = _gather(fixed[0])
+    ok = np.ones(base_sh.shape, dtype=bool)
+    for i, t in enumerate(fixed[1:], start=1):
+        tp, _ = _gather(t)
+        want = base_sh + i
+        j = np.minimum(np.searchsorted(tp, want), max(tp.size - 1, 0))
+        ok &= tp.size > 0
+        if tp.size:
+            ok &= tp[j] == want
+    want_last = base_sh + len(fixed)
+    last_ok = np.zeros(base_sh.shape, dtype=bool)
+    for t in exp_present:
+        tp, _ = _gather(t)
+        if tp.size == 0:
+            continue
+        j = np.minimum(np.searchsorted(tp, want_last), tp.size - 1)
+        last_ok |= tp[j] == want_last
+    ok &= last_ok
+    hit_ranks = np.unique(base_rank[ok])
+    out = sorted(int(x) for x in doc_ids[cand[hit_ranks]])
+    return out[:k] if k is not None else out
 
 
 def sharded_topk(
@@ -918,10 +1111,8 @@ def wand_topk(
         # single-cursor WAND degenerates to a full walk — score vectorized
         # instead (identical results, no per-posting Python)
         c = cursors[0]
-        docs = np.concatenate(
-            [delta_decode(b) + o for b, o in zip(c.docs_bins, c.doc_offs)]
-        ).astype(np.int64)
-        tf = np.concatenate([varint_decode(b) for b in c.tfs_bins]).astype(np.float64)
+        docs = decode_doc_blocks(c.docs_bins, c.blk_n, c.doc_offs)
+        tf = varint_decode(b"".join(c.tfs_bins)).astype(np.float64)
         if live is not None:
             keep = live[docs]
             docs, tf = docs[keep], tf[keep]

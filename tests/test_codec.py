@@ -104,3 +104,29 @@ def test_blocks_with_doclens_roundtrip(gaps, bs):
     assert (np.concatenate(got_d).astype(np.int64) == docs).all()
     assert (np.concatenate(got_t).astype(np.int64) == tf).all()
     assert (np.concatenate(got_l).astype(np.int64) == dl).all()
+
+
+def test_decode_doc_blocks_equals_per_block_decode():
+    import numpy as np
+
+    from search_replica_spark.index.codec import (
+        decode_doc_blocks,
+        delta_decode,
+        encode_postings_blocks,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = np.unique(rng.integers(0, 500_000, size=9000)).astype(np.int64)
+    tf = rng.integers(1, 30, size=docs.size).astype(np.int64)
+    score = rng.random(docs.size)
+    blocks = encode_postings_blocks(docs, tf, score, block_size=128)
+    bins = [b[4] for b in blocks]
+    counts = np.array([b[0] for b in blocks], dtype=np.int64)
+    offs = rng.integers(0, 10, size=len(blocks)).astype(np.int64) * 1_000_000
+    want = np.concatenate(
+        [delta_decode(b).astype(np.int64) + o for b, o in zip(bins, offs)]
+    )
+    got = decode_doc_blocks(bins, counts, offs)
+    assert np.array_equal(got, want)
+    assert np.array_equal(decode_doc_blocks(bins, counts), want - np.repeat(offs, counts))
+    assert decode_doc_blocks([], np.array([], dtype=np.int64)).size == 0

@@ -451,3 +451,76 @@ def test_fielded_requires_jvm_and_known_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="jvm tokenizer"):
         build_index(spark, spark.createDataFrame(pdf), str(tmp_path / "b"), bad2)
+
+
+# ---------------------------------------------------------------------------
+# ES query-API widening: fuzzy / wildcard / match_phrase_prefix
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def esq_index(spark, tmp_path_factory):
+    rows = [
+        ("r0", "e/0.py", "alpha table hash beta"),
+        ("r0", "e/1.py", "table haze gamma"),
+        ("r0", "e/2.py", "table of hash"),          # not consecutive
+        ("r0", "e/3.py", "hash table delta"),        # wrong order
+        ("r0", "e/4.py", "slow small sort epsilon"),
+        ("r0", "e/5.py", "spark scan stream"),
+        ("r0", "e/6.py", "table hatch zeta"),
+    ]
+    out = str(tmp_path_factory.mktemp("esq"))
+    build_index(spark, spark.createDataFrame(_mk_docs(rows)), out, PCFG)
+    return out
+
+
+def test_fuzzy_match_levenshtein_expansion(spark, esq_index):
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import fuzzy_match
+
+    r = IndexReader(spark, esq_index)
+    # "smal" within 2 edits, prefix 's': small(1), scan(2), slow(3 → out),
+    # sort(3 → out), spark(3 → out), stream(4 → out)
+    ids = fuzzy_match(r, "smal", fuzziness=2, prefix_length=1)
+    assert set(ids) == {doc_id_of("r0", "e/4.py"), doc_id_of("r0", "e/5.py")}
+    ids1 = fuzzy_match(r, "smal", fuzziness=1, prefix_length=1)
+    assert set(ids1) == {doc_id_of("r0", "e/4.py")}  # only small
+    with pytest.raises(ValueError, match="prefix_length"):
+        fuzzy_match(r, "smal", prefix_length=0)
+
+
+def test_wildcard_match_like_semantics(spark, esq_index):
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import wildcard_match
+
+    r = IndexReader(spark, esq_index)
+    # h?s* → hash only (haze: z≠s; hatch: 5 chars h-a-t-c-h, pos3≠s)
+    ids = wildcard_match(r, "h?s*")
+    assert set(ids) == {
+        doc_id_of("r0", "e/0.py"), doc_id_of("r0", "e/2.py"), doc_id_of("r0", "e/3.py")
+    }
+    with pytest.raises(ValueError, match="leading-wildcard"):
+        wildcard_match(r, "*ash")
+
+
+def test_match_phrase_prefix_consecutive_and_expansion(spark, esq_index):
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import match_phrase_prefix
+
+    r = IndexReader(spark, esq_index)
+    # "table ha*": hash/haze/hatch immediately after 'table'
+    ids = match_phrase_prefix(r, "table ha")
+    assert set(ids) == {
+        doc_id_of("r0", "e/0.py"),  # table hash
+        doc_id_of("r0", "e/1.py"),  # table haze
+        doc_id_of("r0", "e/6.py"),  # table hatch
+    }
+    # cap at 1 expansion → only 'hash' (term order: hash < hatch < haze)
+    ids_cap = match_phrase_prefix(r, "table ha", max_expansions=1)
+    assert set(ids_cap) == {doc_id_of("r0", "e/0.py")}
+    # no fixed terms → degenerates to prefix_match
+    from search_replica_spark.query.bm25 import prefix_match
+
+    assert match_phrase_prefix(r, "ha") == prefix_match(r, "ha")
+    # absent prefix → empty
+    assert match_phrase_prefix(r, "table zz") == []
