@@ -38,6 +38,13 @@ def _default_cpus() -> int:
 
 
 def main():
+    # external-load fingerprint: captured BEFORE any work — loadavg_before_build
+    # below is taken after the warmup build, so it includes bench's own tail
+    try:
+        with open("/proc/loadavg") as f:
+            load_at_start = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        load_at_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or _default_cpus()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -186,6 +193,7 @@ def main():
         "detail": {
             "corpus_files": n_files,
             "cpus": cpus,
+            "loadavg_at_start": load_at_start,
             "loadavg_before_build": load_before,
             "loadavg_after_build": load_after,
             "build_sec": round(build_sec, 3),

@@ -73,7 +73,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="Lucene-style merge policy: collapse generations when "
                          "the count exceeds this (merge uses index data only)")
 
+    m = sub.add_parser(
+        "metrics",
+        help="print the replication-loop metrics surface (K9 — the "
+        "reference's /state healthcheck + slot-lag analogue); no Spark "
+        "session needed",
+    )
+    m.add_argument("--index-dir", required=True)
+    m.add_argument("--refresh", action="store_true",
+                   help="recompute from generations.json before printing")
+
     args = p.parse_args(argv)
+    if args.cmd == "metrics":  # pure file read — no Spark session
+        from search_replica_spark.streaming.incremental import read_metrics, write_metrics
+
+        out = write_metrics(args.index_dir) if args.refresh else read_metrics(args.index_dir)
+        print(json.dumps(out))
+        return 0
+
     spark = _spark(args)
 
     if args.cmd == "build":

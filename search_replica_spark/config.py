@@ -66,6 +66,14 @@ class IndexConfig:
     # doclens), the classic Lucene omitTermFreqAndPositions trade. Requires
     # the jvm tokenizer (posexplode supplies positions).
     store_positions: bool = False
+    # persist the full source row (every input column, content included) in
+    # the per-index docs/ store — Lucene stored-fields/_source parity. Off by
+    # default (docs/ then carries only identity + stats columns). Required
+    # for partial updates (ES `_update {"doc": ...}`, reference
+    # postgres/table.go:143-151): the engine resolves a partial row by
+    # merging its non-null columns over the latest stored version and
+    # re-indexing the merged doc — exactly what ES does internally.
+    store_source: bool = False
 
 
 def default_parallelism() -> int:

@@ -295,7 +295,12 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     # memory-bandwidth the tokenizer needs
     postings = spark.read.parquet(os.path.join(out, "postings"))
     doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    doc_meta = docs.select("doc_id", "repo", "path", "lang", "content_sha256")
+    meta_cols = ["doc_id", "repo", "path", "lang", "content_sha256"]
+    if cfg.store_source:
+        # stored fields / _source (Lucene parity): every input column rides
+        # in docs/ so partial updates and GET-by-id can resolve the full doc
+        meta_cols += [c for c in cfg.input_columns if c not in meta_cols]
+    doc_meta = docs.select(*meta_cols)
     # identity guard: a doc_id seen twice means duplicate (repo, path) input
     # rows or a 60-bit hash collision — either would silently merge postings
     # and doc stats, so fail fast (one narrow agg; content is pruned away)
@@ -407,6 +412,7 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "b": cfg.b,
         "store_doclens": cfg.store_doclens,
         "store_positions": cfg.store_positions,
+        "store_source": cfg.store_source,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }

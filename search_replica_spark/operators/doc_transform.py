@@ -245,3 +245,89 @@ def b8_routing_fetch(spark, sf_dir):
         F.concat(F.lit("orders_"), F.col("o_orderkey").cast("string")).alias("doc_key"),
         "o_totalprice",
     )
+
+
+# P17: ES partial update — `_update {"doc": ...}` shallow field merge
+# (reference: EncodeUpdateRowJSON, postgres/table.go:143-151; ES resolves it
+# as get _source → merge non-null fields → reindex). Pure read-time form:
+# given a base table and a sequenced stream of partial rows (null = field
+# unchanged), produce the current merged view. Per-column last-non-null-wins
+# by seq is ONE partial-aggregating groupBy (max over (seq, value) structs —
+# no window sort), then a single equi-join + coalesce against the base:
+# both shuffles key on doc_id, the scale-correct shape. The engine-side
+# twin of this (merge against the stored _source inside the generational
+# index) is streaming/incremental.py:_resolve_partial_updates.
+def partial_update_merge(base, updates, key: str = "doc_id", seq: str = "_seq"):
+    """Merged current view of ``base`` under ``updates`` (ES _update
+    semantics). ``updates``: key + seq + any subset of base's columns,
+    null meaning "unchanged"."""
+    upd_cols = [c for c in base.columns if c != key and c in updates.columns]
+    picked = updates.groupBy(key).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(seq).alias("s"), F.col(c).alias("v")),
+                )
+            )["v"].alias(f"_u_{c}")
+            for c in upd_cols
+        ]
+    )
+    merged = base.join(picked, key, "left")
+    out = [F.col(key)] + [
+        (F.coalesce(F.col(f"_u_{c}"), F.col(c)) if c in upd_cols else F.col(c)).alias(c)
+        for c in base.columns
+        if c != key
+    ]
+    return merged.select(*out)
+
+
+_P17_SQL = """
+WITH upd AS (
+  SELECT doc_id, 1 AS seq, CAST(NULL AS VARCHAR) AS text, 'xx' AS lang,
+         CAST(NULL AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 2, NULL, NULL, 'moved' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'PATCHED', NULL, NULL FROM documents WHERE doc_id % 20 = 0
+),
+last AS (
+  SELECT doc_id,
+         max_by(text, seq) FILTER (WHERE text IS NOT NULL) AS text,
+         max_by(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang,
+         max_by(source, seq) FILTER (WHERE source IS NOT NULL) AS source
+  FROM upd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(l.text, d.text) AS text,
+       coalesce(l.lang, d.lang) AS lang,
+       coalesce(l.source, d.source) AS source,
+       d.n_chars
+FROM documents d LEFT JOIN last l USING (doc_id)
+"""
+
+
+@register("p17_partial_update_merge", _P17_SQL)
+def p17_partial_update_merge(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    nulls = F.lit(None).cast("string")
+    upd = (
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.lit(1).alias("_seq"), nulls.alias("text"),
+            F.lit("xx").alias("lang"), nulls.alias("source"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                "doc_id", F.lit(2).alias("_seq"), nulls.alias("text"),
+                nulls.alias("lang"), F.lit("moved").alias("source"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 20 == 0).select(
+                "doc_id", F.lit(3).alias("_seq"), F.lit("PATCHED").alias("text"),
+                nulls.alias("lang"), nulls.alias("source"),
+            )
+        )
+    )
+    return partial_update_merge(d, upd)

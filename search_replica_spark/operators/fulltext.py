@@ -528,6 +528,28 @@ def ft_bm25_fielded_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+# B5p: ES multi_match, most_fields mode — the query text is analyzed PER
+# FIELD (text analyzer for content, keyword for lang) and the score is the
+# SUM of every matching field's BM25 contribution, which in the field:term
+# space is exactly a bool/should over the per-field terms.
+MULTI_MATCH_TERMS = ("content:de", "lang:de")
+
+
+@register(
+    "ft_multi_match_most_fields",
+    _bm25_sql(10, tok_sql=_FIELDED_TOK, qterms=MULTI_MATCH_TERMS),
+)
+def ft_multi_match_most_fields(spark, sf_dir):
+    from search_replica_spark.analysis.fields import field_query_terms
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    terms = field_query_terms("content", "de") + field_query_terms("lang", "de", kind="keyword")
+    hits = TermAtATimeScorer(_OrigIdReader(spark, idx)).score(terms=terms, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 # B5e: the distributed strategy over a GENERATIONAL index with streamed
 # deletes (reuses the cdc harness index: gen 0 = all documents, gen 1 =
 # tombstones for doc_id % 7 == 0). ES/Lucene stats semantics: N, avgdl and

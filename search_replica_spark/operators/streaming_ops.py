@@ -99,3 +99,53 @@ def cdc_delete_live_docs(spark, sf_dir):
     return docs.join(live_df, "doc_id").select(
         F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id")
     )
+
+
+# P17/B9 engine form of the partial update: run the REAL generational
+# engine with stored _source (IndexConfig.store_source) — gen 0 indexes
+# every document, gen 1 is a `_change_type='update_partial'` batch that
+# changes ONLY lang for doc_id % 7 == 3 (content/commit null = unchanged).
+# add_generation resolves the partials against the gen-0 stored _source
+# (get → merge → reindex, exactly ES's `_update {"doc": ...}` path,
+# reference postgres/table.go:143-151) and the re-indexed docs supersede
+# their gen-0 versions. Reading source_view back must show the new lang
+# with the ORIGINAL text — proving unchanged columns survived the merge.
+@register(
+    "cdc_partial_update_source",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+              text FROM documents""",
+)
+def cdc_partial_update_source(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.operators.fulltext import _corpus_from_documents
+    from search_replica_spark.streaming.incremental import (
+        _load_gens,
+        add_generation,
+        source_view,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_pud_{tag}_v1"
+    cfg = IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30, store_source=True)
+    if len(_load_gens(idx)) != 2:
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _corpus_from_documents(spark, sf_dir)
+        add_generation(spark, corpus, idx, cfg)
+        orig_id = F.split(F.col("path"), "_").getItem(1).cast("long")
+        nulls = F.lit(None).cast("string")
+        partials = corpus.filter(orig_id % 7 == 3).select(
+            "repo", "path", nulls.alias("commit"),
+            F.lit("xx").alias("lang"), nulls.alias("content"),
+            F.lit("update_partial").alias("_change_type"),
+        )
+        add_generation(spark, partials, idx, cfg)
+    cur = source_view(spark, idx)
+    return cur.select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
+        "lang",
+        F.col("content").alias("text"),
+    )

@@ -58,7 +58,8 @@ from search_replica_spark.index.build import build_index, with_doc_ids
 from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer, wand_topk
 
 GENS_FILE = "generations.json"
-CHANGE_COL = "_change_type"  # insert | update | delete (Iceberg CDC dialect)
+CHANGE_COL = "_change_type"  # insert | update | update_partial | delete
+# (Iceberg CDC dialect + ES's partial-update bulk op, table.go:143-151)
 
 
 def _load_gens(index_dir: str) -> list[dict]:
@@ -77,6 +78,113 @@ def _save_gens(index_dir: str, gens: list[dict]) -> None:
     os.replace(tmp, os.path.join(index_dir, GENS_FILE))
 
 
+def source_view(spark, index_dir: str):
+    """Current live document state as a DataFrame — ES GET/_source parity.
+
+    Unions every generation's docs/ store, keeps each doc_id's
+    latest-generation row (last-wins, one ``max(struct(gen, ...))`` partial
+    aggregation — no window sort), then drops rows covered by a strictly
+    later tombstone (same semantics as ``MultiGenReader._liveness``: a
+    generation's own upserts beat its tombstones).
+
+    With ``IndexConfig(store_source=True)`` builds, the view carries every
+    input column (content included) — the stored-fields half of Lucene that
+    partial updates and fetch-by-id resolve against. Scale shape: one
+    shuffle on doc_id over the docs stores (tiny vs segments) plus a
+    broadcast of the tombstone set.
+    """
+    gens = _load_gens(index_dir)
+    doc_gens = [g for g in gens if g["dir"]]
+    if not doc_gens:
+        raise ValueError(f"no document generations in {index_dir}")
+    uni = None
+    for g in doc_gens:
+        part = spark.read.parquet(os.path.join(g["dir"], "docs")).withColumn(
+            "_gen", F.lit(int(g["gen"]))
+        )
+        uni = part if uni is None else uni.unionByName(part, allowMissingColumns=True)
+    val_cols = [c for c in uni.columns if c not in ("doc_id", "doc_idx", "_gen")]
+    picked = (
+        uni.groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("_gen"), *[F.col(c) for c in val_cols])).alias("_s"))
+        .select("doc_id", "_s.*")
+    )
+    del_gen: dict[int, int] = {}
+    for g in gens:
+        for d in g.get("deleted_ids", ()):
+            del_gen[int(d)] = max(del_gen.get(int(d), -1), int(g["gen"]))
+    if del_gen:
+        dels = spark.createDataFrame(
+            [(k, v) for k, v in del_gen.items()], "doc_id long, _del_gen long"
+        )
+        picked = (
+            picked.join(F.broadcast(dels), "doc_id", "left")
+            .filter(F.col("_del_gen").isNull() | (F.col("_del_gen") <= F.col("_gen")))
+            .drop("_del_gen")
+        )
+    return picked.drop("_gen")
+
+
+def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
+    """ES ``_update {"doc": ...}`` resolution (reference: EncodeUpdateRowJSON,
+    postgres/table.go:143-151): merge each partial row's NON-NULL columns
+    over the latest stored version of its (repo, path) doc and return full
+    rows ready for re-indexing — exactly what ES does internally
+    (get _source → shallow field merge → reindex).
+
+    An optional ``_seq`` column orders multiple partials for one key within
+    a batch (the reference applies WAL changes in LSN order); without it,
+    duplicate keys in one batch reach the build's duplicate-doc_id guard and
+    fail fast. Updates to missing/deleted docs are dropped and counted —
+    the reference ignores document_missing_exception the same way
+    (search/errors.go:9-47).
+
+    Returns (merged_full_rows_df, n_missing).
+    """
+    if not cfg.store_source:
+        raise ValueError(
+            "_change_type='update_partial' requires IndexConfig(store_source=True): "
+            "the engine must read the stored _source to merge unchanged columns "
+            "(ES resolves _update the same way)"
+        )
+    others = [c for c in cfg.input_columns if c not in ("repo", "path")]
+    if "_seq" in partials.columns:
+        aggs = [
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("_seq").alias("s"), F.col(c).alias("v")),
+                )
+            )["v"].alias(c)
+            for c in others
+        ]
+        partials = partials.groupBy("repo", "path").agg(*aggs)
+    else:
+        partials = partials.select("repo", "path", *others)
+    cur = source_view(spark, index_dir)
+    missing_src = [c for c in others if c not in cur.columns]
+    if missing_src:
+        raise ValueError(
+            f"stored _source lacks columns {missing_src}: earlier generations "
+            "were built without store_source=True — compact() with "
+            "store_source before applying partial updates"
+        )
+    cur_sel = cur.select(
+        "repo", "path", *[F.col(c).alias(f"_cur_{c}") for c in others]
+    )
+    merged = cur_sel.join(F.broadcast(partials), ["repo", "path"], "inner").select(
+        "repo",
+        "path",
+        *[F.coalesce(F.col(c), F.col(f"_cur_{c}")).alias(c) for c in others],
+    )
+    # one docs-store probe scan per micro-batch (the distributed analogue of
+    # ES's per-update GET): cache the merged rows so the count here and the
+    # build stages downstream don't re-run the scan
+    merged = merged.persist()
+    n_missing = partials.count() - merged.count()
+    return merged, int(n_missing)
+
+
 def add_generation(
     spark,
     batch_df,
@@ -87,7 +195,10 @@ def add_generation(
     """Index one micro-batch as a new generation; returns its stats.
 
     Rows with ``_change_type = 'delete'`` become tombstones (only their
-    (repo, path) key is used); everything else is upserted. Passing the
+    (repo, path) key is used); ``'update_partial'`` rows carry a SUBSET of
+    columns (null = unchanged) and are resolved against the stored _source
+    before indexing (see ``_resolve_partial_updates``; requires
+    ``store_source=True`` builds); everything else is upserted. Passing the
     foreachBatch ``epoch_id`` makes replays of an already-committed epoch
     a no-op (exactly-once generation content over at-least-once delivery).
     """
@@ -103,6 +214,8 @@ def add_generation(
                         "replayed": True}
 
     deleted_ids: list[int] = []
+    partial_missing = 0
+    merged_partials = None
     if CHANGE_COL in batch_df.columns:
         dels = batch_df.filter(F.col(CHANGE_COL) == "delete")
         deleted_ids = sorted(
@@ -110,9 +223,16 @@ def add_generation(
             for r in with_doc_ids(dels.withColumn("content", F.lit("")))
             .select("doc_id").distinct().collect()
         )
+        partials = batch_df.filter(F.col(CHANGE_COL) == "update_partial")
         batch_df = batch_df.filter(
-            (F.col(CHANGE_COL) != "delete") | F.col(CHANGE_COL).isNull()
+            (~F.col(CHANGE_COL).isin("delete", "update_partial"))
+            | F.col(CHANGE_COL).isNull()
         ).drop(CHANGE_COL)
+        if not partials.isEmpty():
+            merged_partials, partial_missing = _resolve_partial_updates(
+                spark, partials.drop(CHANGE_COL), index_dir, cfg
+            )
+            batch_df = batch_df.select(*cfg.input_columns).unionByName(merged_partials)
 
     gen_id = len(gens)
     gen_dir = os.path.join(index_dir, f"gen={gen_id}")
@@ -124,6 +244,9 @@ def add_generation(
         # transient sink failures retry with backoff; schema errors escalate
         # (K6 taxonomy — reference search/errors.go:9-47)
         stats = with_retries(lambda: build_index(spark, batch_df, gen_dir, cfg))
+    if merged_partials is not None:
+        merged_partials.unpersist()
+        stats["partial_updates_missing"] = partial_missing
     gens.append(
         {
             "gen": gen_id,

@@ -1,0 +1,147 @@
+"""ES partial update (`_update {"doc": ...}`, reference postgres/table.go:
+143-151) — stored _source, engine-side get→merge→reindex, and the pure
+read-time merge operator."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.corpus import generate_corpus
+from search_replica_spark.index.build import build_index
+from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+from search_replica_spark.streaming.incremental import (
+    MultiGenReader,
+    add_generation,
+    source_view,
+)
+
+CFG = IndexConfig(
+    shuffle_partitions=4, hot_df_threshold=200, salt_range_docs=256, store_source=True
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(80)
+
+
+def _partial(rows: pd.DataFrame, **cols) -> pd.DataFrame:
+    p = rows[["repo", "path"]].copy()
+    for c in ("commit", "lang", "content"):
+        p[c] = cols.get(c)
+    p["_change_type"] = "update_partial"
+    return p
+
+
+def test_store_source_persists_content(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus), out, CFG)
+    docs = spark.read.parquet(out + "/docs")
+    assert "content" in docs.columns and "commit" in docs.columns
+    got = {r["path"]: r["content"] for r in docs.select("path", "content").collect()}
+    want = dict(zip(corpus["path"], corpus["content"]))
+    assert got == want
+
+
+def test_partial_update_merges_and_supersedes(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus), idx, CFG)
+    # change lang only for 3 docs; content/commit stay
+    upd = _partial(corpus.iloc[:3], lang="zz")
+    st = add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    assert st["n_docs"] == 3 and st["partial_updates_missing"] == 0
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    assert len(cur) == len(corpus)  # supersession: one live row per doc
+    for _, row in corpus.iterrows():
+        assert cur.loc[row["path"], "content"] == row["content"]
+        want_lang = "zz" if row["path"] in set(corpus.iloc[:3]["path"]) else row["lang"]
+        assert cur.loc[row["path"], "lang"] == want_lang
+    # the re-indexed docs supersede gen-0: each doc visible exactly once
+    mg = MultiGenReader(spark, idx)
+    assert int(mg._live.sum()) == len(corpus)
+
+
+def test_partial_content_update_is_searchable(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus), idx, CFG)
+    upd = _partial(corpus.iloc[[5]], content="qqzzunique marker retained")
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    mg = MultiGenReader(spark, idx)
+    hits = mg.score("qqzzunique", 10)
+    assert len(hits) == 1
+    # and the lang column survived the content-only update
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    assert cur.loc[corpus.iloc[5]["path"], "lang"] == corpus.iloc[5]["lang"]
+
+
+def test_partial_to_missing_or_deleted_doc_is_dropped(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:20]), idx, CFG)
+    dels = corpus.iloc[[0]].copy()
+    dels["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(dels), idx, CFG)
+    # one update to a deleted doc, one to a never-indexed doc, one real
+    upd = pd.concat(
+        [_partial(corpus.iloc[[0]], lang="aa"), _partial(corpus.iloc[[50]], lang="bb"),
+         _partial(corpus.iloc[[1]], lang="cc")],
+        ignore_index=True,
+    )
+    st = add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    assert st["n_docs"] == 1 and st["partial_updates_missing"] == 2
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    assert len(cur) == 19  # 20 - deleted
+    assert cur.loc[corpus.iloc[1]["path"], "lang"] == "cc"
+    assert corpus.iloc[0]["path"] not in cur.index
+
+
+def test_seq_orders_partials_within_batch(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    row = corpus.iloc[[2]]
+    upd = pd.concat(
+        [_partial(row, lang="first"), _partial(row, lang="last", commit="c2")],
+        ignore_index=True,
+    )
+    upd["_seq"] = [1, 2]
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    r = cur.loc[row["path"].iloc[0]]
+    assert r["lang"] == "last" and r["commit"] == "c2"
+    assert r["content"] == row["content"].iloc[0]
+
+
+def test_partial_requires_store_source(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(shuffle_partitions=4, hot_df_threshold=200)
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, cfg)
+    upd = _partial(corpus.iloc[[0]], lang="zz")
+    with pytest.raises(ValueError, match="store_source"):
+        add_generation(spark, spark.createDataFrame(upd), idx, cfg)
+
+
+def test_source_view_tombstone_and_revive(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    dels = corpus.iloc[[3]].copy()
+    dels["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(dels), idx, CFG)
+    assert len(source_view(spark, idx).toPandas()) == 9
+    # re-insert revives (upsert at a later generation than the tombstone)
+    add_generation(spark, spark.createDataFrame(corpus.iloc[[3]]), idx, CFG)
+    cur = source_view(spark, idx).toPandas()
+    assert len(cur) == 10
+
+
+def test_pure_operator_matches_engine_semantics(spark):
+    from search_replica_spark.operators.doc_transform import partial_update_merge
+
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, s string, t string"
+    )
+    upd = spark.createDataFrame(
+        [(1, 1, None, "T1"), (1, 2, "S2", None)],
+        "doc_id long, _seq int, s string, t string",
+    )
+    got = {r["doc_id"]: (r["s"], r["t"]) for r in partial_update_merge(base, upd).collect()}
+    assert got == {1: ("S2", "T1"), 2: ("b", "y")}
