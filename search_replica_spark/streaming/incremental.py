@@ -185,6 +185,30 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
     return merged, int(n_missing)
 
 
+def scripted_update(spark, index_dir: str, where: str, set_exprs: dict, cfg=None):
+    """ES scripted update (`_update {"script": ...}` — the last of the
+    reference's B9 bulk-op family, table.go:56-63 / SURVEY §2A B9): apply an
+    expression to the CURRENT state of every doc matching ``where`` and
+    re-index the results as a new superseding generation.
+
+    The scripting language is Spark SQL (``F.expr``) — the Spark-first
+    substitution for Painless: ``set_exprs`` maps column → SQL expression
+    evaluated over the doc's current columns, e.g.
+    ``{"content": "concat(content, ' migrated')"}``. Runs as one
+    Catalyst plan over ``source_view`` (requires store_source builds);
+    the whole update is distributed — no driver-side doc loop.
+    """
+    cfg = cfg or IndexConfig()
+    if not cfg.store_source:
+        raise ValueError("scripted_update requires IndexConfig(store_source=True)")
+    cur = source_view(spark, index_dir).filter(where)
+    out = [
+        (F.expr(set_exprs[c]) if c in set_exprs else F.col(c)).alias(c)
+        for c in cfg.input_columns
+    ]
+    return add_generation(spark, cur.select(*out), index_dir, cfg)
+
+
 def add_generation(
     spark,
     batch_df,

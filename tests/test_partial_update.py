@@ -145,3 +145,24 @@ def test_pure_operator_matches_engine_semantics(spark):
     )
     got = {r["doc_id"]: (r["s"], r["t"]) for r in partial_update_merge(base, upd).collect()}
     assert got == {1: ("S2", "T1"), 2: ("b", "y")}
+
+
+def test_scripted_update(spark, corpus, tmp_path):
+    from search_replica_spark.streaming.incremental import scripted_update
+
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:20]), idx, CFG)
+    langs = set(corpus.iloc[:5]["lang"]) | {"qq"}
+    st = scripted_update(
+        spark, idx,
+        where=f"lang IN ({','.join(repr(l) for l in langs)})",
+        set_exprs={"content": "concat(content, ' scriptmarkerzz')", "lang": "'qq'"},
+        cfg=CFG,
+    )
+    n_touched = sum(1 for l in corpus.iloc[:20]["lang"] if l in langs)
+    assert st["n_docs"] == n_touched > 0
+    mg = MultiGenReader(spark, idx)
+    assert int(mg._live.sum()) == 20  # superseded, not duplicated
+    assert len(mg.score("scriptmarkerzz", 25)) == n_touched
+    cur = source_view(spark, idx).toPandas()
+    assert (cur["lang"] == "qq").sum() == n_touched
