@@ -43,13 +43,14 @@ def _index_dir_for(spark, sf_dir) -> str:
     from search_replica_spark.index.build import build_index
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/ssr_harness_idx_{tag}_v2"  # v2: dls_bin segment layout
+    # v3: + stored _source (content rides in docs/ for highlight/GET entries)
+    out = f"/tmp/ssr_harness_idx_{tag}_v3"
     if not os.path.exists(os.path.join(out, "stats.json")):
         build_index(
             spark,
             _corpus_from_documents(spark, sf_dir),
             out,
-            IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30),
+            IndexConfig(shuffle_partitions=8, hot_df_threshold=1 << 30, store_source=True),
         )
     return out
 
@@ -622,3 +623,90 @@ def ft_bm25_and_top10(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5h: ES highlighting over STORED FIELDS — score top-10 with the real
+# engine, then fetch each hit's stored _source from the index's docs/
+# store (never the source table) and compute a plain-highlighter fragment
+# (query/highlight.py). The oracle recomputes BM25 AND the identical
+# fragment rule in SQL (instr/substr/regexp_replace over documents.text,
+# which equals the stored content byte-for-byte).
+HL_TERM = "spark"
+_HL_SQL = f"""
+WITH topk AS ({_bm25_sql(10, qterms=(HL_TERM,))})
+SELECT t.doc_id, t.score,
+       regexp_replace(
+         substr(d.text, greatest(1, instr(lower(d.text), '{HL_TERM}') - 30), 80),
+         '(?i)({HL_TERM})', '<em>\\1</em>', 'g') AS frag
+FROM topk t JOIN documents d USING (doc_id)
+"""
+
+
+@register("ft_highlight_top10", _HL_SQL)
+def ft_highlight_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+    from search_replica_spark.query.highlight import highlight_hits
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = TermAtATimeScorer(_OrigIdReader(spark, idx)).score(HL_TERM, 10)
+    ids = [d for d, _ in hits]
+    stored = (
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .withColumn("orig_id", F.split(F.col("path"), "_").getItem(1).cast("long"))
+        .filter(F.col("orig_id").isin(ids))
+        .select("orig_id", "content")
+        .collect()
+    )
+    contents = {r["orig_id"]: r["content"] for r in stored}
+    rows = [(d, round(s, 6), frag) for d, s, frag in highlight_hits(hits, contents, [HL_TERM])]
+    return spark.createDataFrame(rows, "doc_id long, score double, frag string")
+
+
+# B8b: GET/mget by _id over the engine's stored _source (ES GET API — the
+# reference relies on ES for it; consistency_test.go:189-210 polls exactly
+# this endpoint). The wanted engine doc_ids are derived from the (repo,
+# path) keys with the same JVM sha expression the build uses, then
+# `get_docs` point-filters the docs store — PushedFilters: [In(doc_id ...)]
+# reaches the parquet scan (PLANS.md), content comes from the INDEX.
+@register(
+    "ft_get_by_id",
+    "SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 = 0",
+)
+def ft_get_by_id(spark, sf_dir):
+    from search_replica_spark.index.build import with_doc_ids
+    from search_replica_spark.streaming.incremental import get_docs
+
+    idx = _index_dir_for(spark, sf_dir)
+    keys = _corpus_from_documents(spark, sf_dir).filter(
+        F.split(F.col("path"), "_").getItem(1).cast("long") % 97 == 0
+    )
+    ids = [r["doc_id"] for r in with_doc_ids(keys).select("doc_id").collect()]
+    return get_docs(spark, idx, ids).select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
+        "lang",
+        F.col("content").alias("text"),
+    )
+
+
+# B5s: sort + search_after pagination (ES's scalable deep-paging cursor:
+# a tuple-compare filter on the sort key instead of OFFSET's skip-scan —
+# OFFSET n reads and throws away n rows PER SHARD, search_after prunes
+# them in the scan). The oracle uses OFFSET (fine for DuckDB's single
+# node); results must be identical because the sort key is total (doc_id
+# is unique).
+def search_after_page(df, sort_cols: list[str], after: list, size: int):
+    cond = F.struct(*[F.col(c) for c in sort_cols]) > F.struct(
+        *[F.lit(v) for v in after]
+    )
+    return df.filter(cond).orderBy(*sort_cols).limit(size)
+
+
+@register(
+    "ft_search_after_page2",
+    "SELECT doc_id, lang FROM documents ORDER BY lang, doc_id LIMIT 50 OFFSET 50",
+)
+def ft_search_after_page2(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    page1 = d.orderBy("lang", "doc_id").limit(50).collect()
+    last = page1[-1]
+    return search_after_page(d, ["lang", "doc_id"], [last["lang"], last["doc_id"]], 50)

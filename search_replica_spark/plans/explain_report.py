@@ -72,6 +72,26 @@ CHECKS = {
         "avoid": ["CartesianProduct", "SortMergeJoin"],
         "why": "block-max pruned scorer: the main pass scans segment METADATA with term pushdown, broadcast-joins the tiny per-term threshold table, and only surviving blocks' payloads reach the Arrow decode",
     },
+    "p17_partial_update_merge": {
+        "want": ["HashAggregate"],
+        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "why": "read-time partial-update merge: per-column last-non-null-wins is ONE partial aggregate on doc_id (max over (seq, value) structs — no window sort), then a single doc_id equi-join + coalesce",
+    },
+    "partial_update_resolve": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "why": "engine-side partial-update resolution broadcasts the (small) micro-batch of partials and streams the docs store through the probe — never the reverse; the merged rows then re-index as a superseding generation",
+    },
+    "ft_get_by_id": {
+        "want": ["PushedFilters: [In(doc_id"],
+        "avoid": ["CartesianProduct"],
+        "why": "GET/mget: the doc_id point filter reaches the docs-store parquet scan (row-group pruning), it is not a scan-then-filter",
+    },
+    "ft_search_after_page2": {
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct"],
+        "why": "search_after deep paging: tuple-compare filter + top-k sort (TakeOrderedAndProject = per-partition heap + k-row merge), never OFFSET's skip-scan",
+    },
 }
 
 
@@ -104,6 +124,36 @@ def main():
     plans["bm25_pruned_main_pass"] = plan_of(
         bm25_topk_spark_pruned(spark, idx, "spark join window", 10)
     )
+    plans["p17_partial_update_merge"] = plan_of(
+        reg["p17_partial_update_merge"][0](spark, sf_dir)
+    )
+    plans["ft_get_by_id"] = plan_of(reg["ft_get_by_id"][0](spark, sf_dir))
+    plans["ft_search_after_page2"] = plan_of(reg["ft_search_after_page2"][0](spark, sf_dir))
+
+    # engine-side partial resolution: merged rows of a 2-gen store_source
+    # index (the cdc_partial_update_source harness index; built on demand)
+    reg["cdc_partial_update_source"][0](spark, sf_dir).limit(1).collect()
+    import hashlib as _hl
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.streaming.incremental import _resolve_partial_updates
+
+    pud_idx = f"/tmp/ssr_harness_pud_{_hl.sha1(sf_dir.encode()).hexdigest()[:10]}_v1"
+    pcfg = IndexConfig(store_source=True)
+    partials = (
+        spark.read.parquet(os.path.join(pud_idx, "gen=0", "docs"))
+        .limit(5)
+        .select(
+            "repo", "path",
+            F.lit(None).cast("string").alias("commit"),
+            F.lit("qq").alias("lang"),
+            F.lit(None).cast("string").alias("content"),
+        )
+    )
+    merged, _n = _resolve_partial_updates(spark, partials, pud_idx, pcfg)
+    merged.unpersist()  # drop the cache marker so the RAW join plan prints
+    plans["partial_update_resolve"] = plan_of(merged)
+
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))

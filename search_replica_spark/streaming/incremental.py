@@ -94,6 +94,9 @@ def source_view(spark, index_dir: str):
     broadcast of the tombstone set.
     """
     gens = _load_gens(index_dir)
+    if not gens and os.path.exists(os.path.join(index_dir, "docs")):
+        # plain (non-generational) build_index output = one live generation
+        return spark.read.parquet(os.path.join(index_dir, "docs")).drop("doc_idx")
     doc_gens = [g for g in gens if g["dir"]]
     if not doc_gens:
         raise ValueError(f"no document generations in {index_dir}")
@@ -123,6 +126,17 @@ def source_view(spark, index_dir: str):
             .drop("_del_gen")
         )
     return picked.drop("_gen")
+
+
+def get_docs(spark, index_dir: str, doc_ids):
+    """GET/mget by _id over the stored _source (ES GET API — the endpoint
+    the reference's own consistency test polls, consistency_test.go:189-210).
+    The id filter sits on a native column of every docs store, so Catalyst
+    pushes it through the last-wins aggregate and the generation union into
+    each parquet scan (`PushedFilters: [In(doc_id, ...)]` — a point lookup,
+    not a table scan)."""
+    ids = [int(i) for i in doc_ids]
+    return source_view(spark, index_dir).filter(F.col("doc_id").isin(ids))
 
 
 def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):

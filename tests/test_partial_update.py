@@ -166,3 +166,66 @@ def test_scripted_update(spark, corpus, tmp_path):
     assert len(mg.score("scriptmarkerzz", 25)) == n_touched
     cur = source_view(spark, idx).toPandas()
     assert (cur["lang"] == "qq").sum() == n_touched
+
+
+def test_get_docs_point_lookup_pushdown(spark, corpus, tmp_path):
+    from search_replica_spark.index.build import with_doc_ids
+    from search_replica_spark.streaming.incremental import get_docs
+
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:30]), idx, CFG)
+    add_generation(spark, spark.createDataFrame(corpus.iloc[30:60]), idx, CFG)
+    ids = [
+        r["doc_id"]
+        for r in with_doc_ids(spark.createDataFrame(corpus.iloc[[2, 40]]))
+        .select("doc_id").collect()
+    ]
+    got = get_docs(spark, idx, ids)
+    rows = {r["path"]: r["content"] for r in got.collect()}
+    assert rows == {
+        corpus.iloc[2]["path"]: corpus.iloc[2]["content"],
+        corpus.iloc[40]["path"]: corpus.iloc[40]["content"],
+    }
+    # the id filter must reach the parquet scans (point lookup, not a scan)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "PushedFilters: [In(doc_id" in buf.getvalue()
+
+
+def test_streamed_partial_updates(spark, corpus, tmp_path):
+    """update_partial rows flowing through the Structured Streaming loop
+    (index_stream → foreachBatch → add_generation resolution)."""
+    import os
+
+    from search_replica_spark.streaming.incremental import index_stream
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "sidx")
+    os.makedirs(in_dir)
+    schema = (
+        "repo string, path string, commit string, lang string, content string, "
+        "_change_type string"
+    )
+    base = corpus.iloc[:30].copy()
+    base["_change_type"] = "insert"
+    base.to_parquet(os.path.join(in_dir, "b0.parquet"), index=False)
+    q = index_stream(spark, in_dir, idx, schema, CFG)
+    q.awaitTermination(300)
+
+    upd = _partial(corpus.iloc[:4], lang="st")
+    upd = upd[["repo", "path", "commit", "lang", "content", "_change_type"]]
+    upd.to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
+    q = index_stream(spark, in_dir, idx, schema, CFG)
+    q.awaitTermination(300)
+
+    cur = source_view(spark, idx).toPandas()
+    assert len(cur) == 30
+    assert (cur["lang"] == "st").sum() == 4
+    # content survived the lang-only update on every updated doc
+    want = dict(zip(corpus.iloc[:4]["path"], corpus.iloc[:4]["content"]))
+    got = {r.path: r.content for r in cur.itertuples() if r.lang == "st"}
+    assert got == want

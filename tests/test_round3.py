@@ -524,3 +524,47 @@ def test_match_phrase_prefix_consecutive_and_expansion(spark, esq_index):
     assert match_phrase_prefix(r, "ha") == prefix_match(r, "ha")
     # absent prefix → empty
     assert match_phrase_prefix(r, "table zz") == []
+
+
+# --- round-3 late additions: highlight / GET / search_after ---
+
+def test_highlight_fragment_rules():
+    from search_replica_spark.query.highlight import highlight_fragment
+
+    text = "alpha beta spark gamma delta " * 10
+    frag = highlight_fragment(text, ["spark"])
+    assert frag is not None and "<em>spark</em>" in frag
+    # earliest occurrence drives selection: 30 chars of lead context
+    pos = text.find("spark")
+    assert frag == highlight_fragment(text, ["spark"])  # deterministic
+    start = max(0, pos - 30)
+    import re
+    assert re.sub("</?em>", "", frag) == text[start:start + 80]
+    # every in-fragment occurrence is tagged
+    assert frag.count("<em>") == text[start:start + 80].lower().count("spark")
+    # case-insensitive match + original case preserved
+    f2 = highlight_fragment("xx SPARK yy", ["spark"])
+    assert f2 == "xx <em>SPARK</em> yy"
+    # no match -> None (ES omits the highlight entry)
+    assert highlight_fragment("nothing here", ["spark"]) is None
+    assert highlight_fragment(None, ["spark"]) is None
+    # multi-term: earliest of any term; all terms tagged
+    f3 = highlight_fragment("aa bbb spark join", ["join", "spark"])
+    assert "<em>spark</em>" in f3 and "<em>join</em>" in f3
+
+
+def test_search_after_equals_offset(spark):
+    from search_replica_spark.operators.fulltext import search_after_page
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "grp int, id int"
+    )
+    full = [tuple(r) for r in df.orderBy("grp", "id").collect()]
+    after = full[39]
+    page = [tuple(r) for r in
+            search_after_page(df, ["grp", "id"], list(after), 25).collect()]
+    assert page == full[40:65]
+    # tail page shorter than size
+    tail = [tuple(r) for r in
+            search_after_page(df, ["grp", "id"], list(full[89]), 25).collect()]
+    assert tail == full[90:]
