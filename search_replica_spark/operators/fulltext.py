@@ -695,9 +695,16 @@ def ft_get_by_id(spark, sf_dir):
 # node); results must be identical because the sort key is total (doc_id
 # is unique).
 def search_after_page(df, sort_cols: list[str], after: list, size: int):
-    cond = F.struct(*[F.col(c) for c in sort_cols]) > F.struct(
-        *[F.lit(v) for v in after]
-    )
+    # lexicographic (c1,c2,...) > (v1,v2,...) expanded into AND/OR clauses:
+    # unlike a struct comparison this needs no field name/type alignment and
+    # its per-column predicates are parquet-pushable
+    cond, prefix_eq = None, None
+    for c, v in zip(sort_cols, after):
+        gt = F.col(c) > F.lit(v)
+        clause = gt if prefix_eq is None else (prefix_eq & gt)
+        cond = clause if cond is None else (cond | clause)
+        eq = F.col(c) == F.lit(v)
+        prefix_eq = eq if prefix_eq is None else (prefix_eq & eq)
     return df.filter(cond).orderBy(*sort_cols).limit(size)
 
 

@@ -73,9 +73,9 @@ CHECKS = {
         "why": "block-max pruned scorer: the main pass scans segment METADATA with term pushdown, broadcast-joins the tiny per-term threshold table, and only surviving blocks' payloads reach the Arrow decode",
     },
     "p17_partial_update_merge": {
-        "want": ["HashAggregate"],
-        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
-        "why": "read-time partial-update merge: per-column last-non-null-wins is ONE partial aggregate on doc_id (max over (seq, value) structs — no window sort), then a single doc_id equi-join + coalesce",
+        "want": ["SortAggregate"],
+        "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct", "Window"],
+        "why": "read-time partial-update merge: per-column last-non-null-wins is ONE two-phase aggregate on doc_id (max over (seq, value) structs compiles to partial+final SortAggregate — struct max is not hash-aggregable; still no window sort over the full set), then a single doc_id equi-join + coalesce",
     },
     "partial_update_resolve": {
         "want": ["BroadcastHashJoin"],

@@ -642,18 +642,32 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     # generations' own stats and fail fast on a mixed set.
     import dataclasses
 
-    gen_pos = set()
+    gen_pos, gen_src = set(), set()
     for g in live_gens:
         with open(os.path.join(g["dir"], "stats.json")) as f:
-            gen_pos.add(bool(json.load(f).get("store_positions", False)))
+            gst = json.load(f)
+        gen_pos.add(bool(gst.get("store_positions", False)))
+        gen_src.add(bool(gst.get("store_source", False)))
     if len(gen_pos) > 1:
         raise ValueError(
             "cannot merge generations with mixed store_positions — compact() "
             "from the source snapshot instead"
         )
+    # stored _source survives the merge the same way positions do: a merged
+    # index that silently lost its source would break every later partial/
+    # scripted update (they resolve against docs/), and a sourceless one
+    # cannot invent it. Mixed sets cannot produce a uniform store.
+    if len(gen_src) > 1:
+        raise ValueError(
+            "cannot merge generations with mixed store_source — compact() "
+            "from the source snapshot instead"
+        )
     has_positions = gen_pos.pop()
-    if cfg.store_positions != has_positions:
-        cfg = dataclasses.replace(cfg, store_positions=has_positions)
+    has_source = gen_src.pop()
+    if cfg.store_positions != has_positions or cfg.store_source != has_source:
+        cfg = dataclasses.replace(
+            cfg, store_positions=has_positions, store_source=has_source
+        )
     bases, acc = {}, 0
     for g in live_gens:
         bases[g["gen"]] = acc
@@ -682,16 +696,17 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
         live = live.join(F.broadcast(tmax), "doc_id", "left").filter(
             F.col("del_gen").isNull() | (F.col("del_gen") <= F.col("gen"))
         )
-    live = live.select("slot", "doc_id", "repo", "path", "lang", "content_sha256", "doc_len")
+    # keep every column the docs stores carry (store_source rides through)
+    meta_cols = [
+        c for c in docs_u.columns if c not in ("doc_idx", "slot", "gen", "max_gen")
+    ]
+    live = live.select("slot", *meta_cols)
     if live.isEmpty():
         raise ValueError("merge would produce an empty index (everything deleted)")
 
     out = os.path.join(index_dir, "gen=__merging")
     shutil.rmtree(out, ignore_errors=True)
-    doc_map = assign_dense_doc_idx(
-        live.select("doc_id", "repo", "path", "lang", "content_sha256", "doc_len"),
-        cfg.shuffle_partitions,
-    )
+    doc_map = assign_dense_doc_idx(live.select(*meta_cols), cfg.shuffle_partitions)
     (
         doc_map.repartitionByRange(cfg.shuffle_partitions, "doc_idx")
         .sortWithinPartitions("doc_idx")

@@ -218,6 +218,8 @@ def test_streamed_partial_updates(spark, corpus, tmp_path):
 
     upd = _partial(corpus.iloc[:4], lang="st")
     upd = upd[["repo", "path", "commit", "lang", "content", "_change_type"]]
+    # all-null object columns must still write as parquet strings
+    upd = upd.astype({c: "string" for c in ("commit", "lang", "content")})
     upd.to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
     q = index_stream(spark, in_dir, idx, schema, CFG)
     q.awaitTermination(300)
@@ -229,3 +231,24 @@ def test_streamed_partial_updates(spark, corpus, tmp_path):
     want = dict(zip(corpus.iloc[:4]["path"], corpus.iloc[:4]["content"]))
     got = {r.path: r.content for r in cur.itertuples() if r.lang == "st"}
     assert got == want
+
+
+def test_merge_preserves_stored_source(spark, corpus, tmp_path):
+    from search_replica_spark.streaming.incremental import merge_generations
+
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:20]), idx, CFG)
+    upd = _partial(corpus.iloc[:2], lang="m1")
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    merge_generations(spark, idx, CFG)
+    # merged docs store still carries content; a partial update still works
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    assert len(cur) == 20 and "content" in cur.columns
+    assert cur.loc[corpus.iloc[0]["path"], "lang"] == "m1"
+    assert cur.loc[corpus.iloc[0]["path"], "content"] == corpus.iloc[0]["content"]
+    upd2 = _partial(corpus.iloc[[5]], lang="m2")
+    st = add_generation(spark, spark.createDataFrame(upd2), idx, CFG)
+    assert st["n_docs"] == 1
+    cur2 = source_view(spark, idx).toPandas().set_index("path")
+    assert cur2.loc[corpus.iloc[5]["path"], "lang"] == "m2"
+    assert cur2.loc[corpus.iloc[5]["path"], "content"] == corpus.iloc[5]["content"]
