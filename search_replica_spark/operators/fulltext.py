@@ -189,13 +189,11 @@ def ft_prefix_match(spark, sf_dir):
         WHERE term LIKE 'sp%' AND doc_id % 7 <> 0""",
 )
 def ft_prefix_multigen(spark, sf_dir):
-    from search_replica_spark.operators.streaming_ops import cdc_delete_live_docs
+    from search_replica_spark.operators.streaming_ops import cdc_index_dir
     from search_replica_spark.query.bm25 import prefix_match
     from search_replica_spark.streaming.incremental import MultiGenReader
 
-    cdc_delete_live_docs(spark, sf_dir).count()  # ensure the 2-gen index exists
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
+    idx = cdc_index_dir(spark, sf_dir)
     ids = prefix_match(MultiGenReader(spark, idx), "sp", max_expansions=None)
     hit = spark.createDataFrame([(d,) for d in ids], "doc_id long")
     docs = spark.read.parquet(os.path.join(idx, "gen=0", "docs")).select("doc_id", "path")
@@ -567,14 +565,10 @@ ORDER BY score DESC, doc_id LIMIT {limit}
 
 @register("ft_bm25_multigen_top10", _bm25_multigen_sql(10))
 def ft_bm25_multigen_top10(spark, sf_dir):
-    from search_replica_spark.operators.streaming_ops import cdc_delete_live_docs
+    from search_replica_spark.operators.streaming_ops import cdc_index_dir
     from search_replica_spark.streaming.incremental import bm25_topk_spark_multigen
 
-    cdc_delete_live_docs(spark, sf_dir).count()  # ensure the 2-gen index exists
-    import hashlib
-
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
+    idx = cdc_index_dir(spark, sf_dir)
     top = bm25_topk_spark_multigen(spark, idx, " ".join(BM25_QUERY_TERMS), 40)
     # map engine ids -> source ids by broadcasting the k-row top list INTO
     # the docs scan (never collect the docs table) and re-rank on the

@@ -65,19 +65,17 @@ def events_windowed_agg(spark, sf_dir):
 # — and read back the docs the liveDocs mask leaves visible. The oracle is
 # the plain anti-delete spec; matching it proves the tombstone machinery
 # (reference: Delete dispatch, postgres/replication.go:324-347).
-@register("cdc_delete_live_docs", "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0")
-def cdc_delete_live_docs(spark, sf_dir):
+def cdc_index_dir(spark, sf_dir) -> str:
+    """Build-once-and-return-path for the shared 2-generation CDC harness
+    index (gen 0 = all documents, gen 1 = tombstones for doc_id % 7 == 0).
+    Every consumer (here, fulltext multigen entries, plan audit) goes
+    through this function so a layout/version bump cannot desync them."""
     import hashlib
-    import os
     import shutil
 
     from search_replica_spark.config import IndexConfig
     from search_replica_spark.operators.fulltext import _corpus_from_documents
-    from search_replica_spark.streaming.incremental import (
-        MultiGenReader,
-        _load_gens,
-        add_generation,
-    )
+    from search_replica_spark.streaming.incremental import _load_gens, add_generation
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/ssr_harness_cdc_{tag}_v2"
@@ -89,6 +87,16 @@ def cdc_delete_live_docs(spark, sf_dir):
         orig_id = F.split(F.col("path"), "_").getItem(1).cast("long")
         dels = corpus.filter(orig_id % 7 == 0).withColumn("_change_type", F.lit("delete"))
         add_generation(spark, dels, idx, cfg)
+    return idx
+
+
+@register("cdc_delete_live_docs", "SELECT doc_id FROM documents WHERE doc_id % 7 <> 0")
+def cdc_delete_live_docs(spark, sf_dir):
+    import os
+
+    from search_replica_spark.streaming.incremental import MultiGenReader
+
+    idx = cdc_index_dir(spark, sf_dir)
     mg = MultiGenReader(spark, idx)
     _, doc_ids = mg.doc_arrays()
     live_ids = [(int(x),) for x in doc_ids[mg._live]]
@@ -110,23 +118,16 @@ def cdc_delete_live_docs(spark, sf_dir):
 # reference postgres/table.go:143-151) and the re-indexed docs supersede
 # their gen-0 versions. Reading source_view back must show the new lang
 # with the ORIGINAL text — proving unchanged columns survived the merge.
-@register(
-    "cdc_partial_update_source",
-    """SELECT doc_id,
-              CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
-              text FROM documents""",
-)
-def cdc_partial_update_source(spark, sf_dir):
+def pud_index_dir(spark, sf_dir) -> str:
+    """Build-once-and-return-path for the 2-generation PARTIAL-UPDATE
+    harness index (gen 0 = all documents with stored _source, gen 1 =
+    lang-only partial updates for doc_id % 7 == 3)."""
     import hashlib
     import shutil
 
     from search_replica_spark.config import IndexConfig
     from search_replica_spark.operators.fulltext import _corpus_from_documents
-    from search_replica_spark.streaming.incremental import (
-        _load_gens,
-        add_generation,
-        source_view,
-    )
+    from search_replica_spark.streaming.incremental import _load_gens, add_generation
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/ssr_harness_pud_{tag}_v1"
@@ -143,7 +144,19 @@ def cdc_partial_update_source(spark, sf_dir):
             F.lit("update_partial").alias("_change_type"),
         )
         add_generation(spark, partials, idx, cfg)
-    cur = source_view(spark, idx)
+    return idx
+
+
+@register(
+    "cdc_partial_update_source",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+              text FROM documents""",
+)
+def cdc_partial_update_source(spark, sf_dir):
+    from search_replica_spark.streaming.incremental import source_view
+
+    cur = source_view(spark, pud_index_dir(spark, sf_dir))
     return cur.select(
         F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
         "lang",

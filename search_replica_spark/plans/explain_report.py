@@ -132,13 +132,11 @@ def main():
 
     # engine-side partial resolution: merged rows of a 2-gen store_source
     # index (the cdc_partial_update_source harness index; built on demand)
-    reg["cdc_partial_update_source"][0](spark, sf_dir).limit(1).collect()
-    import hashlib as _hl
-
     from search_replica_spark.config import IndexConfig
+    from search_replica_spark.operators.streaming_ops import pud_index_dir
     from search_replica_spark.streaming.incremental import _resolve_partial_updates
 
-    pud_idx = f"/tmp/ssr_harness_pud_{_hl.sha1(sf_dir.encode()).hexdigest()[:10]}_v1"
+    pud_idx = pud_index_dir(spark, sf_dir)
     pcfg = IndexConfig(store_source=True)
     partials = (
         spark.read.parquet(os.path.join(pud_idx, "gen=0", "docs"))

@@ -40,6 +40,27 @@ from search_replica_spark.index.codec import (
 )
 
 
+def prefix_range_cond(prefix: str):
+    """Pushdown-safe dictionary range covering ALL terms starting with
+    ``prefix``: term >= prefix AND term < successor(prefix), successor =
+    prefix with its last codepoint incremented (skipping the surrogate
+    gap, carrying past U+10FFFF). A ``prefix + '\\uffff'`` upper bound is
+    WRONG under Spark's UTF8-byte string order: supplementary-plane
+    codepoints (4-byte UTF-8, lead F0-F4) sort ABOVE U+FFFF, so keyword
+    terms containing emoji/CJK-extension chars would silently escape the
+    range. Callers still apply startswith(prefix) above this filter."""
+    cond = F.col("term") >= prefix
+    p = prefix
+    while p and ord(p[-1]) >= 0x10FFFF:
+        p = p[:-1]  # carry: no codepoint above U+10FFFF exists
+    if p:
+        nxt = ord(p[-1]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000  # surrogate range holds no valid terms
+        cond = cond & (F.col("term") < p[:-1] + chr(nxt))
+    return cond
+
+
 class IndexReader:
     """Driver-side handle on an index directory (stats + lazy postings fetch)."""
 
@@ -142,29 +163,40 @@ class IndexReader:
             .sort_values(["term", "block_id"])
         )
 
-    def expand_prefix(self, prefix: str, max_expansions: int | None = 50) -> list[str]:
+    def expand_prefix(
+        self, prefix: str, max_expansions: int | None = 50, extra_filter=None
+    ) -> list[str]:
         """Term-dictionary range seek: the terms starting with ``prefix``,
         in term order, capped at ``max_expansions`` (ES's cap, default 50).
-        The range predicate (prefix <= term < prefix+\\uffff) is pushed down
-        to the term-sorted dict parquet — a row-group-pruned seek, never a
-        dictionary scan."""
+        The range predicate (prefix <= term < successor(prefix), see
+        prefix_range_cond) is pushed down to the term-sorted dict parquet —
+        a row-group-pruned seek, never a dictionary scan. ``extra_filter``
+        (a Column over ``term``) narrows the expansion INSIDE the scan —
+        fuzzy/wildcard pass their edit-distance/LIKE predicate here so the
+        driver only ever receives actual candidates, not the whole
+        single-character prefix slice."""
         q = (
             self.spark.read.parquet(os.path.join(self.index_dir, "dict"))
-            .filter((F.col("term") >= prefix) & (F.col("term") < prefix + "￿"))
+            .filter(prefix_range_cond(prefix))
             .filter(F.col("term").startswith(prefix))
-            .select("term")
-            .orderBy("term")
         )
+        if extra_filter is not None:
+            q = q.filter(extra_filter)
+        q = q.select("term").orderBy("term")
         if max_expansions is not None:
             q = q.limit(max_expansions)
         return [row["term"] for row in q.collect()]
 
-    def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """term → (doc_idx, tf, block_max) decoded, concatenated, docID-sorted.
-        An optional per-block ``doc_off`` column (generational indexes: each
-        generation's local doc_idx space starts at its slot base) is added to
-        the decoded ids. Decode is one vectorized pass over ALL of a term's
-        blocks (decode_doc_blocks) — never a per-block Python loop."""
+    def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, "pd.DataFrame"]]:
+        """term → (doc_idx, tf, block_group) decoded, concatenated,
+        docID-sorted. The third element is the term's RAW block-metadata
+        DataFrame (n, max_score, per-block columns) — callers needing the
+        float block-max array take ``g["max_score"].to_numpy()``; it is NOT
+        a numeric array itself. An optional per-block ``doc_off`` column
+        (generational indexes: each generation's local doc_idx space starts
+        at its slot base) is added to the decoded ids. Decode is one
+        vectorized pass over ALL of a term's blocks (decode_doc_blocks) —
+        never a per-block Python loop."""
         blk = self.fetch_blocks(terms)
         out = {}
         for term, g in blk.groupby("term", sort=True):
@@ -206,6 +238,8 @@ def bm25_topk_spark(
     )
 
     def decode(batches):
+        # one vectorized decode per Arrow batch (decode_doc_blocks +
+        # joined varint streams) — no per-block pandas objects
         for pdf in batches:
             if pdf.empty:
                 yield pd.DataFrame({"term": pd.Series(dtype="object"),
@@ -213,17 +247,13 @@ def bm25_topk_spark(
                                     "tf": pd.Series(dtype="int64"),
                                     "doc_len": pd.Series(dtype="int64")})
                 continue
-            parts = []
-            for term, docs_bin, tfs_bin, dls_bin in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
-            ):
-                d = delta_decode(docs_bin).astype(np.int64)
-                t = varint_decode(tfs_bin).astype(np.int64)
-                dl = varint_decode(dls_bin).astype(np.int64)
-                parts.append(
-                    pd.DataFrame({"term": term, "doc_idx": d, "tf": t, "doc_len": dl})
-                )
-            yield pd.concat(parts, ignore_index=True)
+            counts = pdf["n"].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "term": np.repeat(pdf["term"].to_numpy(object), counts),
+                "doc_idx": decode_doc_blocks(list(pdf["docs_bin"]), counts),
+                "tf": varint_decode(b"".join(pdf["tfs_bin"])).astype(np.int64),
+                "doc_len": varint_decode(b"".join(pdf["dls_bin"])).astype(np.int64),
+            })
 
     # doc_len rides inside the segment blocks (Lucene-norms-style), so the
     # hot path needs NO join against the docs table — at 10^12 docs that
@@ -235,7 +265,7 @@ def bm25_topk_spark(
     # and no dls_bin column — so the missing key must default to False.)
     has_dls = stats.get("store_doclens", False)
     if has_dls:
-        posts = seg.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+        posts = seg.select("term", "n", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
             decode, schema="term string, doc_idx long, tf long, doc_len long"
         )
     else:
@@ -246,16 +276,14 @@ def bm25_topk_spark(
                                         "doc_idx": pd.Series(dtype="int64"),
                                         "tf": pd.Series(dtype="int64")})
                     continue
-                parts = []
-                for term, docs_bin, tfs_bin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
-                    parts.append(pd.DataFrame({
-                        "term": term,
-                        "doc_idx": delta_decode(docs_bin).astype(np.int64),
-                        "tf": varint_decode(tfs_bin).astype(np.int64),
-                    }))
-                yield pd.concat(parts, ignore_index=True)
+                counts = pdf["n"].to_numpy(np.int64)
+                yield pd.DataFrame({
+                    "term": np.repeat(pdf["term"].to_numpy(object), counts),
+                    "doc_idx": decode_doc_blocks(list(pdf["docs_bin"]), counts),
+                    "tf": varint_decode(b"".join(pdf["tfs_bin"])).astype(np.int64),
+                })
 
-        raw = seg.select("term", "docs_bin", "tfs_bin").mapInPandas(
+        raw = seg.select("term", "n", "docs_bin", "tfs_bin").mapInPandas(
             decode_nodl, schema="term string, doc_idx long, tf long"
         )
         dl_tbl = spark.read.parquet(os.path.join(index_dir, "docs")).select(
@@ -358,23 +386,22 @@ def bm25_topk_spark_pruned(
     )
 
     def decode(batches):
+        # one vectorized pass per Arrow batch over ALL blocks (the same
+        # decode_doc_blocks path fetch_postings uses) — the surviving
+        # blocks are exactly the hot ones, so no per-block Python here
         for pdf in batches:
             if pdf.empty:
                 continue
-            parts = []
-            for term, docs_bin, tfs_bin, dls_bin in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
-            ):
-                parts.append(pd.DataFrame({
-                    "term": term,
-                    "doc_idx": delta_decode(docs_bin).astype(np.int64),
-                    "tf": varint_decode(tfs_bin).astype(np.int64),
-                    "doc_len": varint_decode(dls_bin).astype(np.int64),
-                }))
-            yield pd.concat(parts, ignore_index=True)
+            counts = pdf["n"].to_numpy(np.int64)
+            yield pd.DataFrame({
+                "term": np.repeat(pdf["term"].to_numpy(object), counts),
+                "doc_idx": decode_doc_blocks(list(pdf["docs_bin"]), counts),
+                "tf": varint_decode(b"".join(pdf["tfs_bin"])).astype(np.int64),
+                "doc_len": varint_decode(b"".join(pdf["dls_bin"])).astype(np.int64),
+            })
 
     def score_agg(seg_subset):
-        posts = seg_subset.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+        posts = seg_subset.select("term", "n", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
             decode, schema="term string, doc_idx long, tf long, doc_len long"
         )
         scored = posts.join(F.broadcast(dic), "term").withColumn(
@@ -532,27 +559,19 @@ def phrase_topk(
 
     Requires an index built with IndexConfig(store_positions=True)."""
     r = reader
+    if live is None:
+        # generational readers carry a liveDocs mask — default to it, like
+        # every other query entry point (tombstoned/superseded docs must not
+        # surface from a phrase query either)
+        live = getattr(r, "_live", None)
     qterms = tokenize_text(phrase)  # order + duplicates matter
     if not qterms:
         return []
     uniq = sorted(set(qterms))
-    blk = r.fetch_blocks(uniq, positions=True)
-    if len(blk) == 0 or "npos_bin" not in blk:
-        return [] if len(blk) == 0 else _raise_no_positions()
-    if blk["npos_bin"].map(len).sum() == 0:
-        _raise_no_positions()
+    per_term = _fetch_positional(r, uniq)
+    if per_term is None:
+        return []
     doc_len, doc_ids = r.doc_arrays()
-    # decode docs + FLAT position streams per term (counts + one abs-position
-    # array — never one small array object per posting)
-    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for term, g in blk.groupby("term", sort=True):
-        g = g.sort_values("block_id")
-        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
-        docs = decode_doc_blocks(list(g["docs_bin"]), g["n"].to_numpy(np.int64), offs)
-        # per-block varint streams concatenate losslessly (each posting's
-        # first position delta is absolute) → ONE flat decode per term
-        counts, flat = decode_position_flat(b"".join(g["npos_bin"]), b"".join(g["pos_bin"]))
-        per_term[term] = (docs, counts, flat)
     if any(t not in per_term for t in qterms):
         return []  # a phrase term is absent from the corpus
     # candidate docs: intersection across the phrase's distinct terms
@@ -573,23 +592,9 @@ def phrase_topk(
     # construction of BIG). Then ONE searchsorted per query term scores
     # every candidate occurrence at once — identical arithmetic, per
     # occurrence, to the per-doc formulation (tested against it).
-    def _gather(term):
-        docs_t, counts_t, flat_t = per_term[term]
-        idx = np.searchsorted(docs_t, cand)  # cand ⊆ docs_t
-        ends_t = np.cumsum(counts_t)
-        starts_t = ends_t - counts_t
-        sc = counts_t[idx]
-        ss = starts_t[idx]
-        total = int(sc.sum())
-        o_ends = np.cumsum(sc)
-        o_starts = o_ends - sc
-        take = np.arange(total, dtype=np.int64) - np.repeat(o_starts, sc) + np.repeat(ss, sc)
-        drank = np.repeat(np.arange(cand.size, dtype=np.int64), sc)
-        return flat_t[take], drank, sc
-
     max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
     big = np.int64(2 * (max_pos + len(qterms)) + slop + 2)
-    base_pos, base_rank, base_counts = _gather(qterms[0])
+    base_pos, base_rank, base_counts = _gather_cand_positions(per_term, qterms[0], cand)
     base_sh = base_pos + base_rank * big
     disp = np.zeros(base_pos.shape, dtype=np.int64)
     shifted_cache: dict[str, np.ndarray] = {}
@@ -597,7 +602,7 @@ def phrase_topk(
         if t in shifted_cache:
             tp = shifted_cache[t]
         else:
-            tpos, trank, _ = _gather(t)
+            tpos, trank, _ = _gather_cand_positions(per_term, t, cand)
             tp = tpos + trank * big
             shifted_cache[t] = tp
         want = base_sh + i
@@ -624,6 +629,48 @@ def _raise_no_positions():
         "phrase queries need a positional index — build with "
         "IndexConfig(store_positions=True)"
     )
+
+
+def _fetch_positional(r, terms: list[str]):
+    """Shared positional fetch+decode (phrase_topk / match_phrase_prefix):
+    term → (docs, per-posting position counts, ONE flat absolute-position
+    array) — per-block varint streams concatenate losslessly, so each term
+    costs one decode, never one array object per posting. Returns None when
+    no term matched; raises when the index stores no positions."""
+    blk = r.fetch_blocks(terms, positions=True)
+    if len(blk) == 0:
+        return None
+    if "npos_bin" not in blk or blk["npos_bin"].map(len).sum() == 0:
+        _raise_no_positions()
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for term, g in blk.groupby("term", sort=True):
+        g = g.sort_values("block_id")
+        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
+        docs = decode_doc_blocks(list(g["docs_bin"]), g["n"].to_numpy(np.int64), offs)
+        counts, flat = decode_position_flat(b"".join(g["npos_bin"]), b"".join(g["pos_bin"]))
+        per_term[term] = (docs, counts, flat)
+    return per_term
+
+
+def _gather_cand_positions(per_term, term: str, cand: np.ndarray):
+    """Candidate-ordered flat positions for one term: (positions, doc_rank,
+    per-candidate counts). Tolerates candidates the term lacks (zero-count
+    slices), so it serves both the intersection case (cand ⊆ docs) and the
+    expansion case (some candidates missing the term)."""
+    docs_t, counts_t, flat_t = per_term[term]
+    idx = np.searchsorted(docs_t, cand)
+    idx_c = np.minimum(idx, max(docs_t.size - 1, 0))
+    present = (docs_t[idx_c] == cand) if docs_t.size else np.zeros(cand.size, bool)
+    ends_t = np.cumsum(counts_t)
+    starts_t = ends_t - counts_t
+    sc = np.where(present, counts_t[idx_c], 0) if docs_t.size else np.zeros(cand.size, np.int64)
+    ss = np.where(present, starts_t[idx_c], 0) if docs_t.size else np.zeros(cand.size, np.int64)
+    total = int(sc.sum())
+    o_ends = np.cumsum(sc)
+    o_starts = o_ends - sc
+    take = np.arange(total, dtype=np.int64) - np.repeat(o_starts, sc) + np.repeat(ss, sc)
+    drank = np.repeat(np.arange(cand.size, dtype=np.int64), sc)
+    return flat_t[take], drank, sc
 
 
 def bool_topk(
@@ -753,15 +800,22 @@ def fuzzy_match(
     ``fuzziness`` edits of ``term``. ``prefix_length`` (ES default 0; ours 1
     — the scale-sane setting ES docs themselves recommend) pins the first
     characters so expansion is a pushed-down dictionary RANGE seek, never a
-    dict scan; candidates are then edit-distance-filtered driver-side (the
-    range is small by construction) and capped at ``max_expansions`` in term
-    order. Edit distance matches DuckDB's levenshtein() exactly."""
+    dict scan; the edit-distance predicate runs inside that scan too, so
+    driver transfer is bounded by actual candidates, capped at
+    ``max_expansions`` in term order. Edit distance matches DuckDB's
+    levenshtein() exactly."""
     r = reader
     q = term.lower()
     if prefix_length <= 0:
         raise ValueError("prefix_length must be >= 1 (a dict scan is not a plan)")
     pre = q[:prefix_length]
-    cand = r.expand_prefix(pre, None)
+    # the edit-distance predicate runs INSIDE the dict scan (Spark's
+    # levenshtein, same definition as ours/DuckDB's), so the driver only
+    # receives actual candidates — never the whole single-char prefix
+    # slice; the driver-side re-check keeps the oracle authoritative
+    cand = r.expand_prefix(
+        pre, None, extra_filter=F.levenshtein(F.col("term"), F.lit(q)) <= fuzziness
+    )
     terms = [t for t in cand if _levenshtein(t, q) <= fuzziness]
     if max_expansions is not None:
         terms = terms[:max_expansions]
@@ -795,7 +849,16 @@ def wildcard_match(
         )
         + r"\Z"
     )
-    cand = r.expand_prefix(fixed, None)
+    # translate to SQL LIKE (%/_; literal %/_ backslash-escaped — Spark's
+    # default LIKE escape) and evaluate it INSIDE the dict scan, so the
+    # driver receives only matching terms; the compiled-regex re-check
+    # keeps the oracle authoritative
+    like_pat = "".join(
+        "%" if ch == "*" else "_" if ch == "?"
+        else ch.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        for ch in pat
+    )
+    cand = r.expand_prefix(fixed, None, extra_filter=F.col("term").like(like_pat))
     terms = [t for t in cand if rx.match(t)]
     if max_expansions is not None:
         terms = terms[:max_expansions]
@@ -832,18 +895,9 @@ def match_phrase_prefix(
         live = getattr(r, "_live", None)
     _, doc_ids = r.doc_arrays()
     uniq = sorted(set(fixed) | set(expansions))
-    blk = r.fetch_blocks(uniq, positions=True)
-    if len(blk) == 0 or "npos_bin" not in blk:
-        return [] if len(blk) == 0 else _raise_no_positions()
-    if blk["npos_bin"].map(len).sum() == 0:
-        _raise_no_positions()
-    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for term, g in blk.groupby("term", sort=True):
-        g = g.sort_values("block_id")
-        offs = g["doc_off"].to_numpy(np.int64) if "doc_off" in g else None
-        docs = decode_doc_blocks(list(g["docs_bin"]), g["n"].to_numpy(np.int64), offs)
-        counts, flat = decode_position_flat(b"".join(g["npos_bin"]), b"".join(g["pos_bin"]))
-        per_term[term] = (docs, counts, flat)
+    per_term = _fetch_positional(r, uniq)
+    if per_term is None:
+        return []
     if any(t not in per_term for t in fixed):
         return []
     # candidates: all fixed terms AND at least one expansion
@@ -862,24 +916,15 @@ def match_phrase_prefix(
 
     max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
     big = np.int64(2 * (max_pos + len(qterms)) + 2)
+    shifted: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def _gather(term):
-        """Candidate-ordered flat positions, tolerating docs the term lacks
-        (zero-count slices)."""
-        docs_t, counts_t, flat_t = per_term[term]
-        idx = np.searchsorted(docs_t, cand)
-        idx_c = np.minimum(idx, docs_t.size - 1)
-        present = docs_t[idx_c] == cand
-        ends_t = np.cumsum(counts_t)
-        starts_t = ends_t - counts_t
-        sc = np.where(present, counts_t[idx_c], 0)
-        ss = np.where(present, starts_t[idx_c], 0)
-        total = int(sc.sum())
-        o_ends = np.cumsum(sc)
-        o_starts = o_ends - sc
-        take = np.arange(total, dtype=np.int64) - np.repeat(o_starts, sc) + np.repeat(ss, sc)
-        drank = np.repeat(np.arange(cand.size, dtype=np.int64), sc)
-        return flat_t[take] + drank * big, drank
+        # shared gather (tolerates candidates the term lacks) + memoized
+        # doc_rank*big shift — repeated fixed terms / expansions cost once
+        if term not in shifted:
+            tpos, trank, _sc = _gather_cand_positions(per_term, term, cand)
+            shifted[term] = (tpos + trank * big, trank)
+        return shifted[term]
 
     base_sh, base_rank = _gather(fixed[0])
     ok = np.ones(base_sh.shape, dtype=bool)

@@ -34,7 +34,7 @@ def highlight_fragment(
 ) -> str | None:
     """One highlighted fragment of ``content``, or None when no term occurs
     (ES omits the highlight entry for non-matching stored fields)."""
-    if content is None:
+    if content is None or not terms:
         return None
     low = content.lower()
     positions = [p for p in (low.find(t.lower()) for t in terms) if p >= 0]

@@ -175,6 +175,24 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
         partials = partials.groupBy("repo", "path").agg(*aggs)
     else:
         partials = partials.select("repo", "path", *others)
+    # every LIVE generation must actually have stored its source: column
+    # presence on the unioned view is not enough — unionByName(allowMissing)
+    # fabricates nulls for generations built without store_source, and a
+    # metadata-only update would then silently wipe content (coalesce(null,
+    # fabricated null)) for docs living in those generations.
+    no_src = []
+    for g in _load_gens(index_dir):
+        if not g["dir"]:
+            continue
+        with open(os.path.join(g["dir"], "stats.json")) as f:
+            if not json.load(f).get("store_source", False):
+                no_src.append(g["gen"])
+    if no_src:
+        raise ValueError(
+            f"generations {no_src} were built without store_source=True — "
+            "their docs have no stored _source to merge against; compact() "
+            "with store_source before applying partial updates"
+        )
     cur = source_view(spark, index_dir)
     missing_src = [c for c in others if c not in cur.columns]
     if missing_src:
@@ -316,20 +334,7 @@ def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
     index; a metrics scraper tails this file instead of an HTTP endpoint —
     the right shape for a Spark driver, which may not own a stable port.
     """
-    import time as _time
-
-    gens = _load_gens(index_dir)
-    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
-    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
-    m = {
-        "generations": len(gens),
-        "live_generations": sum(1 for g in gens if g["dir"]),
-        "docs_indexed": int(sum(g["n_docs"] for g in gens)),
-        "tokens_indexed": int(sum(g["total_tokens"] for g in gens)),
-        "tombstones_total": int(sum(len(g.get("deleted_ids", ())) for g in gens)),
-        "last_epoch": max(epochs) if epochs else None,
-        "updated_unix": round(_time.time(), 3),
-    }
+    m = _compute_metrics(index_dir)
     if extra:
         m.update(extra)
     tmp = os.path.join(index_dir, METRICS_FILE + ".tmp")
@@ -340,8 +345,32 @@ def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
 
 
 def read_metrics(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, METRICS_FILE)) as f:
+    """Last written metrics snapshot; for an index that never streamed
+    (build/ingest only — nothing wrote metrics.json yet) fall back to
+    computing the snapshot from the generations commit log, without
+    writing (a read must stay side-effect-free)."""
+    p = os.path.join(index_dir, METRICS_FILE)
+    if not os.path.exists(p):
+        return _compute_metrics(index_dir)
+    with open(p) as f:
         return json.load(f)
+
+
+def _compute_metrics(index_dir: str) -> dict:
+    import time as _time
+
+    gens = _load_gens(index_dir)
+    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
+    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
+    return {
+        "generations": len(gens),
+        "live_generations": sum(1 for g in gens if g["dir"]),
+        "docs_indexed": int(sum(g["n_docs"] for g in gens)),
+        "tokens_indexed": int(sum(g["total_tokens"] for g in gens)),
+        "tombstones_total": int(sum(len(g.get("deleted_ids", ())) for g in gens)),
+        "last_epoch": max(epochs) if epochs else None,
+        "updated_unix": round(_time.time(), 3),
+    }
 
 
 def index_stream(spark, input_dir: str, index_dir: str, schema: str,
@@ -575,17 +604,25 @@ class MultiGenReader(IndexReader):
             self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
         return self
 
-    def expand_prefix(self, prefix: str, max_expansions: int | None = 50):
+    def expand_prefix(self, prefix: str, max_expansions: int | None = 50,
+                      extra_filter=None):
         """Prefix expansion over the UNION of per-generation dictionaries
         (a generational index has no top-level dict) — same pushed-down
-        range seek per generation, distinct, term order, capped."""
-        parts = [
-            self.spark.read.parquet(os.path.join(g["dir"], "dict"))
-            .filter((F.col("term") >= prefix) & (F.col("term") < prefix + "￿"))
-            .filter(F.col("term").startswith(prefix))
-            .select("term")
-            for g in self.live_gens
-        ]
+        range seek per generation (+ optional extra predicate, see
+        IndexReader.expand_prefix), distinct, term order, capped."""
+        from search_replica_spark.query.bm25 import prefix_range_cond
+
+        def one(g):
+            q = (
+                self.spark.read.parquet(os.path.join(g["dir"], "dict"))
+                .filter(prefix_range_cond(prefix))
+                .filter(F.col("term").startswith(prefix))
+            )
+            if extra_filter is not None:
+                q = q.filter(extra_filter)
+            return q.select("term")
+
+        parts = [one(g) for g in self.live_gens]
         uni = parts[0]
         for p in parts[1:]:
             uni = uni.unionByName(p)
@@ -819,7 +856,7 @@ def bm25_topk_spark_multigen(spark, index_dir: str, query: str, k: int = 10,
             spark.read.parquet(os.path.join(g["dir"], "segments"))
             .filter(F.col("term").isin(terms))
             .select(
-                "term", "docs_bin", "tfs_bin", "dls_bin",
+                "term", "n", "docs_bin", "tfs_bin", "dls_bin",
                 F.lit(bases[g["gen"]]).alias("doc_off"),
             )
             for g in live_gens
@@ -842,20 +879,22 @@ def bm25_topk_spark_multigen(spark, index_dir: str, query: str, k: int = 10,
     )
 
     def decode(batches):
+        from search_replica_spark.index.codec import decode_doc_blocks
+
+        # one vectorized pass per Arrow batch; per-block doc_off (each
+        # generation's slot base) rides through decode_doc_blocks
         for pdf in batches:
             if pdf.empty:
                 continue
-            parts = []
-            for term, docs_bin, tfs_bin, dls_bin, off in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"], pdf["doc_off"]
-            ):
-                parts.append(pd.DataFrame({
-                    "term": term,
-                    "slot": delta_decode(docs_bin).astype("int64") + int(off),
-                    "tf": varint_decode(tfs_bin).astype("int64"),
-                    "doc_len": varint_decode(dls_bin).astype("int64"),
-                }))
-            yield pd.concat(parts, ignore_index=True)
+            counts = pdf["n"].to_numpy("int64")
+            yield pd.DataFrame({
+                "term": np.repeat(pdf["term"].to_numpy(object), counts),
+                "slot": decode_doc_blocks(
+                    list(pdf["docs_bin"]), counts, pdf["doc_off"].to_numpy("int64")
+                ),
+                "tf": varint_decode(b"".join(pdf["tfs_bin"])).astype("int64"),
+                "doc_len": varint_decode(b"".join(pdf["dls_bin"])).astype("int64"),
+            })
 
     posts = seg.mapInPandas(decode, schema="term string, slot long, tf long, doc_len long")
     scored = posts.join(F.broadcast(dic.select("term", "idf")), "term").withColumn(

@@ -568,3 +568,36 @@ def test_search_after_equals_offset(spark):
     tail = [tuple(r) for r in
             search_after_page(df, ["grp", "id"], list(full[89]), 25).collect()]
     assert tail == full[90:]
+
+
+def test_phrase_defaults_to_live_mask_on_multigen(spark, tmp_path):
+    """phrase_topk must hide tombstoned + superseded docs WITHOUT the caller
+    passing live= (parity with every other query entry point)."""
+    a = _mk_docs(
+        [("r0", f"a/{i}.py", f"alpha table hash w{i % 5}") for i in range(20)]
+    )
+    idx = str(tmp_path / "plidx")
+    add_generation(spark, spark.createDataFrame(a), idx, PCFG)
+    # gen 1: update a/0 so it no longer contains the phrase; delete a/1
+    upd = _mk_docs([("r0", "a/0.py", "alpha beta nothing here")])
+    add_generation(spark, spark.createDataFrame(upd), idx, PCFG)
+    dels = _mk_docs([("r0", "a/1.py", "x")])
+    dels["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(dels), idx, PCFG)
+
+    mg = MultiGenReader(spark, idx)
+    hits = phrase_topk(mg, "table hash", 25)  # NO live= argument
+    _, doc_ids = mg.doc_arrays()
+    hit_paths = set()
+    import os as _os
+
+    docs = (
+        spark.read.parquet(_os.path.join(mg.live_gens[0]["dir"], "docs"))
+        .select("doc_id", "path")
+        .collect()
+    )
+    id2path = {r["doc_id"]: r["path"] for r in docs}
+    for d, _s in hits:
+        hit_paths.add(id2path.get(d, "?"))
+    assert len(hits) == 18  # 20 - updated-away - deleted
+    assert "a/0.py" not in hit_paths and "a/1.py" not in hit_paths
