@@ -81,3 +81,45 @@ def agg_percentiles_by_lang(spark, sf_dir):
         F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
     )
+
+
+# ES cardinality aggregation: {"cardinality": {"field": "lang"}} per source
+# bucket. The EXACT spec (twinnable); at 10^12 rows the engine swaps in
+# Spark's approx_count_distinct (the same HyperLogLog++ family ES uses) —
+# one flag, same plan shape (partial HLL sketches merge map-side).
+@register(
+    "agg_cardinality_langs",
+    """SELECT source AS key, count(DISTINCT lang) AS langs,
+              count(DISTINCT doc_id % 100) AS id_buckets
+       FROM documents GROUP BY source""",
+)
+def agg_cardinality_langs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("source").alias("key")).agg(
+        F.countDistinct("lang").alias("langs"),
+        F.countDistinct(F.col("doc_id") % 100).alias("id_buckets"),
+    )
+
+
+# ES top_hits sub-aggregation: the top-2 docs per terms bucket, sorted by
+# a field: {"terms": {"field": "lang"}, "aggs": {"top": {"top_hits":
+# {"sort": [{"n_chars": "desc"}], "size": 2}}}}. Window top-k per bucket —
+# partitioned by the bucket key, so the sort never goes global.
+@register(
+    "agg_top_hits_by_lang",
+    """SELECT lang AS key, doc_id, n_chars FROM (
+         SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents) WHERE rk <= 2""",
+)
+def agg_top_hits_by_lang(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("lang").alias("key"), "doc_id", "n_chars")
+    )

@@ -711,3 +711,76 @@ def ft_search_after_page2(spark, sf_dir):
     page1 = d.orderBy("lang", "doc_id").limit(50).collect()
     last = page1[-1]
     return search_after_page(d, ["lang", "doc_id"], [last["lang"], last["doc_id"]], 50)
+
+
+# B5m: ES more_like_this — select the source doc's most "interesting"
+# terms (tf × idf, ES's own selection heuristic) capped at max_query_terms,
+# then run a should-query with them, excluding the source doc. Source doc
+# = min(doc_id) (deterministic); term selection tie-break (score desc,
+# term asc) is pinned so both engines pick the identical term set. The
+# engine reads the doc's terms from its STORED _source and df from the
+# built dict; scoring is the real TATA scorer.
+MLT_MAX_TERMS = 10
+
+
+def _mlt_sql(limit: int) -> str:
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+src AS (SELECT min(doc_id) AS id FROM documents),
+stf AS (SELECT term, count(*) AS tf FROM tok, src WHERE doc_id = src.id GROUP BY term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN (SELECT term FROM stf) GROUP BY term),
+sel AS (SELECT stf.term
+        FROM stf JOIN df USING (term) CROSS JOIN stats
+        ORDER BY stf.tf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) DESC,
+                 stf.term
+        LIMIT {MLT_MAX_TERMS}),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+sc AS (SELECT tf2.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf2.tf / (tf2.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf2 JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf2.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc, src WHERE doc_id <> src.id
+ORDER BY s DESC, doc_id LIMIT {limit}
+"""
+
+
+@register("ft_more_like_this_top10", _mlt_sql(10))
+def ft_more_like_this_top10(spark, sf_dir):
+    import math
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+
+    idx = _index_dir_for(spark, sf_dir)
+    rd = _OrigIdReader(spark, idx)
+    src_id = load(spark, sf_dir, "documents").agg(F.min("doc_id")).collect()[0][0]
+    # the source doc's terms come from the index's STORED _source (ES reads
+    # the term vector / _source the same way) — a pushed-down point read
+    content = (
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .filter(F.col("path") == f"doc_{src_id}")
+        .select("content")
+        .collect()[0][0]
+    )
+    tf: dict[str, int] = {}
+    for t in tokenize_text(content):
+        tf[t] = tf.get(t, 0) + 1
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(os.path.join(idx, "dict"))
+        .filter(F.col("term").isin(list(tf)))
+        .collect()
+    }
+    scored = sorted(
+        ((tf[t] * rd.idf(dfs[t]), t) for t in tf if t in dfs),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _s, t in scored[:MLT_MAX_TERMS]]
+    hits = TermAtATimeScorer(rd).score(terms=terms, k=11)
+    rows = [(d, round(s, 6)) for d, s in hits if d != src_id][:10]
+    return spark.createDataFrame(rows, "doc_id long, score double")
