@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--snapshot-id", type=int, default=None)
     b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--store-source", action="store_true",
+                   help="persist the full source row in docs/ (Lucene stored "
+                        "fields) — required for get/update")
 
     q = sub.add_parser("query", help="BM25 top-k against a built index")
     q.add_argument("--index", required=True)
@@ -55,6 +58,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("--index-dir", required=True)
     g.add_argument("--batch", required=True, help="parquet path of the micro-batch")
+    g.add_argument("--store-source", action="store_true",
+                   help="store _source with the generation (required when the "
+                        "batch carries _change_type='update_partial' rows)")
+
+    ge = sub.add_parser("get", help="GET/mget by engine doc_id over the stored _source")
+    ge.add_argument("--index-dir", required=True)
+    ge.add_argument("--ids", required=True, help="comma-separated engine doc_ids")
+
+    u = sub.add_parser(
+        "update",
+        help="scripted update (ES _update {script}): apply Spark SQL "
+             "expressions to every doc matching --where, re-index as a new "
+             "generation (requires a store_source index)",
+    )
+    u.add_argument("--index-dir", required=True)
+    u.add_argument("--where", required=True, help="SQL predicate over the doc columns")
+    u.add_argument("--set", action="append", required=True, metavar="COL=EXPR",
+                   help="column assignment, repeatable (EXPR is Spark SQL over "
+                        "the doc's current columns)")
 
     st = sub.add_parser(
         "stream",
@@ -100,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
 
         corpus = read_corpus(spark, args.corpus, snapshot_id=args.snapshot_id)
         stats = build_index(
-            spark, corpus, args.out, IndexConfig(shuffle_partitions=args.partitions)
+            spark, corpus, args.out,
+            IndexConfig(shuffle_partitions=args.partitions, store_source=args.store_source),
         )
         print(json.dumps(stats))
     elif args.cmd == "query":
@@ -148,9 +171,29 @@ def main(argv: list[str] | None = None) -> int:
         stats = compact(spark, read_corpus(spark, args.corpus), args.index_dir)
         print(json.dumps(stats))
     elif args.cmd == "ingest":
+        from search_replica_spark.config import IndexConfig
         from search_replica_spark.streaming.incremental import add_generation
 
-        stats = add_generation(spark, spark.read.parquet(args.batch), args.index_dir)
+        cfg = IndexConfig(store_source=args.store_source)
+        stats = add_generation(spark, spark.read.parquet(args.batch), args.index_dir, cfg)
+        print(json.dumps(stats))
+    elif args.cmd == "get":
+        from search_replica_spark.streaming.incremental import get_docs
+
+        rows = get_docs(
+            spark, args.index_dir, [int(x) for x in args.ids.split(",")]
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "update":
+        from search_replica_spark.config import IndexConfig
+        from search_replica_spark.streaming.incremental import scripted_update
+
+        set_exprs = dict(kv.split("=", 1) for kv in args.set)
+        stats = scripted_update(
+            spark, args.index_dir, args.where, set_exprs,
+            cfg=IndexConfig(store_source=True),
+        )
         print(json.dumps(stats))
     elif args.cmd == "stream":
         from search_replica_spark.sources.code_table import INPUT_SCHEMA
