@@ -784,3 +784,20 @@ def ft_more_like_this_top10(spark, sf_dir):
     hits = TermAtATimeScorer(rd).score(terms=terms, k=11)
     rows = [(d, round(s, 6)) for d, s in hits if d != src_id][:10]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5r: ES range query on a keyword field — lexicographic [gte, lte] over
+# the fielded index's term dictionary (see query.bm25.range_match). The
+# oracle is the plain value-range predicate; matching it proves the
+# field:value dict layout + in-scan bounds give exactly ES's keyword-range
+# semantics.
+@register(
+    "ft_range_lang",
+    "SELECT DISTINCT doc_id FROM documents WHERE lang >= 'de' AND lang <= 'fr'",
+)
+def ft_range_lang(spark, sf_dir):
+    from search_replica_spark.query.bm25 import range_match
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    ids = range_match(_OrigIdReader(spark, idx), "lang", gte="de", lte="fr")
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")

@@ -866,6 +866,36 @@ def wildcard_match(
     return out[:k] if k is not None else out
 
 
+def range_match(
+    reader: IndexReader,
+    field: str,
+    gte: str | None = None,
+    lte: str | None = None,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+    max_expansions: int | None = None,
+) -> list[int]:
+    """ES range query on a KEYWORD field of a fielded index (constant
+    score): docs whose ``field`` value is lexicographically within
+    [gte, lte] — ES's keyword-range semantics exactly. The field's terms
+    live as ``field:value`` in the term dict, so the expansion is the
+    ``field:`` prefix RANGE SEEK with the value bounds evaluated inside
+    the scan (expand_prefix extra_filter) — dictionary cost is the
+    matching values only, never a scan. Numeric ranges at scale belong on
+    the docs store / doc values (a plain pushed-down filter); this is the
+    term-dict form ES uses for keyword fields."""
+    pre = f"{field}:"
+    cond = None
+    if gte is not None:
+        cond = F.col("term") >= pre + gte
+    if lte is not None:
+        c2 = F.col("term") <= pre + lte
+        cond = c2 if cond is None else (cond & c2)
+    terms = reader.expand_prefix(pre, max_expansions, extra_filter=cond)
+    out = _expansion_docs(reader, terms, live)
+    return out[:k] if k is not None else out
+
+
 def match_phrase_prefix(
     reader: IndexReader,
     phrase: str,

@@ -601,3 +601,29 @@ def test_phrase_defaults_to_live_mask_on_multigen(spark, tmp_path):
         hit_paths.add(id2path.get(d, "?"))
     assert len(hits) == 18  # 20 - updated-away - deleted
     assert "a/0.py" not in hit_paths and "a/1.py" not in hit_paths
+
+
+def test_range_match_keyword_bounds(spark, tmp_path):
+    """ES keyword-range: lexicographic value bounds — 'fritz' > 'fr' is
+    OUTSIDE [de, fr] even though it extends 'fr'."""
+    rows = [("r0", f"d/{i}.py", l) for i, l in
+            enumerate(["de", "fr", "fritz", "zz", "aa", "en"])]
+    df = _mk_docs([(r, p, "alpha beta") for r, p, _ in rows])
+    df["lang"] = [l for _, _, l in rows]
+    idx = str(tmp_path / "ridx")
+    cfg = IndexConfig(
+        shuffle_partitions=2, hot_df_threshold=200,
+        field_analyzers=(("content", "text"), ("lang", "keyword")),
+    )
+    build_index(spark, spark.createDataFrame(df), idx, cfg)
+    from search_replica_spark.query.bm25 import range_match
+
+    rd = IndexReader(spark, idx)
+    _, doc_ids = rd.doc_arrays()
+    docs = spark.read.parquet(idx + "/docs").select("doc_id", "lang").collect()
+    by_id = {r["doc_id"]: r["lang"] for r in docs}
+    got = {by_id[d] for d in range_match(rd, "lang", gte="de", lte="fr")}
+    assert got == {"de", "en", "fr"}
+    # open-ended bounds
+    assert {by_id[d] for d in range_match(rd, "lang", gte="fr")} == {"fr", "fritz", "zz"}
+    assert {by_id[d] for d in range_match(rd, "lang", lte="de")} == {"aa", "de"}
