@@ -36,6 +36,7 @@ def all_registered() -> dict[str, tuple[SparkFn, str | None]]:
         doc_transform,
         fulltext,
         multimodal,
+        sampling,
         similarity,
         streaming_ops,
         textstats,

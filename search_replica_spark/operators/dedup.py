@@ -501,3 +501,76 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("sim_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))
     )
+
+
+# Connected-component dup clusters: the canonicalization step a training
+# pipeline runs AFTER pair generation — near-dup is not transitive, so
+# keeping "one doc per pair" under-deletes; the real operation is "one doc
+# per connected component of the pair graph". cluster_id = min doc_id
+# reachable. Spark side: iterative min-label propagation (one equi-join +
+# partial-min aggregate per round; converges in graph-diameter rounds —
+# near-dup graphs are dense, so single digits in practice; lineage is cut
+# with localCheckpoint so plans stay bounded). Oracle: DuckDB recursive CTE
+# computing the identical min-reachable-label fixpoint over the SAME pairs.
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_rounds: int = 100):
+    """(node, cluster_id=min reachable node) over an undirected pair graph,
+    by iterative min-label propagation. Nodes absent from any pair are
+    absent from the result (callers coalesce singletons to themselves)."""
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    edges = edges.localCheckpoint()  # pair generation runs ONCE
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    for _i in range(max_rounds):
+        # each round: every node adopts min(own, neighbors' labels)
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"component propagation did not converge in {max_rounds} rounds")
+
+
+@register("dedup_cluster_components", _COMPONENTS_SQL)
+def dedup_cluster_components(spark, sf_dir):
+    labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", "doc_id").cast("long").alias("cluster_id")
+    )

@@ -627,3 +627,16 @@ def test_range_match_keyword_bounds(spark, tmp_path):
     # open-ended bounds
     assert {by_id[d] for d in range_match(rd, "lang", gte="fr")} == {"fr", "fritz", "zz"}
     assert {by_id[d] for d in range_match(rd, "lang", lte="de")} == {"aa", "de"}
+
+
+def test_connected_components_transitive_chain(spark):
+    """Near-dup is not transitive; components must be — a chain a-b-c-d
+    collapses to one cluster, disjoint pairs stay separate."""
+    from search_replica_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["lbl"] for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
