@@ -71,11 +71,43 @@ def pack_sequences(spark, sf_dir):
             F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
         ).cast("long").alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TOKENS)
-        .cast("long")
-        .alias("pack_id"),
+    # global running sum WITHOUT a single-partition window sort: the same
+    # two-pass partition-offset pattern as assign_dense_doc_idx — range
+    # partition by doc_id, collect per-partition token sums (O(P) driver
+    # state), then each partition cumsums locally from its offset. The
+    # numbers are identical to the window formulation; the plan scales.
+    P = 8
+    ds = (
+        toks.repartitionByRange(P, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
     )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ds.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def fn(batches):
+        import pandas as pd
+
+        run = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            cum = pdf["n_tokens"].cumsum() + run
+            run = int(cum.iloc[-1])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": (cum - pdf["n_tokens"]) // PACK_TOKENS,
+            })
+
+    return ds.mapInPandas(fn, schema="doc_id long, n_tokens long, pack_id long")
