@@ -92,6 +92,11 @@ CHECKS = {
         "avoid": ["CartesianProduct"],
         "why": "search_after deep paging: tuple-compare filter + top-k sort (TakeOrderedAndProject = per-partition heap + k-row merge), never OFFSET's skip-scan",
     },
+    "pack_sequences": {
+        "want": ["rangepartitioning"],
+        "avoid": ["Window"],
+        "why": "global running token sum via the two-pass partition-offset pattern (range partition + local cumsum from O(P) driver offsets) — a global-window formulation would funnel 10^12 rows through ONE partition's sort",
+    },
 }
 
 
@@ -152,6 +157,7 @@ def main():
     merged.unpersist()  # drop the cache marker so the RAW join plan prints
     plans["partial_update_resolve"] = plan_of(merged)
 
+    plans["pack_sequences"] = plan_of(reg["pack_sequences"][0](spark, sf_dir))
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))
