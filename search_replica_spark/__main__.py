@@ -172,9 +172,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
     elif args.cmd == "ingest":
         from search_replica_spark.config import IndexConfig
-        from search_replica_spark.streaming.incremental import add_generation
+        from search_replica_spark.streaming.incremental import (
+            add_generation,
+            derive_index_cfg,
+        )
 
-        cfg = IndexConfig(store_source=args.store_source)
+        # an existing index pins the build flags (positions/source/
+        # analyzers); --store-source only matters for the FIRST generation
+        cfg = derive_index_cfg(args.index_dir, IndexConfig(store_source=args.store_source))
         stats = add_generation(spark, spark.read.parquet(args.batch), args.index_dir, cfg)
         print(json.dumps(stats))
     elif args.cmd == "get":
@@ -186,14 +191,12 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "update":
-        from search_replica_spark.config import IndexConfig
         from search_replica_spark.streaming.incremental import scripted_update
 
+        # build flags derive from the index itself; a sourceless index is
+        # rejected with a clear error instead of silently wiping content
         set_exprs = dict(kv.split("=", 1) for kv in args.set)
-        stats = scripted_update(
-            spark, args.index_dir, args.where, set_exprs,
-            cfg=IndexConfig(store_source=True),
-        )
+        stats = scripted_update(spark, args.index_dir, args.where, set_exprs)
         print(json.dumps(stats))
     elif args.cmd == "stream":
         from search_replica_spark.sources.code_table import INPUT_SCHEMA

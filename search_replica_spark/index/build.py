@@ -413,6 +413,9 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "store_doclens": cfg.store_doclens,
         "store_positions": cfg.store_positions,
         "store_source": cfg.store_source,
+        "field_analyzers": [list(t) for t in cfg.field_analyzers]
+        if cfg.field_analyzers is not None
+        else None,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }

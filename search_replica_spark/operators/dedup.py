@@ -553,15 +553,17 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         )
         new = (
             labels.join(neigh, "doc_id", "left")
-            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                F.col("lbl").alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new
+        # old label rides in the projection — convergence is one filter
+        # count on the checkpointed frame, not a second join per round
+        changed = new.filter(F.col("lbl") != F.col("_old")).count()
+        labels = new.drop("_old")
         if changed == 0:
             return labels
     raise RuntimeError(f"component propagation did not converge in {max_rounds} rounds")

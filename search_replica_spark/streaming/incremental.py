@@ -78,6 +78,86 @@ def _save_gens(index_dir: str, gens: list[dict]) -> None:
     os.replace(tmp, os.path.join(index_dir, GENS_FILE))
 
 
+def _adopt_plain_index(index_dir: str) -> list[dict]:
+    """Turn a plain ``build_index`` output into generation 0 IN PLACE (move
+    its files under gen=0/, write generations.json). Called by
+    add_generation when an un-adopted plain index sits at index_dir —
+    without this, the first ingested/updated batch would become the ONLY
+    visible generation and orphan the original index (every doc outside
+    the batch silently vanishing from query/GET)."""
+    stats_p = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_p):
+        return []
+    with open(stats_p) as f:
+        st = json.load(f)
+    gen_dir = os.path.join(index_dir, "gen=0")
+    os.makedirs(gen_dir)
+    for name in os.listdir(index_dir):
+        if name not in ("gen=0", GENS_FILE):
+            shutil.move(os.path.join(index_dir, name), os.path.join(gen_dir, name))
+    gens = [{
+        "gen": 0, "dir": gen_dir, "n_docs": int(st["n_docs"]),
+        "total_tokens": int(st["total_tokens"]), "epoch_id": None,
+        "deleted_ids": [],
+    }]
+    _save_gens(index_dir, gens)
+    return gens
+
+
+def derive_index_cfg(index_dir: str, base: IndexConfig | None = None) -> IndexConfig:
+    """An IndexConfig whose BUILD FLAGS match the index's existing
+    generations — ES semantics: index settings are fixed at creation, every
+    later batch conforms. merge_generations derives the same way; a
+    generation built with different positions/source/analyzer settings
+    corrupts the index (schema-mismatched segment unions, unqualified terms
+    that stop matching fielded queries). Tuning knobs (shuffle width, salt
+    thresholds) stay from ``base``. Returns ``base`` unchanged for an empty
+    index."""
+    import dataclasses
+
+    cfg = base or IndexConfig()
+    live = [g for g in _load_gens(index_dir) if g["dir"]]
+    if live:
+        stats_p = os.path.join(live[-1]["dir"], "stats.json")
+    else:
+        stats_p = os.path.join(index_dir, "stats.json")  # un-adopted plain
+    if not os.path.exists(stats_p):
+        return cfg
+    with open(stats_p) as f:
+        st = json.load(f)
+    fa = st.get("field_analyzers")
+    return dataclasses.replace(
+        cfg,
+        store_positions=bool(st.get("store_positions", False)),
+        store_doclens=bool(st.get("store_doclens", True)),
+        store_source=bool(st.get("store_source", False)),
+        field_analyzers=tuple(tuple(x) for x in fa) if fa else None,
+        k1=float(st.get("k1", cfg.k1)),
+        b=float(st.get("b", cfg.b)),
+        block_size=int(st.get("block_size", cfg.block_size)),
+    )
+
+
+def _require_stored_source(index_dir: str) -> None:
+    """Every LIVE generation must actually have stored its _source: column
+    presence on the unioned view is not enough — unionByName(allowMissing)
+    fabricates nulls for generations built without store_source, and a
+    metadata-only update would then silently wipe content."""
+    no_src = []
+    for g in _load_gens(index_dir):
+        if not g["dir"]:
+            continue
+        with open(os.path.join(g["dir"], "stats.json")) as f:
+            if not json.load(f).get("store_source", False):
+                no_src.append(g["gen"])
+    if no_src:
+        raise ValueError(
+            f"generations {no_src} were built without store_source=True — "
+            "their docs have no stored _source to merge against; compact() "
+            "with store_source before applying updates"
+        )
+
+
 def source_view(spark, index_dir: str):
     """Current live document state as a DataFrame — ES GET/_source parity.
 
@@ -175,24 +255,7 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
         partials = partials.groupBy("repo", "path").agg(*aggs)
     else:
         partials = partials.select("repo", "path", *others)
-    # every LIVE generation must actually have stored its source: column
-    # presence on the unioned view is not enough — unionByName(allowMissing)
-    # fabricates nulls for generations built without store_source, and a
-    # metadata-only update would then silently wipe content (coalesce(null,
-    # fabricated null)) for docs living in those generations.
-    no_src = []
-    for g in _load_gens(index_dir):
-        if not g["dir"]:
-            continue
-        with open(os.path.join(g["dir"], "stats.json")) as f:
-            if not json.load(f).get("store_source", False):
-                no_src.append(g["gen"])
-    if no_src:
-        raise ValueError(
-            f"generations {no_src} were built without store_source=True — "
-            "their docs have no stored _source to merge against; compact() "
-            "with store_source before applying partial updates"
-        )
+    _require_stored_source(index_dir)
     cur = source_view(spark, index_dir)
     missing_src = [c for c in others if c not in cur.columns]
     if missing_src:
@@ -229,10 +292,22 @@ def scripted_update(spark, index_dir: str, where: str, set_exprs: dict, cfg=None
     ``{"content": "concat(content, ' migrated')"}``. Runs as one
     Catalyst plan over ``source_view`` (requires store_source builds);
     the whole update is distributed — no driver-side doc loop.
+
+    A plain build_index output is adopted as generation 0 first (so the
+    superseding generation never orphans it), and the build flags
+    (positions/source/analyzers/k1/b) are DERIVED from the index itself —
+    ``cfg`` only contributes tuning knobs. Every live generation must have
+    stored its _source (same guard as partial updates: fabricated-null
+    merges silently destroy content).
     """
-    cfg = cfg or IndexConfig()
+    if not _load_gens(index_dir):
+        _adopt_plain_index(index_dir)
+    cfg = derive_index_cfg(index_dir, cfg)
     if not cfg.store_source:
-        raise ValueError("scripted_update requires IndexConfig(store_source=True)")
+        raise ValueError(
+            "scripted_update requires an index built with store_source=True"
+        )
+    _require_stored_source(index_dir)
     cur = source_view(spark, index_dir).filter(where)
     out = [
         (F.expr(set_exprs[c]) if c in set_exprs else F.col(c)).alias(c)
@@ -260,6 +335,10 @@ def add_generation(
     """
     cfg = cfg or IndexConfig()
     gens = _load_gens(index_dir)
+    if not gens:
+        # a plain build_index output at index_dir becomes generation 0
+        # (otherwise this batch would orphan it — see _adopt_plain_index)
+        gens = _adopt_plain_index(index_dir)
     if epoch_id is not None:
         for g in gens:
             committed = g.get("epoch_id") == epoch_id or (
@@ -285,6 +364,10 @@ def add_generation(
             | F.col(CHANGE_COL).isNull()
         ).drop(CHANGE_COL)
         if not partials.isEmpty():
+            # a batch that merges against prior generations must be built
+            # with THEIR flags (positions/source/analyzers), not whatever
+            # cfg the caller handed in — same derivation merge does
+            cfg = derive_index_cfg(index_dir, cfg)
             merged_partials, partial_missing = _resolve_partial_updates(
                 spark, partials.drop(CHANGE_COL), index_dir, cfg
             )
@@ -945,9 +1028,13 @@ __all__ = [
     "add_generation",
     "bm25_topk_spark_multigen",
     "compact",
+    "derive_index_cfg",
+    "get_docs",
     "index_stream",
     "merge_generations",
     "read_metrics",
+    "scripted_update",
+    "source_view",
     "tokenize_text",
     "write_metrics",
 ]

@@ -252,3 +252,59 @@ def test_merge_preserves_stored_source(spark, corpus, tmp_path):
     cur2 = source_view(spark, idx).toPandas().set_index("path")
     assert cur2.loc[corpus.iloc[5]["path"], "lang"] == "m2"
     assert cur2.loc[corpus.iloc[5]["path"], "content"] == corpus.iloc[5]["content"]
+
+
+def test_scripted_update_adopts_plain_index(spark, corpus, tmp_path):
+    """A scripted update on a plain build_index output must adopt it as
+    generation 0 — never orphan the non-matching docs."""
+    from search_replica_spark.streaming.incremental import scripted_update
+
+    idx = str(tmp_path / "plain")
+    build_index(spark, spark.createDataFrame(corpus.iloc[:30]), idx, CFG)
+    target = corpus.iloc[0]["lang"]
+    st = scripted_update(spark, idx, where=f"lang = '{target}'",
+                         set_exprs={"lang": "'zz'"})
+    assert st["n_docs"] >= 1
+    cur = source_view(spark, idx).toPandas()
+    assert len(cur) == 30  # every doc still visible
+    n_target = sum(1 for l in corpus.iloc[:30]["lang"] if l == target)
+    assert (cur["lang"] == "zz").sum() == n_target
+    mg = MultiGenReader(spark, idx)
+    assert int(mg._live.sum()) == 30 and len(mg.gens) == 2
+
+
+def test_derive_index_cfg_pins_build_flags(spark, corpus, tmp_path):
+    from search_replica_spark.streaming.incremental import derive_index_cfg
+
+    pcfg = IndexConfig(
+        shuffle_partitions=4, hot_df_threshold=200,
+        store_positions=True, store_source=True,
+    )
+    idx = str(tmp_path / "pidx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, pcfg)
+    got = derive_index_cfg(idx, IndexConfig(shuffle_partitions=2))
+    assert got.store_positions and got.store_source
+    assert got.shuffle_partitions == 2  # tuning knob stays from base
+
+
+def test_partial_batch_derives_flags_from_index(spark, corpus, tmp_path):
+    """A partial batch handed a bare cfg must still resolve (and build the
+    superseding generation) with the INDEX's flags."""
+    idx = str(tmp_path / "didx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    upd = _partial(corpus.iloc[[1]], lang="dv")
+    bare = IndexConfig(shuffle_partitions=4, hot_df_threshold=200)  # no store_source
+    st = add_generation(spark, spark.createDataFrame(upd), idx, bare)
+    assert st["n_docs"] == 1
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    r = cur.loc[corpus.iloc[1]["path"]]
+    assert r["lang"] == "dv" and r["content"] == corpus.iloc[1]["content"]
+    # and the new generation stored its source (flags derived, not bare)
+    import json as _json
+    import os as _os
+
+    from search_replica_spark.streaming.incremental import _load_gens
+
+    g1 = _load_gens(idx)[-1]
+    with open(_os.path.join(g1["dir"], "stats.json")) as f:
+        assert _json.load(f)["store_source"] is True
