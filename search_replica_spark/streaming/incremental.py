@@ -90,11 +90,18 @@ def _adopt_plain_index(index_dir: str) -> list[dict]:
         return []
     with open(stats_p) as f:
         st = json.load(f)
+    # crash-safe: top-level stats.json is the adoption trigger, so it moves
+    # LAST (the commit point); a crash mid-move leaves it in place and the
+    # retry completes the remaining moves (already-moved entries skipped)
     gen_dir = os.path.join(index_dir, "gen=0")
-    os.makedirs(gen_dir)
+    os.makedirs(gen_dir, exist_ok=True)
     for name in os.listdir(index_dir):
-        if name not in ("gen=0", GENS_FILE):
-            shutil.move(os.path.join(index_dir, name), os.path.join(gen_dir, name))
+        if name in ("gen=0", GENS_FILE, "stats.json") or name.endswith(".tmp"):
+            continue
+        dst = os.path.join(gen_dir, name)
+        if not os.path.exists(dst):
+            shutil.move(os.path.join(index_dir, name), dst)
+    shutil.move(stats_p, os.path.join(gen_dir, "stats.json"))
     gens = [{
         "gen": 0, "dir": gen_dir, "n_docs": int(st["n_docs"]),
         "total_tokens": int(st["total_tokens"]), "epoch_id": None,

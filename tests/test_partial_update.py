@@ -308,3 +308,27 @@ def test_partial_batch_derives_flags_from_index(spark, corpus, tmp_path):
     g1 = _load_gens(idx)[-1]
     with open(_os.path.join(g1["dir"], "stats.json")) as f:
         assert _json.load(f)["store_source"] is True
+
+
+def test_adoption_resumes_after_partial_crash(spark, corpus, tmp_path):
+    """A crash mid-adoption (some files moved, stats.json still at top)
+    must be completed by the retry — never half-orphaned."""
+    import os
+    import shutil as sh
+
+    from search_replica_spark.streaming.incremental import _adopt_plain_index
+
+    idx = str(tmp_path / "plain")
+    build_index(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    # simulate the crash: docs/ already moved, everything else not
+    os.makedirs(os.path.join(idx, "gen=0"))
+    sh.move(os.path.join(idx, "docs"), os.path.join(idx, "gen=0", "docs"))
+    gens = _adopt_plain_index(idx)
+    assert len(gens) == 1
+    g = os.path.join(idx, "gen=0")
+    for piece in ("docs", "segments", "dict", "stats.json"):
+        assert os.path.exists(os.path.join(g, piece)), piece
+    assert not os.path.exists(os.path.join(idx, "stats.json"))
+    cur = source_view(spark, idx).toPandas()
+    assert len(cur) == 10
+    assert len(MultiGenReader(spark, idx).score("the license apache def", 10)) > 0
