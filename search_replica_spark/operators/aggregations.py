@@ -123,3 +123,23 @@ def agg_top_hits_by_lang(spark, sf_dir):
         .filter(F.col("rk") <= 2)
         .select(F.col("lang").alias("key"), "doc_id", "n_chars")
     )
+
+
+# ES date_histogram with calendar_interval=day: calendar buckets (their
+# lengths follow the calendar/zone — the thing fixed_interval windows
+# cannot express) as one date_trunc groupBy.
+@register(
+    "agg_date_histogram_day",
+    """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+              count(*) AS doc_count,
+              round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1""",
+)
+def agg_date_histogram_day(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

@@ -801,3 +801,17 @@ def ft_range_lang(spark, sf_dir):
     idx = _fielded_index_dir_for(spark, sf_dir)
     ids = range_match(_OrigIdReader(spark, idx), "lang", gte="de", lte="fr")
     return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5t: ES terms query — multi-value keyword filter as direct field:value
+# term lookups (constant score; no dict expansion, straight posting fetch).
+@register(
+    "ft_terms_lang",
+    "SELECT DISTINCT doc_id FROM documents WHERE lang IN ('de', 'ja')",
+)
+def ft_terms_lang(spark, sf_dir):
+    from search_replica_spark.query.bm25 import terms_match
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    ids = terms_match(_OrigIdReader(spark, idx), "lang", ["de", "ja"])
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")

@@ -1272,3 +1272,19 @@ def wand_topk(
         stats["blocks_decoded"] = int(sum(c.blocks_decoded for c in cursors))
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     return [(int(-d), float(s)) for s, d in out]
+
+
+def terms_match(
+    reader: IndexReader,
+    field: str,
+    values: list[str],
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES terms query (constant score): docs whose keyword ``field`` equals
+    ANY of ``values`` — exact `field:value` term lookups on a fielded
+    index, no dictionary scan at all (the posting fetch is a direct
+    `term IN (...)` pushdown)."""
+    return _expansion_docs(reader, [f"{field}:{v}" for v in values], live)[
+        : k if k is not None else None
+    ]
