@@ -50,18 +50,23 @@ def agg_terms_lang(spark, sf_dir):
     "agg_stats_by_lang",
     """SELECT lang AS key, count(*) AS cnt,
               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-              sum(n_chars) AS sum_chars,
-              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST((1000000 * sum(n_chars)) // count(*) AS BIGINT)
+                  AS avg_chars_micro
        FROM documents GROUP BY lang""",
 )
 def agg_stats_by_lang(spark, sf_dir):
+    # Every output column is a BIGINT so the cross-engine value-hash is
+    # bit-stable: DuckDB's HUGEINT sum is cast down, and the avg is an
+    # integer-scaled micro value (floor(1e6 * sum / cnt)) instead of a
+    # rounded DOUBLE whose last bits depend on the engine's division.
     d = load(spark, sf_dir, "documents")
     return d.groupBy(F.col("lang").alias("key")).agg(
         F.count("*").alias("cnt"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
-        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        F.expr("(1000000 * sum(n_chars)) DIV count(*)").alias("avg_chars_micro"),
     )
 
 

@@ -93,7 +93,21 @@ class IndexReader:
         """Pin the segment store in Spark executor memory (hot-serving mode):
         repeated queries then pushdown-filter the cached columnar batches
         instead of re-reading parquet. Only the scorer columns are cached —
-        dls_bin (58% of segment bytes) never enters executor memory here."""
+        dls_bin (58% of segment bytes) never enters executor memory here.
+
+        A ``positions=True`` call after an earlier position-less cache
+        upgrades it (unpersist + re-cache with POS_COLS) instead of silently
+        serving the narrower frame — otherwise every phrase query would fall
+        back to a fresh parquet read and hot-serving mode would quietly lose
+        its benefit. Only upgrades when the index actually stored positions."""
+        if (
+            self._seg_df is not None
+            and positions
+            and "npos_bin" not in self._seg_df.columns
+            and self.stats.get("store_positions", False)
+        ):
+            self._seg_df.unpersist()
+            self._seg_df = None
         if self._seg_df is None:
             seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
             cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])

@@ -86,13 +86,29 @@ def _adopt_plain_index(index_dir: str) -> list[dict]:
     visible generation and orphan the original index (every doc outside
     the batch silently vanishing from query/GET)."""
     stats_p = os.path.join(index_dir, "stats.json")
+    gens = _load_gens(index_dir)
+    if gens:
+        # complete a crashed adoption: generations.json committed but the
+        # top-level stats.json was not yet moved into gen=0 — finish the
+        # move (or drop the stale copy if the move already happened)
+        if os.path.exists(stats_p) and gens[0]["dir"]:
+            dst = os.path.join(gens[0]["dir"], "stats.json")
+            if os.path.exists(dst):
+                os.remove(stats_p)
+            else:
+                shutil.move(stats_p, dst)
+        return gens
     if not os.path.exists(stats_p):
         return []
     with open(stats_p) as f:
         st = json.load(f)
-    # crash-safe: top-level stats.json is the adoption trigger, so it moves
-    # LAST (the commit point); a crash mid-move leaves it in place and the
-    # retry completes the remaining moves (already-moved entries skipped)
+    # crash-safe: generations.json is the COMMIT POINT. Data files move
+    # first (retry skips already-moved entries; top-level stats.json still
+    # present = adoption not committed, so the retry re-runs everything);
+    # once generations.json exists, no later add_generation can build into
+    # gen=0 (gen_id = len(gens) >= 1), so the adopted index can never be
+    # silently overwritten. The stats.json move is post-commit cleanup,
+    # completed by the retry path above if we crash before it.
     gen_dir = os.path.join(index_dir, "gen=0")
     os.makedirs(gen_dir, exist_ok=True)
     for name in os.listdir(index_dir):
@@ -101,13 +117,13 @@ def _adopt_plain_index(index_dir: str) -> list[dict]:
         dst = os.path.join(gen_dir, name)
         if not os.path.exists(dst):
             shutil.move(os.path.join(index_dir, name), dst)
-    shutil.move(stats_p, os.path.join(gen_dir, "stats.json"))
     gens = [{
         "gen": 0, "dir": gen_dir, "n_docs": int(st["n_docs"]),
         "total_tokens": int(st["total_tokens"]), "epoch_id": None,
         "deleted_ids": [],
     }]
     _save_gens(index_dir, gens)
+    shutil.move(stats_p, os.path.join(gen_dir, "stats.json"))
     return gens
 
 
@@ -126,6 +142,10 @@ def derive_index_cfg(index_dir: str, base: IndexConfig | None = None) -> IndexCo
     live = [g for g in _load_gens(index_dir) if g["dir"]]
     if live:
         stats_p = os.path.join(live[-1]["dir"], "stats.json")
+        if not os.path.exists(stats_p):
+            # adoption crashed between the generations.json commit and the
+            # stats.json move — the flags are still in the top-level copy
+            stats_p = os.path.join(index_dir, "stats.json")
     else:
         stats_p = os.path.join(index_dir, "stats.json")  # un-adopted plain
     if not os.path.exists(stats_p):
@@ -249,17 +269,48 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
             "(ES resolves _update the same way)"
         )
     others = [c for c in cfg.input_columns if c not in ("repo", "path")]
+    # ES `_update {"doc": {"field": null}}` explicitly NULLS the field; a
+    # null column in a CDC-shaped partial row means "unchanged". The two are
+    # disambiguated by an optional `_unset: array<string>` column naming the
+    # columns a row explicitly nulls — listed = set to NULL, null-and-
+    # unlisted = keep stored value. With `_seq`, the LATEST action on a
+    # column (set or unset) wins, per ES's sequential doc-merge.
+    has_unset = "_unset" in partials.columns
+
+    def _unset_flag(c):
+        return F.coalesce(F.array_contains(F.col("_unset"), c), F.lit(False))
+
     if "_seq" in partials.columns:
-        aggs = [
-            F.max(
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(F.col("_seq").alias("s"), F.col(c).alias("v")),
-                )
-            )["v"].alias(c)
-            for c in others
-        ]
-        partials = partials.groupBy("repo", "path").agg(*aggs)
+        aggs = []
+        for c in others:
+            u = _unset_flag(c) if has_unset else F.lit(False)
+            acted = F.col(c).isNotNull() | u
+            aggs.append(
+                F.max(
+                    F.when(
+                        acted,
+                        F.struct(
+                            F.col("_seq").alias("s"),
+                            u.alias("u"),
+                            F.col(c).alias("v"),
+                        ),
+                    )
+                ).alias(f"_a_{c}")
+            )
+        partials = partials.groupBy("repo", "path").agg(*aggs).select(
+            "repo",
+            "path",
+            *[F.col(f"_a_{c}.v").alias(c) for c in others],
+            *[
+                F.coalesce(F.col(f"_a_{c}.u"), F.lit(False)).alias(f"_u_{c}")
+                for c in others
+            ],
+        )
+    elif has_unset:
+        partials = partials.select(
+            "repo", "path", *others,
+            *[_unset_flag(c).alias(f"_u_{c}") for c in others],
+        )
     else:
         partials = partials.select("repo", "path", *others)
     _require_stored_source(index_dir)
@@ -274,10 +325,21 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
     cur_sel = cur.select(
         "repo", "path", *[F.col(c).alias(f"_cur_{c}") for c in others]
     )
+    have_flags = any(f"_u_{c}" in partials.columns for c in others)
+
+    def _resolved(c):
+        base = F.coalesce(F.col(c), F.col(f"_cur_{c}"))
+        if have_flags:
+            # an explicit unset beats both the stored value and any
+            # simultaneous set in the same row (ES: the null assignment IS
+            # the value)
+            base = F.when(F.col(f"_u_{c}"), F.lit(None)).otherwise(base)
+        return base.alias(c)
+
     merged = cur_sel.join(F.broadcast(partials), ["repo", "path"], "inner").select(
         "repo",
         "path",
-        *[F.coalesce(F.col(c), F.col(f"_cur_{c}")).alias(c) for c in others],
+        *[_resolved(c) for c in others],
     )
     # one docs-store probe scan per micro-batch (the distributed analogue of
     # ES's per-update GET): cache the merged rows so the count here and the
@@ -341,11 +403,17 @@ def add_generation(
     a no-op (exactly-once generation content over at-least-once delivery).
     """
     cfg = cfg or IndexConfig()
-    gens = _load_gens(index_dir)
-    if not gens:
-        # a plain build_index output at index_dir becomes generation 0
-        # (otherwise this batch would orphan it — see _adopt_plain_index)
-        gens = _adopt_plain_index(index_dir)
+    # a plain build_index output at index_dir becomes generation 0
+    # (otherwise this batch would orphan it — see _adopt_plain_index);
+    # called unconditionally so a crashed adoption is completed too
+    gens = _adopt_plain_index(index_dir)
+    # EVERY batch against an existing index must be built with the index's
+    # own flags (positions/source/analyzers/k1/b) — ES semantics: settings
+    # are fixed at creation. Without this, a plain insert batch with the
+    # caller's/default cfg against a fielded or positional index would
+    # index unqualified terms (field:term queries silently stop matching
+    # new docs) or diverge segment schemas across generations.
+    cfg = derive_index_cfg(index_dir, cfg)
     if epoch_id is not None:
         for g in gens:
             committed = g.get("epoch_id") == epoch_id or (
@@ -371,10 +439,6 @@ def add_generation(
             | F.col(CHANGE_COL).isNull()
         ).drop(CHANGE_COL)
         if not partials.isEmpty():
-            # a batch that merges against prior generations must be built
-            # with THEIR flags (positions/source/analyzers), not whatever
-            # cfg the caller handed in — same derivation merge does
-            cfg = derive_index_cfg(index_dir, cfg)
             merged_partials, partial_missing = _resolve_partial_updates(
                 spark, partials.drop(CHANGE_COL), index_dir, cfg
             )
@@ -427,6 +491,19 @@ def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
     m = _compute_metrics(index_dir)
     if extra:
         m.update(extra)
+    # monotonic ingest counters (Prometheus-counter semantics — the live
+    # docs_indexed gauge above deflates on merge, a counter never does):
+    # accumulate the per-batch doc count across writes; replayed batches
+    # don't count (exactly-once over at-least-once delivery)
+    prev = {}
+    p = os.path.join(index_dir, METRICS_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            prev = json.load(f)
+    batch_docs = int((extra or {}).get("last_batch_docs", 0))
+    if (extra or {}).get("last_batch_replayed"):
+        batch_docs = 0
+    m["docs_ingested_total"] = int(prev.get("docs_ingested_total", 0)) + batch_docs
     tmp = os.path.join(index_dir, METRICS_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(m, f, indent=2)
@@ -452,11 +529,15 @@ def _compute_metrics(index_dir: str) -> dict:
     gens = _load_gens(index_dir)
     epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
     epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
+    live = [g for g in gens if g["dir"]]
     return {
         "generations": len(gens),
-        "live_generations": sum(1 for g in gens if g["dir"]),
-        "docs_indexed": int(sum(g["n_docs"] for g in gens)),
-        "tokens_indexed": int(sum(g["total_tokens"] for g in gens)),
+        "live_generations": len(live),
+        # live gauge: doc versions currently indexed (live generations only —
+        # a merge that collapses generations must not inflate this; counting
+        # merged-away records would double-count every re-indexed doc)
+        "docs_indexed": int(sum(g["n_docs"] for g in live)),
+        "tokens_indexed": int(sum(g["total_tokens"] for g in live)),
         "tombstones_total": int(sum(len(g.get("deleted_ids", ())) for g in gens)),
         "last_epoch": max(epochs) if epochs else None,
         "updated_unix": round(_time.time(), 3),

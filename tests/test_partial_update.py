@@ -332,3 +332,91 @@ def test_adoption_resumes_after_partial_crash(spark, corpus, tmp_path):
     cur = source_view(spark, idx).toPandas()
     assert len(cur) == 10
     assert len(MultiGenReader(spark, idx).score("the license apache def", 10)) > 0
+
+# ---------------------------------------------------------------------------
+# explicit null assignment (`_unset`) — ES `{"doc": {"field": null}}` parity
+# ---------------------------------------------------------------------------
+
+
+def test_unset_explicitly_nulls_field(spark, corpus, tmp_path):
+    """A null column means 'unchanged' (CDC shape); listing the column in
+    `_unset` means 'set to NULL' (ES _update doc-merge shape)."""
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    upd = _partial(corpus.iloc[[2]])  # all value cols None = unchanged
+    upd["_unset"] = [["lang"]]
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    r = cur.loc[corpus.iloc[2]["path"]]
+    assert pd.isna(r["lang"])  # explicitly nulled
+    assert r["content"] == corpus.iloc[2]["content"]  # untouched
+    assert r["commit"] == corpus.iloc[2]["commit"]
+
+
+def test_unset_with_seq_latest_action_wins(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:10]), idx, CFG)
+    row = corpus.iloc[[4]]
+    upd = pd.concat(
+        [_partial(row, lang="early", commit=None),
+         _partial(row, commit="c9")],
+        ignore_index=True,
+    )
+    upd["_seq"] = [1, 2]
+    # seq1 unsets commit (then seq2 sets it: set wins — later action);
+    # seq2 unsets lang (after seq1 set it: unset wins — later action)
+    upd["_unset"] = [["commit"], ["lang"]]
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+    cur = source_view(spark, idx).toPandas().set_index("path")
+    r = cur.loc[row["path"].iloc[0]]
+    assert pd.isna(r["lang"]) and r["commit"] == "c9"
+    assert r["content"] == row["content"].iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# adoption crash windows + metrics after merge
+# ---------------------------------------------------------------------------
+
+
+def test_adoption_completes_after_commit_crash(spark, corpus, tmp_path):
+    """Crash AFTER the generations.json commit but BEFORE the stats.json
+    move: the next add_generation must complete the move, build into gen=1
+    (never overwrite the adopted gen=0), and keep every doc visible."""
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus.iloc[:20]), idx, CFG)
+    gen0 = os.path.join(idx, "gen=0")
+    os.makedirs(gen0)
+    for name in list(os.listdir(idx)):
+        if name not in ("gen=0", "stats.json"):
+            _shutil.move(os.path.join(idx, name), os.path.join(gen0, name))
+    with open(os.path.join(idx, "stats.json")) as f:
+        st = _json.load(f)
+    with open(os.path.join(idx, "generations.json"), "w") as f:
+        _json.dump([{"gen": 0, "dir": gen0, "n_docs": st["n_docs"],
+                     "total_tokens": st["total_tokens"], "epoch_id": None,
+                     "deleted_ids": []}], f)
+    add_generation(spark, spark.createDataFrame(corpus.iloc[20:25]), idx, CFG)
+    assert os.path.exists(os.path.join(gen0, "stats.json"))
+    assert not os.path.exists(os.path.join(idx, "stats.json"))
+    assert os.path.isdir(os.path.join(idx, "gen=1"))
+    assert len(source_view(spark, idx).toPandas()) == 25
+
+
+def test_metrics_not_inflated_by_merge(spark, corpus, tmp_path):
+    from search_replica_spark.streaming.incremental import (
+        merge_generations,
+        read_metrics,
+    )
+
+    idx = str(tmp_path / "idx")
+    add_generation(spark, spark.createDataFrame(corpus.iloc[:20]), idx, CFG)
+    add_generation(spark, spark.createDataFrame(corpus.iloc[20:30]), idx, CFG)
+    before = read_metrics(idx)
+    assert before["docs_indexed"] == 30
+    merge_generations(spark, idx, CFG)
+    after = read_metrics(idx)
+    assert after["docs_indexed"] == 30  # live gauge: merge must not inflate

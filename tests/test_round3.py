@@ -80,13 +80,41 @@ def test_merge_preserves_positions(spark, tmp_path):
 
 
 def test_merge_mixed_positions_fails_fast(spark, tmp_path):
+    """add_generation now derives build flags from the index, so mixed
+    generations can only arise from foreign/corrupted state — construct
+    that directly (two plain builds + a hand-written commit log) and
+    check the merge still refuses to union mismatched segment schemas."""
     a = _mk_docs([("r0", f"a/{i}.py", "alpha beta") for i in range(10)])
     b = _mk_docs([("r0", f"b/{i}.py", "gamma delta") for i in range(10)])
     idx = str(tmp_path / "midx")
-    add_generation(spark, spark.createDataFrame(a), idx, PCFG)
-    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+    g0, g1 = os.path.join(idx, "gen=0"), os.path.join(idx, "gen=1")
+    s0 = build_index(spark, spark.createDataFrame(a), g0, PCFG)
+    s1 = build_index(spark, spark.createDataFrame(b), g1, CFG)
+    gens = [
+        {"gen": i, "dir": d, "n_docs": s["n_docs"],
+         "total_tokens": s["total_tokens"], "epoch_id": None, "deleted_ids": []}
+        for i, (d, s) in enumerate([(g0, s0), (g1, s1)])
+    ]
+    with open(os.path.join(idx, "generations.json"), "w") as f:
+        json.dump(gens, f)
     with pytest.raises(ValueError, match="mixed store_positions"):
         merge_generations(spark, idx, PCFG)
+
+
+def test_add_generation_derives_index_flags(spark, tmp_path):
+    """A plain insert batch with the DEFAULT cfg against a positional index
+    must still be built positional (ES: index settings fixed at creation) —
+    phrase queries keep matching newly ingested docs."""
+    a = _mk_docs([("r0", f"a/{i}.py", "alpha beta gamma") for i in range(10)])
+    b = _mk_docs([("r0", "b/new.py", "omega kappa sigma")])
+    idx = str(tmp_path / "didx")
+    add_generation(spark, spark.createDataFrame(a), idx, PCFG)
+    add_generation(spark, spark.createDataFrame(b), idx)  # cfg=None
+    with open(os.path.join(idx, "gen=1", "stats.json")) as f:
+        assert json.load(f)["store_positions"] is True
+    mg = MultiGenReader(spark, idx)
+    hits = phrase_topk(mg, "omega kappa", 5, live=mg._live)
+    assert len(hits) == 1
 
 
 # ---------------------------------------------------------------------------
