@@ -85,6 +85,32 @@ def p9_json_encode(spark, sf_dir):
     )
 
 
+# P9b: row→JSON with a DATE-typed field (demo/mapping.json:9 declares
+# "type": "date"): ES expects strict ISO-8601 in the encoded doc, so
+# timestamps format as yyyy-MM-dd'T'HH:mm:ss instead of flowing through
+# as engine-native strings (structs.go:87-113 marshals time.Time the
+# same way via encoding/json).
+@register(
+    "p9b_json_encode_date",
+    """SELECT event_id,
+              '{"user":' || user_id || ',"ts":"' ||
+              strftime(ts, '%Y-%m-%dT%H:%M:%S') || '"}' AS doc_json
+       FROM events""",
+)
+def p9b_json_encode_date(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"user":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"ts":"'),
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit('"}'),
+        ).alias("doc_json"),
+    )
+
+
 # P10: parent/child join field {name, parent} + routing = parent id
 # (table_join.go:19-33; demo/schema.sql:78-81).
 @register(
@@ -195,6 +221,74 @@ def b6_has_child_semijoin(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# B6c: has_child with min_children — the reference's own canonical demo
+# query (demo/README.md:23-33 sets "min_children": 1 on has_child). ES
+# keeps a parent only when it has AT LEAST N matching children: a count
+# condition, not an existence test. Spark-first shape: filter children,
+# ONE partial-aggregating groupBy on the join key (map-side combine, count
+# >= N as a post-agg filter), then a left-semi join — the aggregated side
+# is |distinct parents| rows, so AQE broadcasts it when selective. Same
+# two-shuffle plan at 100 TB, no fan-out join.
+@register(
+    "b6c_has_child_min_children",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F') >= 3""",
+)
+def b6c_has_child_min_children(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    qualifying = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_children"))
+        .filter(F.col("n_children") >= 3)
+    )
+    return c.join(qualifying, c.c_custkey == qualifying.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# B6d: has_child with inner_hits — the other half of the demo query
+# (demo/README.md:29-31: "inner_hits": {"_source": true}). ES returns each
+# matching parent WITH its matching child documents (capped at inner_hits
+# size, default 3, deterministically ordered). Spark-first: per-parent
+# top-k via a window partitioned by the parent key (the sort never goes
+# global), then ONE equi-join parent↔hits — both shuffles key on the
+# parent id, the plan that survives a skewed 100-TB child table because
+# the row_number cap bounds the join fan-out to k rows per parent.
+@register(
+    "b6d_has_child_inner_hits",
+    """SELECT c_custkey, c_name, hit_orderkey, hit_totalprice FROM customer c
+       JOIN (SELECT o_custkey, o_orderkey AS hit_orderkey,
+                    o_totalprice AS hit_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey) AS rk
+             FROM orders WHERE o_orderstatus = 'F') h
+         ON h.o_custkey = c.c_custkey
+       WHERE h.rk <= 3""",
+)
+def b6d_has_child_inner_hits(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    hits = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    return c.join(hits, c.c_custkey == hits.o_custkey, "inner").select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").alias("hit_orderkey"),
+        F.col("o_totalprice").alias("hit_totalprice"),
+    )
 
 
 # B6b: has_parent — the inverse of B6's has_child (ES parent-child join

@@ -815,3 +815,47 @@ def ft_terms_lang(spark, sf_dir):
     idx = _fielded_index_dir_for(spark, sf_dir)
     ids = terms_match(_OrigIdReader(spark, idx), "lang", ["de", "ja"])
     return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5u: ES match_all — every doc at constant score 1.0, deterministic
+# doc_id order (the query the reference's demo nests inside has_child,
+# demo/README.md:28). Served from the doc store; postings untouched.
+@register(
+    "ft_match_all_top10",
+    """SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id LIMIT 10""",
+)
+def ft_match_all_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import match_all
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = match_all(_OrigIdReader(spark, idx), 10)
+    return spark.createDataFrame(hits, "doc_id long, score double")
+
+
+# C3b: mapping options — ES `"index": false` (demo/mapping.json:7) and
+# `ignore_above` (demo/mapping.json:27). A noindex field contributes ZERO
+# terms (stored only); a keyword with ignore_above=N is indexed only when
+# its value is <= N chars. src0..src9 (4 chars) index, src10..src19
+# (5 chars) are skipped; lang is mapped noindex so it is absent entirely.
+@register(
+    "field_mapping_options",
+    """SELECT doc_id, 'source' AS field, source AS term, count(*) AS tf
+       FROM documents WHERE length(source) <= 4
+       GROUP BY doc_id, source""",
+)
+def field_mapping_options(spark, sf_dir):
+    from search_replica_spark.analysis.fields import field_tokens
+
+    d = load(spark, sf_dir, "documents")
+    parts = [
+        d.select(
+            "doc_id",
+            F.lit(fld).alias("field"),
+            F.explode(field_tokens(fld, kind)).alias("term"),
+        )
+        for fld, kind in (("source", "keyword:4"), ("lang", "noindex"))
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))

@@ -1302,3 +1302,22 @@ def terms_match(
     return _expansion_docs(reader, [f"{field}:{v}" for v in values], live)[
         : k if k is not None else None
     ]
+
+
+def match_all(
+    reader: IndexReader,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES match_all: every live document at constant score 1.0 — the query
+    the reference's own demo nests inside has_child (demo/README.md:28).
+    No postings are touched: the doc store IS the answer. Deterministic
+    order (doc_id asc, ES's tie-break for equal scores) so paging over the
+    result is stable. At scale this is a doc-store scan, not a scorer."""
+    _dl, ids = reader.doc_arrays()
+    if live is not None:
+        ids = ids[live.astype(bool)]
+    out = np.sort(ids)
+    if k is not None:
+        out = out[:k]
+    return [(int(d), 1.0) for d in out]

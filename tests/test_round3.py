@@ -668,3 +668,41 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r["doc_id"]: r["lbl"] for r in connected_components(pairs).collect()}
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+# ---------------------------------------------------------------------------
+# mapping options: index:false + ignore_above (demo/mapping.json:7,27)
+# ---------------------------------------------------------------------------
+
+
+def test_mapping_options_noindex_and_ignore_above(spark, tmp_path):
+    from search_replica_spark.analysis.fields import field_query_terms
+
+    rows = _mk_docs([
+        ("r0", "a/short.py", "alpha beta"),
+        ("r0", "b/long.py", "gamma delta"),
+    ])
+    rows.loc[rows["path"] == "b/long.py", "lang"] = "golang"  # 6 > 4 chars
+    idx = str(tmp_path / "mopt")
+    cfg = IndexConfig(
+        shuffle_partitions=4, hot_df_threshold=200, store_source=True,
+        field_analyzers=(
+            ("content", "text"),
+            ("lang", "keyword:4"),     # ignore_above=4
+            ("commit", "noindex"),     # index: false
+        ),
+    )
+    build_index(spark, spark.createDataFrame(rows), idx, cfg)
+    terms = {r["term"] for r in
+             spark.read.parquet(idx + "/dict").select("term").collect()}
+    assert not any(t.startswith("commit:") for t in terms)  # noindex: absent
+    assert "lang:py" in terms            # 2 chars <= 4: indexed
+    assert "lang:golang" not in terms    # 6 chars > 4: skipped
+    assert "content:alpha" in terms
+    # the stored _source keeps both fields even though they're not indexed
+    docs = spark.read.parquet(idx + "/docs").toPandas().set_index("path")
+    assert docs.loc["b/long.py", "lang"] == "golang"
+    assert docs.loc["a/short.py", "commit"] == "0" * 40
+    # querying a noindex field fails the ES way
+    with pytest.raises(ValueError, match="not indexed"):
+        field_query_terms("commit", "deadbeef", kind="noindex")
