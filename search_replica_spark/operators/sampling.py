@@ -45,13 +45,35 @@ def sample_stratified_by_lang(spark, sf_dir):
     )
 
 
+# ~rows per packing partition: small enough that a partition's rows fit
+# comfortably in one Arrow batch stream, large enough that P stays modest
+PACK_ROWS_PER_PART = 100_000
+
+
+def _pack_partitions(spark, n_rows: int) -> int:
+    """Shuffle width for packing, scaled by DATA (like build_index's
+    segment width): a fixed width funnels a 100-TB corpus through a
+    constant number of tasks; a data-scaled one keeps per-task row counts
+    flat as the corpus grows. Floored at the cluster's parallelism so
+    small inputs still use every core."""
+    return max(spark.sparkContext.defaultParallelism, n_rows // PACK_ROWS_PER_PART + 1)
+
+
+def _token_counts(d):
+    return d.select(
+        "doc_id",
+        "lang",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 # Sequence packing: stream documents (in deterministic doc_id order) into
 # fixed token-budget packs — the standard greedy streaming pack used to
 # build fixed-length training sequences. pack_id = floor(cumulative tokens
 # before this doc / budget): one running-sum window. Token count =
-# whitespace tokens (documents.text contract). At 100 TB packing runs
-# per-shard (partition by a shard key, pack within), which this same
-# expression does once a shard column joins the partition clause.
+# whitespace tokens (documents.text contract).
 @register(
     "pack_sequences",
     f"""SELECT doc_id, n_tokens,
@@ -65,18 +87,14 @@ def sample_stratified_by_lang(spark, sf_dir):
 )
 def pack_sequences(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        (
-            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
-        ).cast("long").alias("n_tokens"),
-    )
+    toks = _token_counts(d).drop("lang")
     # global running sum WITHOUT a single-partition window sort: the same
     # two-pass partition-offset pattern as assign_dense_doc_idx — range
     # partition by doc_id, collect per-partition token sums (O(P) driver
     # state), then each partition cumsums locally from its offset. The
-    # numbers are identical to the window formulation; the plan scales.
-    P = 8
+    # numbers are identical to the window formulation; the plan scales
+    # because P grows with the data, not a constant.
+    P = _pack_partitions(spark, toks.count())
     ds = (
         toks.repartitionByRange(P, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -111,3 +129,69 @@ def pack_sequences(spark, sf_dir):
             })
 
     return ds.mapInPandas(fn, schema="doc_id long, n_tokens long, pack_id long")
+
+
+# Sharded sequence packing: one independent pack stream PER SHARD KEY
+# (lang here; a real pipeline shards by data source / curriculum bucket).
+# This is the form that actually runs at 100 TB — shards pack in parallel
+# with no global sequence at all. Same two-pass cumsum, but the offsets
+# are per (partition, shard): O(P × shards) driver state.
+@register(
+    "pack_sequences_by_lang",
+    f"""SELECT doc_id, lang, n_tokens,
+              CAST(FLOOR(CAST((SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                   AS DOUBLE) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+       FROM (SELECT doc_id, lang,
+                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                      AS n_tokens
+             FROM documents)""",
+)
+def pack_sequences_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = _token_counts(d)
+    P = _pack_partitions(spark, toks.count())
+    # range partition on (shard, doc_id): a shard may span partitions, but
+    # its rows stay doc_id-ordered ACROSS partitions, so per-(pid, shard)
+    # sums compose into exact per-shard running offsets
+    ds = (
+        toks.repartitionByRange(P, "lang", "doc_id")
+        .sortWithinPartitions("lang", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    shard_sums = ds.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("s")).collect()
+    offsets: dict[tuple[int, str], int] = {}
+    seen: dict[str, int] = {}
+    for r in sorted(shard_sums, key=lambda r: r["_pid"]):
+        offsets[(int(r["_pid"]), r["lang"])] = seen.get(r["lang"], 0)
+        seen[r["lang"]] = seen.get(r["lang"], 0) + int(r["s"])
+
+    def fn(batches):
+        import pandas as pd
+
+        run: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            pdf = pdf.reset_index(drop=True)
+            pack = pd.Series(0, index=pdf.index, dtype="int64")
+            for sh, g in pdf.groupby("lang", sort=False):
+                start = run.get(sh)
+                if start is None:
+                    start = offsets.get((pid, sh), 0)
+                cum = g["n_tokens"].cumsum() + start
+                run[sh] = int(cum.iloc[-1])
+                pack.loc[g.index] = (cum - g["n_tokens"]) // PACK_TOKENS
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": pack,
+            })
+
+    return ds.mapInPandas(
+        fn, schema="doc_id long, lang string, n_tokens long, pack_id long"
+    )

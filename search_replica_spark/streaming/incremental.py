@@ -611,6 +611,44 @@ def compact(spark, corpus_df, index_dir: str, cfg: IndexConfig | None = None) ->
     return stats
 
 
+class LiveDocs:
+    """Sparse Lucene-liveDocs: stores only the DEAD slots (sorted int64
+    array), so a query node serving a generational shard holds O(superseded
+    + tombstoned) driver state instead of an O(corpus) bitmap — at 10^9-10^12
+    docs a dense ``np.ones(n_docs)`` is GBs of memory that scales with the
+    corpus; this scales with churn. Supports exactly the mask operations
+    the scorers use: fancy-index with an int slot array (vectorized
+    searchsorted membership), scalar index (WAND's pivot check), ``sum()``
+    (live count), and ``astype(bool)`` for the rare dense-mask consumer."""
+
+    __slots__ = ("n", "dead")
+
+    def __init__(self, n: int, dead):
+        self.n = int(n)
+        self.dead = np.unique(np.asarray(dead, dtype=np.int64))
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            i = int(np.searchsorted(self.dead, idx))
+            return not (i < self.dead.size and self.dead[i] == idx)
+        idx = np.asarray(idx)
+        if self.dead.size == 0:
+            return np.ones(idx.shape, dtype=bool)
+        pos = np.minimum(np.searchsorted(self.dead, idx), self.dead.size - 1)
+        return self.dead[pos] != idx
+
+    def sum(self) -> int:
+        return self.n - int(self.dead.size)
+
+    def astype(self, dtype):
+        m = np.ones(self.n, dtype=bool)
+        m[self.dead] = False
+        return m.astype(dtype)
+
+    def __len__(self) -> int:
+        return self.n
+
+
 class MultiGenReader(IndexReader):
     """IndexReader-compatible facade over a generational index: merged
     stats, last-wins + tombstone liveness (Lucene liveDocs), and BATCHED
@@ -653,7 +691,16 @@ class MultiGenReader(IndexReader):
         self._doc_ids = None
         self._seg_df = None
         self._pinned = None
-        self._live = self._liveness()
+        self._live_cache: LiveDocs | None = None
+
+    @property
+    def _live(self) -> LiveDocs:
+        """Lazy sparse liveDocs — computed on first use, so constructing a
+        reader for the distributed query path (which resolves liveness as
+        an anti-join, not a mask) costs no doc-store load at all."""
+        if self._live_cache is None:
+            self._live_cache = self._liveness()
+        return self._live_cache
 
     # --- merged doc store (ONE Spark action over all generations) ---
     def doc_arrays(self):
@@ -676,33 +723,69 @@ class MultiGenReader(IndexReader):
             self._doc_ids = pdf["doc_id"].to_numpy(np.int64)
         return self._doc_len, self._doc_ids
 
-    def _liveness(self) -> np.ndarray:
-        """liveDocs mask: a slot is dead if its doc_id re-appears in a later
-        generation (last-wins) or a tombstone at a strictly later generation
-        covers it (a generation's own upserts beat its tombstones — a
-        delete+insert of the same key in one batch nets to the insert,
-        reference P12 key-change semantics, table.go:66-86)."""
-        import pandas as pd
+    def _liveness(self) -> LiveDocs:
+        """Sparse liveDocs: a slot is dead if its doc_id re-appears in a
+        later generation (last-wins) or a tombstone at a strictly later
+        generation covers it (a generation's own upserts beat its
+        tombstones — delete+insert of one key in one batch nets to the
+        insert, reference P12 key-change semantics, table.go:66-86).
 
-        _, doc_ids = self.doc_arrays()
-        live = np.ones(self.n_docs, dtype=bool)
-        if self.n_docs:
-            gen_of = np.concatenate(
-                [np.full(g["n_docs"], g["gen"], dtype=np.int64) for g in self.live_gens]
+        Computed DISTRIBUTIVELY: a window over the unioned doc stores (and
+        a broadcast tombstone join) ships only the DEAD slots back —
+        O(superseded + tombstoned) driver state, never an O(corpus) bitmap.
+        Single-live-generation fast path (the post-merge steady state):
+        no duplicates are possible, so liveness is at most a point-lookup
+        of the tombstoned ids."""
+        del_gen: dict[int, int] = {}
+        for g in self.gens:
+            for d in g.get("deleted_ids", ()):
+                del_gen[int(d)] = max(del_gen.get(int(d), -1), int(g["gen"]))
+
+        if len(self.live_gens) == 1:
+            g0 = self.live_gens[0]
+            victims = [d for d, t in del_gen.items() if t > g0["gen"]]
+            if not victims:
+                return LiveDocs(self.n_docs, np.empty(0, np.int64))
+            base = self.bases[g0["gen"]]
+            rows = (
+                self.spark.read.parquet(os.path.join(g0["dir"], "docs"))
+                .filter(F.col("doc_id").isin(victims))
+                .select("doc_idx")
+                .collect()
             )
-            # last-wins: keep each doc_id's latest-generation slot
-            order = np.lexsort((-np.arange(self.n_docs), -gen_of))  # gen desc
-            dup = pd.Series(doc_ids[order]).duplicated().to_numpy()
-            live[order[dup]] = False
-            # tombstones: delete at gen t kills slots of earlier generations
-            del_gen: dict[int, int] = {}
-            for g in self.gens:
-                for d in g.get("deleted_ids", ()):
-                    del_gen[int(d)] = max(del_gen.get(int(d), -1), g["gen"])
-            if del_gen:
-                dg = pd.Series(doc_ids).map(del_gen).fillna(-1).to_numpy(np.int64)
-                live &= ~(dg > gen_of)
-        return live
+            return LiveDocs(self.n_docs, [int(r["doc_idx"]) + base for r in rows])
+
+        from pyspark.sql.window import Window as W
+
+        parts = [
+            self.spark.read.parquet(os.path.join(g["dir"], "docs")).select(
+                "doc_id",
+                (F.col("doc_idx") + F.lit(self.bases[g["gen"]])).alias("slot"),
+                F.lit(int(g["gen"])).alias("gen"),
+            )
+            for g in self.live_gens
+        ]
+        uni = parts[0]
+        for p in parts[1:]:
+            uni = uni.unionByName(p)
+        w = W.partitionBy("doc_id").orderBy(F.col("gen").desc())
+        dead = (
+            uni.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("slot")
+        )
+        if del_gen:
+            dels = self.spark.createDataFrame(
+                [(k, v) for k, v in del_gen.items()], "doc_id long, _del_gen long"
+            )
+            tomb = (
+                uni.join(F.broadcast(dels), "doc_id")
+                .filter(F.col("_del_gen") > F.col("gen"))
+                .select("slot")
+            )
+            dead = dead.unionByName(tomb)
+        dead_arr = [int(r["slot"]) for r in dead.distinct().collect()]
+        return LiveDocs(self.n_docs, dead_arr)
 
     # --- batched segment access across generations ---
     def _remap_blocks(self, pdf):

@@ -353,3 +353,50 @@ def test_merge_policy_in_stream_and_epoch_watermark(spark, corpus2, tmp_path):
     out = add_generation(spark, spark.createDataFrame(a.iloc[:70]), idx, CFG, epoch_id=0)
     assert out.get("replayed") is True
     assert MultiGenReader(spark, idx).n_docs == len(a)
+
+
+def test_liveness_is_sparse_and_lazy(spark, corpus2, tmp_path):
+    """Driver-side liveness state is O(superseded + tombstoned), NOT an
+    O(corpus) bitmap, and computing it never loads the doc store into the
+    driver: the property that keeps a serving node's memory flat as the
+    corpus grows."""
+    from search_replica_spark.streaming.incremental import LiveDocs
+
+    a, b = corpus2
+    for n, tag in ((40, "s"), (120, "l")):  # 3x the docs, same churn
+        idx = str(tmp_path / f"idx{tag}")
+        add_generation(spark, spark.createDataFrame(a.iloc[:n]), idx, CFG)
+        add_generation(spark, spark.createDataFrame(a.iloc[:2]), idx, CFG)  # 2 superseded
+        add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[4]])), idx, CFG)
+        mg = MultiGenReader(spark, idx)
+        assert mg._live_cache is None  # lazy: nothing computed yet
+        lv = mg._live
+        assert isinstance(lv, LiveDocs)
+        assert mg._doc_len is None  # liveness never pulled the doc store
+        assert lv.dead.size == 3  # 2 superseded + 1 tombstoned — corpus-size-free
+        assert lv.sum() == n - 1  # n docs, 2 re-upserts superseded, 1 deleted
+    # mask ops used by the scorers
+    import numpy as np
+
+    dead0 = int(lv.dead[0])
+    alive = next(i for i in range(lv.n) if i not in set(lv.dead))
+    assert lv[dead0] is False or lv[dead0] == False  # noqa: E712 scalar path
+    assert bool(lv[alive])
+    got = lv[np.array([dead0, alive])]
+    assert got.tolist() == [False, True]
+    dense = lv.astype(bool)
+    assert dense.sum() == lv.sum() and not dense[dead0]
+
+
+def test_single_gen_liveness_fast_path(spark, corpus2, tmp_path):
+    """Post-merge steady state: one live generation + later tombstone-only
+    generations resolves by point lookup, and stays rank-identical."""
+    a, _ = corpus2
+    idx = str(tmp_path / "idx1g")
+    add_generation(spark, spark.createDataFrame(a.iloc[:30]), idx, CFG)
+    add_generation(spark, spark.createDataFrame(_delete_batch(a.iloc[[7]])), idx, CFG)
+    mg = MultiGenReader(spark, idx)
+    assert len(mg.live_gens) == 1
+    assert mg._live.dead.size == 1
+    did = doc_id_of(a["repo"].iloc[7], a["path"].iloc[7])
+    assert did not in [d for d, _ in mg.score("the", 100)]
