@@ -105,7 +105,27 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--refresh", action="store_true",
                    help="recompute from generations.json before printing")
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP /metrics (Prometheus text) + /state (JSON healthcheck) "
+        "for an index dir (reference: main.go:100-107); no Spark needed",
+    )
+    sv.add_argument("--index-dir", required=True)
+    sv.add_argument("--port", type=int, default=9090)
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":  # pure file reads — no Spark session
+        from search_replica_spark.serve import serve_state
+
+        srv, port = serve_state(args.index_dir, args.port)
+        print(json.dumps({"listening": port, "endpoints": ["/metrics", "/state"]}))
+        try:
+            import threading
+
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
     if args.cmd == "metrics":  # pure file read — no Spark session
         from search_replica_spark.streaming.incremental import read_metrics, write_metrics
 

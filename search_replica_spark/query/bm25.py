@@ -40,6 +40,11 @@ from search_replica_spark.index.codec import (
 )
 
 
+# below this many blocks (from dict df counts), block-max pruning cannot
+# recoup its own metadata + theta passes — score everything in one job
+PRUNE_MIN_BLOCKS = 32
+
+
 def prefix_range_cond(prefix: str):
     """Pushdown-safe dictionary range covering ALL terms starting with
     ``prefix``: term >= prefix AND term < successor(prefix), successor =
@@ -366,7 +371,19 @@ def bm25_topk_spark_pruned(
     AND-mode theta needs conjunctive semantics — not implemented; use the
     unpruned plan. Pass ``prune_stats={}`` to receive blocks_total /
     blocks_decoded counters (costs two extra metadata-only count jobs).
+
+    Overhead discipline (a pruned plan must never be strictly worse):
+      - the dictionary is read ONCE and collected (|terms| rows) — the idf
+        broadcast is built driver-side, no second dict scan;
+      - when the dictionary's df counts bound the query's total blocks
+        below ``PRUNE_MIN_BLOCKS``, pruning cannot pay for its own
+        metadata pass — fall through to one all-blocks scoring job;
+      - gmax and the theta-pass block keys come out of ONE metadata job
+        (the per-term top-k window carries gmax as its _rk==1 row) instead
+        of separate groupBy-collect + window jobs.
     """
+    import math as _math
+
     from pyspark.sql import Window
 
     with open(os.path.join(index_dir, "stats.json")) as f:
@@ -374,6 +391,7 @@ def bm25_topk_spark_pruned(
     if not stats.get("store_doclens", False):
         return bm25_topk_spark(spark, index_dir, query, k)  # no dls_bin → no fast path
     n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
+    block_size = int(stats.get("block_size", 128))
     terms = sorted(set(tokenize_text(query)))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -381,23 +399,22 @@ def bm25_topk_spark_pruned(
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("term").isin(terms)
     )
-    meta = seg.select("term", "block_id", "max_score")
-    gmax = {
-        r["term"]: float(r["gm"])
-        for r in meta.groupBy("term").agg(F.max("max_score").alias("gm")).collect()
-    }
-    if not gmax:
-        return spark.createDataFrame([], "doc_id long, score double")
-    G = sum(gmax.values())
-    dic = (
+    # one dict scan, collected: |terms| rows of (term, df) — enough to both
+    # build the idf broadcast and bound the total block count
+    dic_rows = (
         spark.read.parquet(os.path.join(index_dir, "dict"))
         .filter(F.col("term").isin(terms))
-        .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .select("term", "idf")
+        .select("term", "df")
+        .collect()
     )
+    if not dic_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_of = {
+        r["term"]: _math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in dic_rows
+    }
+    dic = spark.createDataFrame(list(idf_of.items()), "term string, idf double")
+    blocks_bound = sum(-(-int(r["df"]) // block_size) for r in dic_rows)
 
     def decode(batches):
         # one vectorized pass per Arrow batch over ALL blocks (the same
@@ -426,13 +443,46 @@ def bm25_topk_spark_pruned(
         )
         return scored.groupBy("doc_idx").agg(F.sum("score").alias("score"))
 
-    # pass 1: theta from each term's top-k blocks by max_score
+    # too few blocks for pruning to pay for its metadata pass → one
+    # all-blocks scoring job (still rank-identical; the unpruned shape)
+    if blocks_bound <= PRUNE_MIN_BLOCKS:
+        if prune_stats is not None:
+            nb = seg.count()
+            prune_stats.update(
+                blocks_total=nb, blocks_decoded=nb, blocks_theta_pass=0, theta=0.0
+            )
+        topk = (
+            score_agg(seg)
+            .orderBy(F.col("score").desc(), F.col("doc_idx").asc())
+            .limit(k)
+        )
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_idx", "doc_id"
+        )
+        return (
+            docs.join(F.broadcast(topk), "doc_idx")
+            .select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    # ONE metadata job: each term's top-k blocks by max_score; the _rk==1
+    # row doubles as the term's gmax. k·|terms| rows come to the driver.
     w = Window.partitionBy("term").orderBy(F.col("max_score").desc(), F.col("block_id"))
-    ph1_keys = (
-        meta.withColumn("_rk", F.row_number().over(w))
+    ph1_rows = (
+        seg.select("term", "block_id", "max_score")
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select("term", "block_id")
+        .collect()
     )
+    gmax = {r["term"]: float(r["max_score"]) for r in ph1_rows if r["_rk"] == 1}
+    if not gmax:
+        return spark.createDataFrame([], "doc_id long, score double")
+    G = sum(gmax.values())
+    ph1_keys = spark.createDataFrame(
+        [(r["term"], r["block_id"]) for r in ph1_rows], "term string, block_id long"
+    )
+
+    # pass 1: theta from the decoded theta-seed blocks
     kth = (
         score_agg(seg.join(F.broadcast(ph1_keys), ["term", "block_id"]))
         .orderBy(F.col("score").desc())
@@ -448,9 +498,9 @@ def bm25_topk_spark_pruned(
     )
     surv = seg.join(F.broadcast(thr), "term").filter(F.col("max_score") >= F.col("thr"))
     if prune_stats is not None:
-        prune_stats["blocks_total"] = meta.count()
+        prune_stats["blocks_total"] = seg.count()
         prune_stats["blocks_decoded"] = surv.count()
-        prune_stats["blocks_theta_pass"] = ph1_keys.count()
+        prune_stats["blocks_theta_pass"] = len(ph1_rows)
         prune_stats["theta"] = theta
     topk = (
         score_agg(surv)

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from search_replica_spark.analysis import tokenize_text
 from search_replica_spark.config import IndexConfig
-from search_replica_spark.errors import with_retries
+from search_replica_spark.errors import SchemaMismatch, with_retries
 from search_replica_spark.index.build import build_index, with_doc_ids
 from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer, wand_topk
 
@@ -562,7 +562,55 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
     index in-place (from index data alone; queries between batches see
     either the pre- or post-merge layout, both rank-identical). A merged
     epoch stays replay-safe: the epoch watermark survives the merge.
+
+    Schema drift (the reference rebinds columns on every RelationMessage,
+    postgres/replication.go:247-263; a fixed-schema Spark stream cannot):
+    every batch's source files are footer-checked against the bound
+    schema. A file MISSING a bound column (drop/rename upstream) would
+    silently fabricate all-null values for it — that fails fast with a
+    typed ``SchemaMismatch`` (K6 FATAL: restart with a corrected schema).
+    ADDITIVE columns are benign the same way the reference's unmapped
+    columns are (ignored by the doc transform): they are recorded in the
+    metrics surface (``schema_extra_columns``) and the batch proceeds.
+    The footer reads are driver-side metadata lookups, O(files/batch).
     """
+    from pyspark.sql.types import StructType
+
+    bound_fields = set(
+        StructType.fromDDL(schema).fieldNames() if isinstance(schema, str)
+        else schema.fieldNames()
+    )
+
+    def _batch_files(epoch_id: int) -> list[str]:
+        """The micro-batch's source files, from the file-source metadata
+        log (``checkpoint/sources/0/<batch>`` — the commit record Spark
+        itself replays from; ``batch_df.inputFiles()`` is empty inside
+        foreachBatch)."""
+        p = os.path.join(checkpoint, "sources", "0", str(int(epoch_id)))
+        if not os.path.exists(p):
+            return []
+        out = []
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    out.append(json.loads(line)["path"])
+        return out
+
+    def _check_batch_schema(epoch_id: int) -> list[str]:
+        extra: set[str] = set()
+        for fpath in _batch_files(epoch_id):
+            actual = set(spark.read.parquet(fpath).schema.fieldNames())
+            missing = bound_fields - actual
+            if missing:
+                raise SchemaMismatch(
+                    f"input file {fpath} lacks bound columns {sorted(missing)} "
+                    "(dropped or renamed upstream) — the stream would fabricate "
+                    "nulls for them; restart index_stream with a corrected schema"
+                )
+            extra |= actual - bound_fields
+        return sorted(extra)
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -575,6 +623,7 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
         if batch_df.isEmpty():
             return
         t0 = _time.time()
+        extra_cols = _check_batch_schema(int(epoch_id))
         st = add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
         if max_generations is not None:
             gens = _load_gens(index_dir)
@@ -584,6 +633,7 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
             "last_batch_docs": int(st.get("n_docs", 0)),
             "last_batch_sec": round(_time.time() - t0, 3),
             "last_batch_replayed": bool(st.get("replayed", False)),
+            **({"schema_extra_columns": extra_cols} if extra_cols else {}),
         })
 
     return (

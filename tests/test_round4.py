@@ -1,0 +1,119 @@
+"""Round-4 additions: schema-drift handling in the replication stream
+(reference: postgres/replication.go:247-263 column rebind) and the live
+/metrics + /state HTTP surface (reference: main.go:100-107, state.go:9-17)."""
+
+import json
+import os
+import urllib.request
+
+import pandas as pd
+import pytest
+
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.streaming.incremental import (
+    index_stream,
+    read_metrics,
+    source_view,
+)
+
+CFG = IndexConfig(shuffle_partitions=4, hot_df_threshold=200, salt_range_docs=256)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _mk_docs(rows):
+    return pd.DataFrame(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": ["0" * 40] * len(rows),
+            "lang": ["py"] * len(rows),
+            "content": [r[2] for r in rows],
+        }
+    )
+
+
+def _drain(spark, in_dir, idx):
+    q = index_stream(spark, in_dir, idx, SCHEMA, CFG)
+    q.awaitTermination(600)
+    return q
+
+
+def test_schema_drift_missing_column_fails_fast(spark, tmp_path):
+    """A file whose schema lost/renamed a bound column must kill the batch
+    with a typed SchemaMismatch (K6 FATAL), not fabricate nulls."""
+    in_dir, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(in_dir)
+    good = _mk_docs([("r0", f"a/{i}.py", f"alpha w{i % 3}") for i in range(10)])
+    good.to_parquet(os.path.join(in_dir, "b0.parquet"), index=False)
+    _drain(spark, in_dir, idx)
+    assert len(source_view(spark, idx).toPandas()) == 10
+
+    bad = good.rename(columns={"lang": "language"})
+    bad["path"] = "b/" + bad["path"]
+    bad.to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
+    with pytest.raises(Exception, match="lacks bound columns.*lang"):
+        _drain(spark, in_dir, idx)
+    # the bad batch committed nothing: the index still serves the good docs
+    assert len(source_view(spark, idx).toPandas()) == 10
+
+
+def test_schema_drift_additive_column_proceeds(spark, tmp_path):
+    """An ADDED column is benign (the reference ignores unmapped columns):
+    the batch indexes and the drift is surfaced in the metrics."""
+    in_dir, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(in_dir)
+    a = _mk_docs([("r0", f"a/{i}.py", f"beta w{i % 3}") for i in range(8)])
+    a.to_parquet(os.path.join(in_dir, "b0.parquet"), index=False)
+    _drain(spark, in_dir, idx)
+
+    b = _mk_docs([("r0", f"c/{i}.py", f"gamma w{i % 3}") for i in range(5)])
+    b["quality_score"] = 0.5
+    b.to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
+    _drain(spark, in_dir, idx)
+    assert len(source_view(spark, idx).toPandas()) == 13
+    assert read_metrics(idx)["schema_extra_columns"] == ["quality_score"]
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read().decode()
+
+
+def test_metrics_and_state_http_endpoints(spark, tmp_path):
+    """The /metrics + /state HTTP surface a replica operator scrapes
+    (Prometheus text + JSON healthcheck), served over a streamed index."""
+    from search_replica_spark.serve import serve_state
+
+    in_dir, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(in_dir)
+    os.makedirs(idx)
+    srv, port = serve_state(idx)
+    try:
+        # before any generation: healthcheck answers (empty), scrape works
+        code, body = _get(f"http://127.0.0.1:{port}/state")
+        assert code == 200 and json.loads(body)["status"] == "empty"
+
+        a = _mk_docs([("r0", f"a/{i}.py", f"delta w{i % 3}") for i in range(12)])
+        a.to_parquet(os.path.join(in_dir, "b0.parquet"), index=False)
+        _drain(spark, in_dir, idx)
+
+        code, body = _get(f"http://127.0.0.1:{port}/metrics")
+        assert code == 200
+        assert "# TYPE ssr_docs_indexed gauge" in body
+        assert "ssr_docs_indexed 12" in body
+        assert "ssr_last_batch_sec" in body
+
+        code, body = _get(f"http://127.0.0.1:{port}/state")
+        st = json.loads(body)
+        assert st["status"] == "ok" and st["docs_indexed"] == 12
+        assert st["live_generations"] == 1
+
+        code, _ = _get(f"http://127.0.0.1:{port}/nope")
+        assert code == 404
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            pass  # the /nope probe raises HTTPError in urllib — expected
+        else:
+            raise
+    finally:
+        srv.shutdown()
