@@ -113,7 +113,31 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--index-dir", required=True)
     sv.add_argument("--port", type=int, default=9090)
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="point-in-time snapshot of an index (ES snapshot-API parity; "
+        "hardlinks when possible); no Spark needed",
+    )
+    sn.add_argument("--index-dir", required=True)
+    sn.add_argument("--snap-dir", required=True)
+
+    rs = sub.add_parser(
+        "restore", help="restore a snapshot to a (new) index dir; no Spark needed"
+    )
+    rs.add_argument("--snap-dir", required=True)
+    rs.add_argument("--index-dir", required=True)
+
     args = p.parse_args(argv)
+    if args.cmd == "snapshot":
+        from search_replica_spark.snapshot import snapshot_index
+
+        print(json.dumps(snapshot_index(args.index_dir, args.snap_dir)))
+        return 0
+    if args.cmd == "restore":
+        from search_replica_spark.snapshot import restore_index
+
+        print(json.dumps(restore_index(args.snap_dir, args.index_dir)))
+        return 0
     if args.cmd == "serve":  # pure file reads — no Spark session
         from search_replica_spark.serve import serve_state
 

@@ -576,3 +576,59 @@ def dedup_cluster_components(spark, sf_dir):
     return d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", "doc_id").cast("long").alias("cluster_id")
     )
+
+
+# Incremental dedup: a NEW ingest batch checked against the EXISTING
+# corpus — the form a replication loop actually runs (the all-pairs sweep
+# is a backfill job; steady state asks "is this incoming doc a near-dup
+# of anything already indexed?"). Batch = doc_id % 10 == 0 here. Shape:
+# the corpus bands are computed once (in production: persisted beside the
+# index and appended per batch), and the lookup is ONE equi-join on
+# (band, band-hash) with the small batch side — AQE broadcasts it, so the
+# corpus side never reshuffles. No within-bucket pair expansion at all:
+# candidates are (new, existing) pairs only, O(batch × collisions).
+_INC_LSH_SQL = f"""
+WITH sig AS ({_MINHASH_SQL_SIG}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, md5(m4 || m5) AS bh FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, md5(m6 || m7) AS bh FROM sig
+)
+SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of
+FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh
+WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+"""
+
+
+@register("dedup_incremental_lsh", _INC_LSH_SQL)
+def dedup_incremental_lsh(spark, sf_dir):
+    sig = _minhash_sig(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(F.concat(F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}"))).alias("bh"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    # split-inside-one-groupBy instead of new⋈old self-join: a DataFrame
+    # self-join evaluates the signature subtree TWICE (measured round 2 —
+    # see _bucket_pairs); collecting each bucket's new/old ids in one
+    # partial agg computes signatures once and shuffles once
+    is_new = F.col("doc_id") % 10 == 0
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(
+            F.collect_list(F.when(is_new, F.col("doc_id"))).alias("new_ids"),
+            F.collect_list(F.when(~is_new, F.col("doc_id"))).alias("old_ids"),
+        )
+        .filter((F.size("new_ids") > 0) & (F.size("old_ids") > 0))
+    )
+    return (
+        buckets.select(F.explode("new_ids").alias("new_doc"), "old_ids")
+        .select("new_doc", F.explode("old_ids").alias("dup_of"))
+        .distinct()
+    )

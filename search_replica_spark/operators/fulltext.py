@@ -859,3 +859,49 @@ def field_mapping_options(spark, sf_dir):
     for p in parts[1:]:
         u = u.unionByName(p)
     return u.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
+
+
+# B5v: ES exists query — docs with an INDEXED value for a field, answered
+# from the dictionary (so ignore_above'd keywords correctly do NOT exist,
+# even though their _source keeps the value — exact ES semantics: the
+# exists query sees the index, not the stored document).
+def _mapped_index_dir_for(spark, sf_dir) -> str:
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_midx_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        d = load(spark, sf_dir, "documents")
+        corpus = d.select(
+            F.lit("corpus").alias("repo"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            F.col("source"),
+        )
+        build_index(
+            spark,
+            corpus,
+            out,
+            IndexConfig(
+                shuffle_partitions=8,
+                hot_df_threshold=1 << 30,
+                input_columns=("repo", "path", "commit", "lang", "content", "source"),
+                field_analyzers=(("content", "text"), ("source", "keyword:4")),
+            ),
+        )
+    return out
+
+
+@register(
+    "ft_exists_source",
+    "SELECT DISTINCT doc_id FROM documents WHERE length(source) <= 4",
+)
+def ft_exists_source(spark, sf_dir):
+    from search_replica_spark.query.bm25 import exists_match
+
+    idx = _mapped_index_dir_for(spark, sf_dir)
+    ids = exists_match(_OrigIdReader(spark, idx), "source")
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")

@@ -1371,3 +1371,22 @@ def match_all(
     if k is not None:
         out = out[:k]
     return [(int(d), 1.0) for d in out]
+
+
+def exists_match(
+    reader: IndexReader,
+    field: str,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES exists query: docs that carry an INDEXED value for ``field`` —
+    answered from the term dictionary, not the stored _source, so mapping
+    options participate exactly like ES: a ``noindex`` field never
+    matches, and a keyword whose value exceeded ``ignore_above`` does not
+    count as existing (no indexed value, no doc value). The expansion is a
+    pushed-down dictionary range seek over the ``field:`` prefix, then one
+    multi-term posting fetch (constant score, doc_id order)."""
+    terms = reader.expand_prefix(f"{field}:", max_expansions=None)
+    if not terms:
+        return []
+    return _expansion_docs(reader, terms, live)[: k if k is not None else None]

@@ -117,3 +117,59 @@ def test_metrics_and_state_http_endpoints(spark, tmp_path):
             raise
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# snapshot / restore (ES snapshot-API parity)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    """Snapshot a generational index, keep mutating the original, restore
+    the snapshot elsewhere: the restored index serves the point-in-time
+    state, rank-identical, with tombstones intact."""
+    from search_replica_spark.snapshot import restore_index, snapshot_index
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        add_generation,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = _mk_docs([("r0", f"a/{i}.py", f"snap w{i % 4} body") for i in range(20)])
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    dels = a.iloc[[3]].copy()
+    dels["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(dels), idx, CFG)
+    want = MultiGenReader(spark, idx).score("snap", 50)
+
+    snap = str(tmp_path / "repo" / "snap1")
+    man = snapshot_index(idx, snap)
+    assert man["live_generations"] == 1 and man["generations"] == 2
+
+    # original keeps moving — the snapshot must not see this
+    b = _mk_docs([("r0", "b/late.py", "snap late arrival")])
+    add_generation(spark, spark.createDataFrame(b), idx, CFG)
+
+    dst = str(tmp_path / "restored")
+    man2 = restore_index(snap, dst)
+    assert man2["generations"] == 2
+    got = MultiGenReader(spark, dst).score("snap", 50)
+    assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
+    assert len(MultiGenReader(spark, idx).score("snap", 50)) == len(want) + 1
+
+
+def test_snapshot_refuses_overwrite_and_partial_invisible(spark, tmp_path):
+    from search_replica_spark.snapshot import restore_index, snapshot_index
+    from search_replica_spark.streaming.incremental import add_generation
+
+    idx = str(tmp_path / "idx")
+    a = _mk_docs([("r0", f"a/{i}.py", "guard body") for i in range(5)])
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    snap = str(tmp_path / "s1")
+    snapshot_index(idx, snap)
+    with pytest.raises(FileExistsError):
+        snapshot_index(idx, snap)
+    with pytest.raises(FileExistsError):
+        restore_index(snap, idx)  # non-empty target
+    with pytest.raises(FileNotFoundError):
+        restore_index(str(tmp_path / "nope"), str(tmp_path / "d"))
