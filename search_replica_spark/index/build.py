@@ -378,6 +378,29 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     # groups just as well as a global range order
     seg = seg.repartition(P, "term").sortWithinPartitions("term", "block_id")
     seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
+
+    # enrich the dictionary with each term's global max block score: the
+    # block-max-pruned query plan needs gmax per query term, and carrying
+    # it in the dict turns that from a per-QUERY segment-metadata job into
+    # a one-off per-BUILD aggregation (a column-pruned scan of two tiny
+    # segment columns). Written fresh and swapped in — the stage owns the
+    # directory until it returns, so the swap is invisible to readers.
+    gmax_tbl = (
+        spark.read.parquet(os.path.join(out, "segments"))
+        .groupBy("term")
+        .agg(F.max("max_score").alias("gmax"))
+    )
+    dict_new = os.path.join(out, "_dict_gmax")
+    (
+        dict_df.join(gmax_tbl, "term", "left")
+        .repartitionByRange(min(P, 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(dict_new)
+    )
+    shutil.rmtree(os.path.join(out, "dict"))
+    os.rename(dict_new, os.path.join(out, "dict"))
+
     spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
 

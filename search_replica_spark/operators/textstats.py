@@ -158,3 +158,100 @@ def doc_winnow_fingerprint(spark, sf_dir):
     return sel.groupBy("doc_id").agg(
         F.md5(F.array_join(F.array_sort(F.collect_set("mh")), ",")).alias("winnow_fp")
     )
+
+
+# Benchmark-contamination check: train docs sharing any SHINGLE_K-token shingle
+# with an EVAL set (doc_id % 97 == 0 stands in for the benchmark corpus) —
+# the n-gram-overlap decontamination step every pretraining pipeline runs
+# before shipping a mix. Shape: shingle hashes (JVM transform/slice, no
+# Python), then ONE equi-join on the hash with the (tiny) eval side
+# collected per-bucket inside a single groupBy — candidates are
+# (train, eval) pairs only, O(train-shingles × collisions), never
+# corpus²; the same split-inside-one-groupBy as incremental dedup.
+SHINGLE_K = 4  # production pipelines use 8-13; the synthetic corpus
+# has low n-gram repetition, so 4 keeps the check non-vacuous at test SFs
+
+_CONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, md5(array_to_string(toks[p:p+{SHINGLE_K - 1}], ' ')) AS h
+  FROM t, UNNEST(range(1, greatest(len(toks) - {SHINGLE_K - 2}, 1))) AS s(p)
+)
+SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+FROM sh tr JOIN sh ev ON tr.h = ev.h
+WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
+"""
+
+
+@register("contamination_ngram", _CONTAM_SQL)
+def contamination_ngram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        # IF guard, not greatest(…, 0): Spark's sequence(1, 0) yields the
+        # DESCENDING [1, 0], not an empty array
+        F.explode(
+            F.expr(
+                f"IF(size(toks) >= {SHINGLE_K},"
+                f" transform(sequence(1, size(toks) - {SHINGLE_K - 1}),"
+                f" p -> md5(concat_ws(' ', slice(toks, p, {SHINGLE_K})))),"
+                " array())"
+            )
+        ).alias("h"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    buckets = (
+        sh.groupBy("h")
+        .agg(
+            F.collect_set(F.when(~is_eval, F.col("doc_id"))).alias("train_ids"),
+            F.collect_set(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"),
+        )
+        .filter((F.size("train_ids") > 0) & (F.size("eval_ids") > 0))
+    )
+    return (
+        buckets.select(F.explode("train_ids").alias("train_doc"), "eval_ids")
+        .select("train_doc", F.explode("eval_ids").alias("eval_doc"))
+        .distinct()
+    )
+
+
+# Gopher-style repetition filter: the fraction of a doc's 2-grams that are
+# duplicates (1 - distinct/total), integer-scaled to stay bit-stable
+# across engines. One JVM shingle transform + per-doc agg — the repeated-
+# n-gram quality gate applied before training.
+_REP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(toks[p:p+1], ' ') AS g
+  FROM t, UNNEST(range(1, greatest(len(toks), 1))) AS s(p)
+)
+SELECT doc_id, count(*) AS n_2grams,
+       count(DISTINCT g) AS n_uniq_2grams,
+       CAST((1000000 * (count(*) - count(DISTINCT g))) // count(*) AS BIGINT)
+           AS dup_ratio_micro
+FROM bg GROUP BY doc_id
+"""
+
+
+@register("text_repetition_2gram", _REP_SQL)
+def text_repetition_2gram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " p -> concat_ws(' ', slice(toks, p, 2))), array())"
+            )
+        ).alias("g"),
+    )
+    return bg.groupBy("doc_id").agg(
+        F.count("*").alias("n_2grams"),
+        F.countDistinct("g").alias("n_uniq_2grams"),
+        F.expr("(1000000 * (count(*) - count(DISTINCT g))) DIV count(*)").alias(
+            "dup_ratio_micro"
+        ),
+    )

@@ -44,6 +44,14 @@ from search_replica_spark.index.codec import (
 # recoup its own metadata + theta passes — score everything in one job
 PRUNE_MIN_BLOCKS = 32
 
+# cost-based plan switch: below this corpus size the theta pass (one extra
+# Spark job, ~constant scheduler cost) always exceeds the decode volume it
+# saves, so the pruned entry point routes to the single-job unpruned plan —
+# the same physical-plan-by-cost choice Catalyst makes elsewhere. Measured
+# at sf0.1 (200k docs): unpruned 0.95 s vs pruned 2.3 s — the pruning
+# mechanics only pay once decode work dwarfs a scheduler round-trip.
+PRUNE_MIN_DOCS = 1_000_000
+
 
 def prefix_range_cond(prefix: str):
     """Pushdown-safe dictionary range covering ALL terms starting with
@@ -346,6 +354,7 @@ def bm25_topk_spark_pruned(
     query: str,
     k: int = 10,
     prune_stats: dict | None = None,
+    min_docs: int = PRUNE_MIN_DOCS,
 ) -> DataFrame:
     """Distributed BM25 top-k with BLOCK-MAX PRUNING — the 100 TB refinement
     of ``bm25_topk_spark``: most block payloads are never Arrow-decoded, the
@@ -378,9 +387,10 @@ def bm25_topk_spark_pruned(
       - when the dictionary's df counts bound the query's total blocks
         below ``PRUNE_MIN_BLOCKS``, pruning cannot pay for its own
         metadata pass — fall through to one all-blocks scoring job;
-      - gmax and the theta-pass block keys come out of ONE metadata job
-        (the per-term top-k window carries gmax as its _rk==1 row) instead
-        of separate groupBy-collect + window jobs.
+      - per-term gmax rides IN the dictionary (build-time enrichment,
+        ``_stage_segments``), so the query needs no segment-metadata job
+        at all: dict collect → theta job → main job. Legacy dicts without
+        the column fall back to one metadata aggregation.
     """
     import math as _math
 
@@ -390,6 +400,11 @@ def bm25_topk_spark_pruned(
         stats = json.load(f)
     if not stats.get("store_doclens", False):
         return bm25_topk_spark(spark, index_dir, query, k)  # no dls_bin → no fast path
+    if int(stats["n_docs"]) < min_docs:
+        # cost-based switch (see PRUNE_MIN_DOCS): at this corpus size the
+        # single-job plan is strictly faster; rank-identical either way.
+        # Tests force the pruning path with min_docs=0.
+        return bm25_topk_spark(spark, index_dir, query, k)
     n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
     block_size = int(stats.get("block_size", 128))
     terms = sorted(set(tokenize_text(query)))
@@ -399,14 +414,18 @@ def bm25_topk_spark_pruned(
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("term").isin(terms)
     )
-    # one dict scan, collected: |terms| rows of (term, df) — enough to both
-    # build the idf broadcast and bound the total block count
-    dic_rows = (
-        spark.read.parquet(os.path.join(index_dir, "dict"))
-        .filter(F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
+    # one dict scan, collected: |terms| rows of (term, df, gmax) — enough
+    # to build the idf broadcast, bound the total block count, AND supply
+    # the per-term global max block score (written into the dict at build
+    # time precisely so the pruned plan never needs its own segment-
+    # metadata job; legacy dicts without the column fall back to one)
+    dict_scan = spark.read.parquet(os.path.join(index_dir, "dict")).filter(
+        F.col("term").isin(terms)
     )
+    has_gmax = "gmax" in dict_scan.columns
+    dic_rows = dict_scan.select(
+        "term", "df", *(["gmax"] if has_gmax else [])
+    ).collect()
     if not dic_rows:
         return spark.createDataFrame([], "doc_id long, score double")
     idf_of = {
@@ -465,24 +484,34 @@ def bm25_topk_spark_pruned(
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
-    # ONE metadata job: each term's top-k blocks by max_score; the _rk==1
-    # row doubles as the term's gmax. k·|terms| rows come to the driver.
-    w = Window.partitionBy("term").orderBy(F.col("max_score").desc(), F.col("block_id"))
-    ph1_rows = (
-        seg.select("term", "block_id", "max_score")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .collect()
-    )
-    gmax = {r["term"]: float(r["max_score"]) for r in ph1_rows if r["_rk"] == 1}
+    # gmax per term: from the dict (build-time enrichment); legacy indexes
+    # without the column pay one segment-metadata job as before
+    if has_gmax and all(r["gmax"] is not None for r in dic_rows):
+        gmax = {r["term"]: float(r["gmax"]) for r in dic_rows}
+    else:
+        gmax = {
+            r["term"]: float(r["gm"])
+            for r in seg.select("term", "max_score")
+            .groupBy("term")
+            .agg(F.max("max_score").alias("gm"))
+            .collect()
+        }
     if not gmax:
         return spark.createDataFrame([], "doc_id long, score double")
     G = sum(gmax.values())
-    ph1_keys = spark.createDataFrame(
-        [(r["term"], r["block_id"]) for r in ph1_rows], "term string, block_id long"
-    )
 
-    # pass 1: theta from the decoded theta-seed blocks
+    # pass 1 (theta): each term's top-k blocks by max_score. The window
+    # runs over the three METADATA columns only (its shuffle must never
+    # carry block payloads) and stays LAZY — the broadcast join fuses
+    # block selection and payload decode into ONE job (collecting the
+    # window rows first was measured strictly worse, BENCH_r4 iteration)
+    w = Window.partitionBy("term").orderBy(F.col("max_score").desc(), F.col("block_id"))
+    ph1_keys = (
+        seg.select("term", "block_id", "max_score")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("term", "block_id")
+    )
     kth = (
         score_agg(seg.join(F.broadcast(ph1_keys), ["term", "block_id"]))
         .orderBy(F.col("score").desc())
@@ -500,7 +529,7 @@ def bm25_topk_spark_pruned(
     if prune_stats is not None:
         prune_stats["blocks_total"] = seg.count()
         prune_stats["blocks_decoded"] = surv.count()
-        prune_stats["blocks_theta_pass"] = len(ph1_rows)
+        prune_stats["blocks_theta_pass"] = ph1_keys.count()
         prune_stats["theta"] = theta
     topk = (
         score_agg(surv)

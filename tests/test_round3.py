@@ -344,7 +344,7 @@ def test_pruned_bm25_rank_identity_and_skips_blocks(spark, skewed_tf_index):
         ps = {}
         got = [
             (r.doc_id, round(r.score, 9))
-            for r in bm25_topk_spark_pruned(spark, idx, q, 10, prune_stats=ps).collect()
+            for r in bm25_topk_spark_pruned(spark, idx, q, 10, prune_stats=ps, min_docs=0).collect()
         ]
         want = [
             (r.doc_id, round(r.score, 9))
@@ -373,7 +373,7 @@ def test_pruned_bm25_no_doclens_falls_back(spark, tmp_path):
         dataclasses.replace(CFG, store_doclens=False),
     )
     got = [(r.doc_id, round(r.score, 9))
-           for r in bm25_topk_spark_pruned(spark, idx, "fallback w3", 5).collect()]
+           for r in bm25_topk_spark_pruned(spark, idx, "fallback w3", 5, min_docs=0).collect()]
     want = [(r.doc_id, round(r.score, 9))
             for r in bm25_topk_spark(spark, idx, "fallback w3", 5).collect()]
     assert got == want
