@@ -148,3 +148,140 @@ def agg_date_histogram_day(spark, sf_dir):
         F.count("*").alias("doc_count"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+# ES histogram aggregation (numeric interval buckets):
+# {"histogram": {"field": "n_chars", "interval": 100}} — one groupBy on the
+# floored bucket key, partial-aggregating map-side like every bucket agg.
+@register(
+    "agg_histogram_nchars",
+    """SELECT (n_chars // 100) * 100 AS bucket, count(*) AS doc_count
+       FROM documents GROUP BY 1""",
+)
+def agg_histogram_nchars(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.expr("n_chars DIV 100") * 100).alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+
+
+# ES significant_terms aggregation: terms OVERREPRESENTED in a foreground
+# set vs the background corpus ({"significant_terms": {"field": "text"}}
+# under a lang filter). The exact spec here scores by integer-scaled lift
+# = (fg_df * bg_total * 1e6) // (bg_df * fg_total) over terms with
+# fg_df >= 3 — deterministic and bit-stable (ES's own JLH/chi² variants
+# are the same shape: per-term fg/bg counts from TWO partial aggregations,
+# one shuffle each, then a top-N). Foreground docs counted once per term
+# (document frequency, like ES).
+@register(
+    "agg_significant_terms_de",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         FROM documents
+       ),
+       tots AS (
+         SELECT count(DISTINCT doc_id) AS bg_total,
+                count(DISTINCT CASE WHEN lang = 'de' THEN doc_id END) AS fg_total
+         FROM documents
+       ),
+       stats AS (
+         SELECT term,
+                count(*) AS bg_df,
+                count(CASE WHEN lang = 'de' THEN 1 END) AS fg_df
+         FROM tok GROUP BY term
+       )
+       SELECT term, fg_df, bg_df,
+              CAST((fg_df * bg_total * 1000000) // (bg_df * fg_total) AS BIGINT)
+                  AS lift_micro
+       FROM stats, tots
+       WHERE fg_df >= 3
+       ORDER BY lift_micro DESC, term LIMIT 10""",
+)
+def agg_significant_terms_de(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    tots = d.agg(
+        F.countDistinct("doc_id").alias("bg_total"),
+        F.countDistinct(F.when(F.col("lang") == "de", F.col("doc_id"))).alias(
+            "fg_total"
+        ),
+    )
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("bg_df"),
+        F.count(F.when(F.col("lang") == "de", 1)).alias("fg_df"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tots))
+        .filter(F.col("fg_df") >= 3)
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.expr("(fg_df * bg_total * 1000000) DIV (bg_df * fg_total)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), "term")
+        .limit(10)
+    )
+
+
+# ES composite aggregation — PAGINATED buckets over a compound key with
+# an after_key cursor ({"composite": {"sources": [lang, source],
+# "after": {...}}}): the scalable way to enumerate ALL buckets (terms agg
+# caps at size; composite streams pages). One groupBy + a tuple-compare
+# cursor filter + ordered limit — the filter sits above the aggregate, so
+# every page is one shuffle, and the cursor means no OFFSET skip-scan.
+_AFTER = ("de", "src12")  # after_key from "page 1"
+
+
+@register(
+    "agg_composite_page2",
+    f"""SELECT lang, source, count(*) AS doc_count FROM documents
+        GROUP BY lang, source
+        HAVING (lang, source) > ('{_AFTER[0]}', '{_AFTER[1]}')
+        ORDER BY lang, source LIMIT 10""",
+)
+def agg_composite_page2(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    after = (F.col("lang") > _AFTER[0]) | (
+        (F.col("lang") == _AFTER[0]) & (F.col("source") > _AFTER[1])
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(after)
+        .orderBy("lang", "source")
+        .limit(10)
+    )
+
+
+# ES filters aggregation — NAMED predicate buckets in one pass:
+# {"filters": {"filters": {"short": {...}, "medium": {...}, "long":
+# {...}}}}. One scan with conditional partial aggregation (no per-filter
+# rescan), unpivoted to (bucket, doc_count) rows.
+@register(
+    "agg_filters_buckets",
+    """SELECT 'long' AS bucket, count(CASE WHEN n_chars >= 1500 THEN 1 END) AS doc_count
+       FROM documents
+       UNION ALL
+       SELECT 'medium', count(CASE WHEN n_chars >= 500 AND n_chars < 1500 THEN 1 END)
+       FROM documents
+       UNION ALL
+       SELECT 'short', count(CASE WHEN n_chars < 500 THEN 1 END) FROM documents""",
+)
+def agg_filters_buckets(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    one = d.agg(
+        F.count(F.when(F.col("n_chars") < 500, 1)).alias("short"),
+        F.count(
+            F.when((F.col("n_chars") >= 500) & (F.col("n_chars") < 1500), 1)
+        ).alias("medium"),
+        F.count(F.when(F.col("n_chars") >= 1500, 1)).alias("long"),
+    )
+    return one.selectExpr(
+        "stack(3, 'short', short, 'medium', medium, 'long', long)"
+        " AS (bucket, doc_count)"
+    )

@@ -905,3 +905,35 @@ def ft_exists_source(spark, sf_dir):
     idx = _mapped_index_dir_for(spark, sf_dir)
     ids = exists_match(_OrigIdReader(spark, idx), "source")
     return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5w: ES term suggester ("did you mean") — candidate terms from the
+# dictionary within edit distance <= 2 of a misspelled input, ranked the
+# ES way: distance asc, then document frequency desc, then term. One
+# dictionary scan + a JVM levenshtein filter — at 100 TB the dict is
+# term-range partitioned, and the same first-character/length prefilters
+# fuzzy_match uses bound the scan (ES's suggester is a dict automaton;
+# the candidate SET here is identical for distance <= 2).
+SUGGEST_INPUT = "sprak"  # misspelling of corpus term "spark"
+
+
+@register(
+    "ft_suggest_term",
+    f"""WITH dict AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM ({_TOK}) GROUP BY term)
+        SELECT term, df, levenshtein(term, '{SUGGEST_INPUT}') AS dist
+        FROM dict
+        WHERE levenshtein(term, '{SUGGEST_INPUT}') <= 2
+        ORDER BY dist, df DESC, term LIMIT 5""",
+)
+def ft_suggest_term(spark, sf_dir):
+    idx = _index_dir_for(spark, sf_dir)
+    dic = spark.read.parquet(os.path.join(idx, "dict"))
+    return (
+        dic.select(
+            "term", "df", F.levenshtein(F.col("term"), F.lit(SUGGEST_INPUT)).alias("dist")
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("df").desc(), "term")
+        .limit(5)
+    )
