@@ -314,6 +314,26 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
             "Dedup the snapshot or pass IndexConfig(dedup_input=True)."
         )
     doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
+    if cfg.field_analyzers is not None:
+        # per-field doc lengths (Lucene per-field norms): each mapped
+        # field's token count per doc, derived from the qualified postings
+        # ("field:term" → field) with ONE pivot aggregation — no second
+        # tokenization pass. Rides in docs/ as dl_<field>; the per-field
+        # BM25 scorer (fielded_norms_topk) normalizes each field by its
+        # own length + avgdl, exactly like ES scores multi-field queries.
+        fields = [f for f, _k in cfg.field_analyzers]
+        per_f = (
+            postings.withColumn("_fld", F.split(F.col("term"), ":", 2).getItem(0))
+            .groupBy("doc_id")
+            .pivot("_fld", fields)
+            .agg(F.sum("tf"))
+        )
+        per_f = per_f.select(
+            "doc_id", *[F.col(f).alias(f"dl_{f}") for f in fields]
+        )
+        doc_stats = doc_stats.join(per_f, "doc_id", "left").fillna(
+            {f"dl_{f}": 0 for f in fields}
+        )
     doc_map = assign_dense_doc_idx(doc_stats, P)
     (
         doc_map.repartitionByRange(P, "doc_idx")
@@ -424,6 +444,32 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
     lin = {k: (int(v) if v is not None else 0) for k, v in lin.asDict().items()}
     n_terms = spark.read.parquet(os.path.join(out, "dict")).count()
 
+    field_stats = None
+    if cfg.field_analyzers is not None:
+        # per-field collection statistics (ES/Lucene per-field norms):
+        # docCount = docs WITH the field (dl_f > 0 — a field a doc lacks
+        # can never match a term, so it never dilutes idf), avg_dl = that
+        # field's mean length over those docs. One narrow agg over docs/.
+        fields = [f for f, _k in cfg.field_analyzers]
+        docs_df = spark.read.parquet(os.path.join(out, "docs"))
+        if not all(f"dl_{f}" in docs_df.columns for f in fields):
+            fields = []  # legacy fielded docs store (pre per-field norms)
+        if fields:
+            aggs = []
+            for f in fields:
+                aggs.append(F.count(F.when(F.col(f"dl_{f}") > 0, 1)).alias(f"n_{f}"))
+                aggs.append(F.sum(f"dl_{f}").alias(f"s_{f}"))
+            row = docs_df.agg(*aggs).collect()[0]
+            field_stats = {
+                f: {
+                    "n": int(row[f"n_{f}"]),
+                    "avg_dl": (float(row[f"s_{f}"]) / row[f"n_{f}"])
+                    if row[f"n_{f}"]
+                    else 0.0,
+                }
+                for f in fields
+            }
+
     stats = {
         **core,
         "n_terms": n_terms,
@@ -439,6 +485,7 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "field_analyzers": [list(t) for t in cfg.field_analyzers]
         if cfg.field_analyzers is not None
         else None,
+        "field_stats": field_stats,
         "block_size": cfg.block_size,
         "build_sec": round(time.time() - t0, 3),
     }

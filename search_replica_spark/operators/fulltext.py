@@ -495,7 +495,7 @@ def _fielded_index_dir_for(spark, sf_dir) -> str:
     from search_replica_spark.index.build import build_index
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/ssr_harness_fidx_{tag}_v1"
+    out = f"/tmp/ssr_harness_fidx_{tag}_v2"  # v2: dl_<field> columns + field_stats
     if not os.path.exists(os.path.join(out, "stats.json")):
         build_index(
             spark,
@@ -937,3 +937,133 @@ def ft_suggest_term(spark, sf_dir):
         .orderBy("dist", F.col("df").desc(), "term")
         .limit(5)
     )
+
+
+# B5x: ES explain API — per-term BM25 breakdown for the TOP hit of the
+# reference query (GET /_explain/{id}): term, tf, df, idf, contribution.
+# The engine numbers come from the same decoded postings the scorers use;
+# the twin recomputes every factor in SQL. Bit-stable because both sides
+# run the identical float64 formula in the same order.
+_EXPLAIN_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+_EXPLAIN_SQL = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({_EXPLAIN_TERMS}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+top1 AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 1)
+SELECT tf.term, tf.tf, df.df,
+       round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+       round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6)
+           AS contribution
+FROM tf JOIN top1 USING (doc_id) JOIN df USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN stats
+ORDER BY tf.term
+"""
+
+
+@register("ft_explain_top1", _EXPLAIN_SQL)
+def ft_explain_top1(spark, sf_dir):
+    from search_replica_spark.query.bm25 import explain_score
+
+    idx = _index_dir_for(spark, sf_dir)
+    rows = explain_score(_OrigIdReader(spark, idx), " ".join(BM25_QUERY_TERMS))
+    return spark.createDataFrame(
+        [(r["term"], r["tf"], r["df"], r["idf"], r["contribution"]) for r in rows],
+        "term string, tf long, df long, idf double, contribution double",
+    )
+
+
+# B5y: ES field collapsing — {"collapse": {"field": "lang"}}: the top-5
+# hits keeping only the best-scoring doc per lang (search-dedup by group).
+_COLLAPSE_SQL = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({_EXPLAIN_TERMS}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+best AS (SELECT sc.doc_id, d.lang, sc.s,
+                row_number() OVER (PARTITION BY d.lang
+                                   ORDER BY sc.s DESC, sc.doc_id) AS rk
+         FROM sc JOIN documents d USING (doc_id))
+SELECT doc_id, lang, round(s, 6) AS score FROM best WHERE rk = 1
+ORDER BY s DESC, doc_id LIMIT 5
+"""
+
+
+@register("ft_collapse_by_lang", _COLLAPSE_SQL)
+def ft_collapse_by_lang(spark, sf_dir):
+    import pandas as pd
+
+    from search_replica_spark.query.bm25 import collapse_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    rd = _OrigIdReader(spark, idx)
+    # per-slot collapse codes from the docs store (lang rides in docs/)
+    meta = (
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .select("doc_idx", "lang")
+        .toPandas()
+        .sort_values("doc_idx")
+    )
+    codes, uniques = pd.factorize(meta["lang"])
+    hits = collapse_topk(rd, " ".join(BM25_QUERY_TERMS), codes, k=5)
+    return spark.createDataFrame(
+        [(d, str(uniques[cid]), round(s, 6)) for d, cid, s in hits],
+        "doc_id long, lang string, score double",
+    )
+
+
+# B5z: BM25 with PER-FIELD NORMS — ES's actual multi-field scoring model
+# (Lucene BM25Similarity per field: each clause normalizes by ITS field's
+# doc length / avgdl, idf from the field's docCount). Same fielded index
+# as B5l; contrast documented there (combined-length spec). The lang
+# keyword clause collapses to idf_lang / (1 + k1) since every lang field
+# is exactly one token.
+_FNORM_SQL = f"""
+WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dlc AS (SELECT doc_id, count(*) AS dl FROM tokc GROUP BY doc_id),
+statc AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlc),
+statl AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+tfc AS (SELECT doc_id, count(*) AS tf FROM tokc WHERE term = 'spark' GROUP BY doc_id),
+dfc AS (SELECT count(*) AS df FROM tfc),
+tfl AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+dfl AS (SELECT count(*) AS df FROM tfl),
+contrib AS (
+  SELECT tfc.doc_id,
+         ln(1 + (statc.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         * tfc.tf / (tfc.tf + {K1} * (1 - {B} + {B} * dlc.dl / statc.avgdl)) AS s
+  FROM tfc JOIN dlc USING (doc_id) CROSS JOIN dfc CROSS JOIN statc
+  UNION ALL
+  SELECT tfl.doc_id,
+         ln(1 + (statl.n - dfl.df + 0.5) / (dfl.df + 0.5)) * (1.0 / (1.0 + {K1})) AS s
+  FROM tfl CROSS JOIN dfl CROSS JOIN statl
+),
+sc AS (SELECT doc_id, sum(s) AS s FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@register("ft_bm25_fielded_norms_top10", _FNORM_SQL)
+def ft_bm25_fielded_norms_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import fielded_norms_topk
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    hits = fielded_norms_topk(
+        _OrigIdReader(spark, idx), ["content:spark", "lang:de"], 10
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

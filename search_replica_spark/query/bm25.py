@@ -1419,3 +1419,147 @@ def exists_match(
     if not terms:
         return []
     return _expansion_docs(reader, terms, live)[: k if k is not None else None]
+
+
+def explain_score(
+    reader: IndexReader,
+    query: str,
+    doc_id: int | None = None,
+) -> list[dict]:
+    """ES explain API (`GET /_explain/{id}`): the per-term BM25 breakdown
+    for one document — term, tf, df, idf, and the term's score
+    contribution, exactly the numbers the scorers sum. ``doc_id=None``
+    explains the TOP hit. Float ops mirror TermAtATimeScorer bit-for-bit
+    (same formula, same order), so an oracle recomputing the formula in
+    SQL agrees to the last bit. Returns [] for a doc that matches no
+    query term (ES: "no matching term")."""
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return []
+    if doc_id is None:
+        top = TermAtATimeScorer(reader).score(query, 1)
+        if not top:
+            return []
+        doc_id = top[0][0]
+    doc_len, doc_ids = reader.doc_arrays()
+    slots = np.nonzero(doc_ids == doc_id)[0]
+    if slots.size == 0:
+        raise KeyError(f"doc_id {doc_id} not in index")
+    slot = int(slots[0])
+    dl = float(doc_len[slot])
+    out = []
+    for term, (docs, tfs, _g) in sorted(reader.fetch_postings(terms).items()):
+        df = int(len(docs))
+        pos = np.nonzero(docs == slot)[0]
+        if pos.size == 0:
+            continue  # term not in this doc
+        tf = float(tfs[pos[0]])
+        idf = reader.idf(df)
+        contrib = idf * (tf / (tf + reader.k1 * (1.0 - reader.b + reader.b * dl / reader.avg_dl)))
+        out.append({
+            "term": term, "tf": int(tf), "df": df,
+            "idf": round(idf, 6), "contribution": round(contrib, 6),
+        })
+    return out
+
+
+def collapse_topk(
+    reader: IndexReader,
+    query: str,
+    collapse_ids: np.ndarray,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, int, float]]:
+    """ES field collapsing ({"collapse": {"field": ...}}): top-k hits
+    keeping only the BEST-scoring document per collapse-key group (e.g.
+    one result per repo/domain — the search-dedup every portal applies).
+    ``collapse_ids``: per-slot int codes of the collapse field (doc_idx
+    order, from the docs store). Returns (doc_id, collapse_id, score) in
+    (score desc, doc_id asc) order. Scoring = the exhaustive TATA pass;
+    the collapse itself is a groupby-argmax over the scored docs — at
+    scale the same shape runs as a window partitioned by the collapse key
+    over the distributed scorer output."""
+    hits = TermAtATimeScorer(reader).score(query, k=len(collapse_ids), live=live)
+    if not hits:
+        return []
+    _dl, doc_ids = reader.doc_arrays()
+    slot_of = {int(d): i for i, d in enumerate(doc_ids)}
+    best: dict[int, tuple[int, float]] = {}
+    for d, s in hits:  # hits arrive (score desc, doc_id asc) — first wins
+        cid = int(collapse_ids[slot_of[int(d)]])
+        if cid not in best:
+            best[cid] = (d, s)
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))[:k]
+    return [(d, cid, s) for cid, (d, s) in ranked]
+
+
+def fielded_norms_topk(
+    reader: IndexReader,
+    terms: list[str],
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Per-FIELD-norms BM25 over a fielded index — ES's actual multi-field
+    scoring model (Lucene BM25Similarity per field): each ``field:term``
+    clause normalizes tf by THAT field's doc length and average length,
+    and idf uses the field's docCount, not the corpus total. Contrast with
+    ``TermAtATimeScorer.score(terms=...)``, which scores qualified terms
+    against the combined document length (a valid, documented spec of its
+    own — both ship, both oracle-twinned).
+
+    Requires a build whose docs/ carries dl_<field> columns and whose
+    stats.json carries field_stats (field_analyzers builds do, round 4+).
+    Accumulation mirrors TATA: sorted-term order, np.add.at, same
+    tie-exact top-k."""
+    field_stats = reader.stats.get("field_stats")
+    if not field_stats:
+        raise ValueError(
+            "per-field norms need a field_analyzers build with field_stats "
+            "(rebuild with round-4+ build_index)"
+        )
+    terms = sorted(set(terms))
+    if not terms:
+        return []
+    _dl, doc_ids = reader.doc_arrays()
+    need = {t.split(":", 1)[0] for t in terms}
+    missing = need - set(field_stats)
+    if missing:
+        raise ValueError(f"fields not in the index mapping: {sorted(missing)}")
+    docs_pdf = (
+        reader.spark.read.parquet(os.path.join(reader.index_dir, "docs"))
+        .select("doc_idx", *[f"dl_{f}" for f in sorted(need)])
+        .toPandas()
+        .sort_values("doc_idx")
+    )
+    fdl = {f: docs_pdf[f"dl_{f}"].to_numpy(np.float64) for f in sorted(need)}
+    postings = reader.fetch_postings(terms)
+    doc_parts, score_parts = [], []
+    for term in terms:
+        if term not in postings:
+            continue
+        fld = term.split(":", 1)[0]
+        st = field_stats[fld]
+        n_f, avg_f = int(st["n"]), float(st["avg_dl"])
+        docs, tfs, _g = postings[term]
+        df = len(docs)
+        idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+        dl = fdl[fld][docs]
+        tf = tfs.astype(np.float64)
+        doc_parts.append(docs)
+        score_parts.append(
+            idf * (tf / (tf + reader.k1 * (1.0 - reader.b + reader.b * dl / avg_f)))
+        )
+    if not doc_parts:
+        return []
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, all_scores)
+    matched = np.ones(uniq.size, dtype=bool)
+    if live is not None:
+        matched &= live[uniq]
+    idxs = uniq[matched]
+    if idxs.size == 0:
+        return []
+    return _select_topk(sums[matched], doc_ids[idxs], k)

@@ -970,7 +970,11 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     from search_replica_spark.index.codec import delta_decode, varint_decode
 
     t0 = _time.time()
-    cfg = cfg or IndexConfig()
+    # derive EVERY build flag from the index itself (field_analyzers
+    # included — the merged generation must keep qualifying terms and
+    # regenerating per-field stats); the positions/source cross-checks
+    # below still validate generation uniformity
+    cfg = derive_index_cfg(index_dir, cfg)
     gens = _load_gens(index_dir)
     live_gens = [g for g in gens if g["dir"]]
     if not live_gens:

@@ -173,3 +173,72 @@ def test_snapshot_refuses_overwrite_and_partial_invisible(spark, tmp_path):
         restore_index(snap, idx)  # non-empty target
     with pytest.raises(FileNotFoundError):
         restore_index(str(tmp_path / "nope"), str(tmp_path / "d"))
+
+
+# ---------------------------------------------------------------------------
+# per-field norms (ES/Lucene per-field BM25)
+# ---------------------------------------------------------------------------
+
+
+def test_per_field_norms_build_and_scorer(spark, tmp_path):
+    import math
+
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import IndexReader, fielded_norms_topk
+
+    rows = _mk_docs([
+        ("r0", "a/0.py", "alpha beta gamma alpha"),
+        ("r0", "a/1.py", "alpha"),
+        ("r0", "a/2.py", "delta epsilon"),
+    ])
+    rows["lang"] = ["go", "py", "go"]
+    idx = str(tmp_path / "fn")
+    cfg = IndexConfig(
+        shuffle_partitions=4, hot_df_threshold=200,
+        field_analyzers=(("content", "text"), ("lang", "keyword")),
+    )
+    st = build_index(spark, spark.createDataFrame(rows), idx, cfg)
+    assert st["field_stats"]["lang"] == {"n": 3, "avg_dl": 1.0}
+    assert st["field_stats"]["content"]["n"] == 3
+    assert abs(st["field_stats"]["content"]["avg_dl"] - 7 / 3) < 1e-12
+    docs = spark.read.parquet(idx + "/docs").toPandas().set_index("path")
+    assert docs.loc["a/0.py", "dl_content"] == 4 and docs.loc["a/0.py", "dl_lang"] == 1
+
+    hits = fielded_norms_topk(
+        IndexReader(spark, idx), ["content:alpha", "lang:go"], 10
+    )
+    got = {docs.reset_index().set_index("doc_id").loc[d, "path"]: s for d, s in hits}
+    # hand computation: n_c=3, avg_c=7/3; n_l=3, avg_l=1
+    k1, b = cfg.k1, cfg.b
+    idf_a = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))   # alpha df=2
+    idf_g = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))   # lang:go df=2
+    def tfn(tf, dl, avg):
+        return tf / (tf + k1 * (1 - b + b * dl / avg))
+    want0 = idf_a * tfn(2, 4, 7 / 3) + idf_g * tfn(1, 1, 1.0)
+    want1 = idf_a * tfn(1, 1, 7 / 3)
+    want2 = idf_g * tfn(1, 1, 1.0)
+    assert abs(got["a/0.py"] - want0) < 1e-12
+    assert abs(got["a/1.py"] - want1) < 1e-12
+    assert abs(got["a/2.py"] - want2) < 1e-12
+
+
+def test_per_field_norms_survive_merge(spark, tmp_path):
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        merge_generations,
+    )
+
+    a = _mk_docs([("r0", f"a/{i}.py", "alpha beta") for i in range(6)])
+    b = _mk_docs([("r0", f"b/{i}.py", "gamma delta kappa") for i in range(4)])
+    idx = str(tmp_path / "fm")
+    cfg = IndexConfig(
+        shuffle_partitions=4, hot_df_threshold=200,
+        field_analyzers=(("content", "text"), ("lang", "keyword")),
+    )
+    add_generation(spark, spark.createDataFrame(a), idx, cfg)
+    add_generation(spark, spark.createDataFrame(b), idx)  # flags derive
+    st = merge_generations(spark, idx)
+    assert st["field_stats"]["content"]["n"] == 10
+    assert abs(st["field_stats"]["content"]["avg_dl"] - 2.4) < 1e-12
+    docs = spark.read.parquet(idx + "/gen=0/docs")
+    assert "dl_content" in docs.columns and "dl_lang" in docs.columns
