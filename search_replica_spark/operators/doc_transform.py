@@ -425,3 +425,41 @@ def p17_partial_update_merge(spark, sf_dir):
         )
     )
     return partial_update_merge(d, upd)
+
+
+# B8b: routing-PARTITIONED storage — the reference assigns each doc a
+# routing key so ES places it on one shard and a routed GET touches only
+# that shard (table.go:129-131; consistency_test.go polls with
+# ?routing=). The lakehouse analogue: the doc store is written
+# partitionBy(routing bucket), and a routed fetch carries the bucket
+# predicate so Catalyst PARTITION-PRUNES the scan to one directory —
+# at 100 TB a routed point-read touches 1/N of the files, exactly like
+# a one-shard ES GET. (hash-bucketed: bucket = custkey % 16.)
+ROUTED_CUSTKEY = 421  # bucket 421 % 16 = 5
+
+
+@register(
+    "b8b_routing_partition_pruning",
+    f"""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = {ROUTED_CUSTKEY}""",
+)
+def b8b_routing_partition_pruning(spark, sf_dir):
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_routed_orders_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+        (
+            o.withColumn("bucket", F.col("o_custkey") % 16)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+    bucket = ROUTED_CUSTKEY % 16
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("bucket") == bucket) & (F.col("o_custkey") == ROUTED_CUSTKEY))
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -97,6 +97,11 @@ CHECKS = {
         "avoid": ["Window"],
         "why": "global running token sum via the two-pass partition-offset pattern (range partition + local cumsum from O(P) driver offsets) — a global-window formulation would funnel 10^12 rows through ONE partition's sort",
     },
+    "b8b_routing_partition_pruning": {
+        "want": ["PartitionFilters: [isnotnull(bucket", "PushedFilters: [IsNotNull(o_custkey"],
+        "avoid": ["CartesianProduct"],
+        "why": "routed fetch over a routing-partitioned doc store: the bucket predicate PARTITION-PRUNES the scan to one directory (the one-shard GET the reference's ?routing= gives ES), and the key filter pushes into that partition's row groups",
+    },
 }
 
 
@@ -158,6 +163,9 @@ def main():
     plans["partial_update_resolve"] = plan_of(merged)
 
     plans["pack_sequences"] = plan_of(reg["pack_sequences"][0](spark, sf_dir))
+    plans["b8b_routing_partition_pruning"] = plan_of(
+        reg["b8b_routing_partition_pruning"][0](spark, sf_dir)
+    )
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))
