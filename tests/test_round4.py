@@ -242,3 +242,53 @@ def test_per_field_norms_survive_merge(spark, tmp_path):
     assert abs(st["field_stats"]["content"]["avg_dl"] - 2.4) < 1e-12
     docs = spark.read.parquet(idx + "/gen=0/docs")
     assert "dl_content" in docs.columns and "dl_lang" in docs.columns
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (late-data handling)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Structured Streaming late-data contract: a window emits once the
+    watermark passes its end; an event later than the watermark is
+    DROPPED — even when it arrives in a later run (the watermark persists
+    in the checkpoint), so emitted windows are never reopened."""
+    import datetime as dt
+
+    from search_replica_spark.streaming.windowed import windowed_counts_stream
+
+    in_dir, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+
+    def feed(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "user_id": [1] * len(rows),
+                "event_type": [r[0] for r in rows],
+                "value": [1.0] * len(rows),
+                # Spark 4 can't read pandas' default ns-precision parquet
+                "ts": pd.Series([r[1] for r in rows], dtype="datetime64[us]"),
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    # run 1: three events in the 10:00 window, then one at 12:30 that
+    # advances the watermark to 12:20 — closing and emitting 10:00-11:00
+    feed("b0.parquet", [("click", t(10, 5)), ("click", t(10, 20)),
+                        ("view", t(10, 40)), ("click", t(12, 30))])
+    windowed_counts_stream(spark, in_dir, out).awaitTermination(600)
+
+    # run 2 (restart, same checkpoint): a LATE click at 10:30 (before the
+    # 12:20 watermark → dropped) plus an on-time event at 14:00 that
+    # closes the 12:00 window
+    feed("b1.parquet", [("click", t(10, 30)), ("view", t(14, 0))])
+    windowed_counts_stream(spark, in_dir, out).awaitTermination(600)
+
+    res = spark.read.parquet(os.path.join(out, "result")).toPandas()
+    w10 = res[(res["window_start"] == t(10, 0)) & (res["event_type"] == "click")]
+    assert len(w10) == 1  # emitted exactly once, never reopened
+    assert int(w10["n_events"].iloc[0]) == 2  # the late 10:30 click is NOT counted
+    w12 = res[res["window_start"] == t(12, 0)]
+    assert len(w12) == 1 and int(w12["n_events"].iloc[0]) == 1
