@@ -218,3 +218,57 @@ def mm_frame_sample(spark, sf_dir):
     return payloads.mapInPandas(
         fn, schema="doc_id long, n_frames long, frame_idx long, frame_sum long"
     )
+
+
+# Audio plumbing: payload treated as 8-bit PCM mono samples, framed into
+# 256-sample windows, per-frame energy = sum((v - 128)^2) — the VAD /
+# loudness-gate feature a speech-data pipeline computes before filtering.
+# Same honest-stub contract as the image ops: a real pipeline swaps the
+# byte view for an ffmpeg decode; the Spark side (Arrow batches, framing,
+# per-frame schema, vectorized reduceat) is the production shape and the
+# integer arithmetic is exactly reproducible in SQL.
+FRAME = 256
+
+_MM_AUDIO_SQL = f"""
+WITH s AS (SELECT doc_id, string_split(text, '') AS l FROM documents),
+ch AS (SELECT doc_id, ascii(unnest(l)) AS v,
+              generate_subscripts(l, 1) AS pos FROM s)
+SELECT doc_id, CAST((pos - 1) // {FRAME} AS BIGINT) AS frame,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy
+FROM ch GROUP BY doc_id, (pos - 1) // {FRAME}
+"""
+
+
+@register("mm_audio_frame_energy", _MM_AUDIO_SQL)
+def mm_audio_frame_energy(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def fn(batches):
+        for pdf in batches:
+            ids, frames, counts, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    continue
+                d2 = (v - 128) ** 2
+                cuts = np.arange(0, v.size, FRAME)
+                e = np.add.reduceat(d2, cuts)
+                n = np.diff(np.append(cuts, v.size))
+                ids.append(np.full(cuts.size, doc_id, dtype=np.int64))
+                frames.append(np.arange(cuts.size, dtype=np.int64))
+                counts.append(n.astype(np.int64))
+                energies.append(e)
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "frame": np.concatenate(frames),
+                "n_samples": np.concatenate(counts),
+                "energy": np.concatenate(energies),
+            })
+
+    return payloads.mapInPandas(
+        fn, schema="doc_id long, frame long, n_samples long, energy long"
+    )

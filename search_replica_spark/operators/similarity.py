@@ -255,3 +255,74 @@ def lsh_buckets_pandas(emb_pdf: pd.DataFrame) -> pd.Series:
         (bits * (1 << np.arange(N_HYPERPLANES))).sum(axis=1).astype(np.int64),
         index=emb_pdf.index,
     )
+
+
+# IVF with a PERSISTED index artifact — the production shape of the IVF
+# entry above: "training" (the centroid aggregation) runs ONCE and lands
+# on disk; the vector store is re-written PARTITIONED BY the assigned
+# list (label), so a probe reads 2/N directories via Catalyst partition
+# pruning instead of scanning the corpus. Query cost = tiny centroid read
+# + partition-pruned scan of the probed lists — the same physical layout
+# FAISS's IVF file or a Milvus segment gives you, expressed as parquet.
+# Same oracle as ann_ivf_top10: the twin re-derives training + probe +
+# scores from the raw table, so the persisted artifact is proven
+# equivalent to recomputation.
+def _ivf_index_dir_for(spark, sf_dir) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_ivf_idx_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "centroids", "_SUCCESS")):
+        e = load(spark, sf_dir, "embeddings").withColumn(
+            "emb", _as_double(F.col("embedding"))
+        )
+        pos = e.select("label", F.posexplode("emb").alias("pos", "v"))
+        cent = (
+            pos.groupBy("label", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "label", F.transform("pc", lambda s: s.getField("c")).alias("centroid")
+            )
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "centroids")
+        )
+        (
+            e.select("vec_id", "label", "emb")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(os.path.join(out, "vectors"))
+        )
+    return out
+
+
+@register("ann_ivf_persisted_top10", _IVF_SQL)
+def ann_ivf_persisted_top10(spark, sf_dir):
+    import os
+
+    idx = _ivf_index_dir_for(spark, sf_dir)
+    cent_pd = spark.read.parquet(os.path.join(idx, "centroids")).toPandas()
+    vectors = spark.read.parquet(os.path.join(idx, "vectors"))
+    qvec = np.array(
+        vectors.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()[0],
+        dtype=np.float64,
+    )
+    probe = probe_labels(cent_pd, qvec, n_probe=2)
+    # label is a PARTITION column of the persisted store: this filter
+    # prunes to the probed directories (no full-corpus scan)
+    cand = vectors.filter(
+        F.col("label").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    q = vectors.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    joined = cand.crossJoin(F.broadcast(q))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+    )
+    out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
