@@ -585,16 +585,22 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
         """The micro-batch's source files, from the file-source metadata
         log (``checkpoint/sources/0/<batch>`` — the commit record Spark
         itself replays from; ``batch_df.inputFiles()`` is empty inside
-        foreachBatch)."""
+        foreachBatch). Every compactInterval-th batch Spark writes
+        ``<batch>.compact`` instead — a cumulative log — so fall back to
+        it and keep only THIS batch's entries (batchId field)."""
         p = os.path.join(checkpoint, "sources", "0", str(int(epoch_id)))
         if not os.path.exists(p):
-            return []
+            p += ".compact"
+            if not os.path.exists(p):
+                return []
         out = []
         with open(p) as f:
             for line in f:
                 line = line.strip()
                 if line.startswith("{"):
-                    out.append(json.loads(line)["path"])
+                    ent = json.loads(line)
+                    if int(ent.get("batchId", epoch_id)) == int(epoch_id):
+                        out.append(ent["path"])
         return out
 
     def _check_batch_schema(epoch_id: int) -> list[str]:

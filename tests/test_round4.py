@@ -292,3 +292,26 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     assert int(w10["n_events"].iloc[0]) == 2  # the late 10:30 click is NOT counted
     w12 = res[res["window_start"] == t(12, 0)]
     assert len(w12) == 1 and int(w12["n_events"].iloc[0]) == 1
+
+
+def test_schema_check_survives_log_compaction(spark, tmp_path):
+    """The file-source metadata log compacts every Nth batch into
+    <N>.compact — the per-batch schema check must keep seeing (only) the
+    compacted batch's files, so a drifted file still fails fast there."""
+    in_dir, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(in_dir)
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        for i in range(3):  # batch ids 0,1,2 — id 1 (and 3...) compact at interval 2
+            rows = _mk_docs([(f"r{i}", f"a/{i}_{j}.py", f"w{j}") for j in range(4)])
+            rows.to_parquet(os.path.join(in_dir, f"b{i}.parquet"), index=False)
+            _drain(spark, in_dir, idx)
+        assert len(source_view(spark, idx).toPandas()) == 12
+        # drifted file arriving at a compaction boundary still fails fast
+        bad = _mk_docs([("rx", "x/0.py", "w0")]).rename(columns={"lang": "language"})
+        bad.to_parquet(os.path.join(in_dir, "b3.parquet"), index=False)
+        with pytest.raises(Exception, match="lacks bound columns.*lang"):
+            _drain(spark, in_dir, idx)
+        assert len(source_view(spark, idx).toPandas()) == 12
+    finally:
+        spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
