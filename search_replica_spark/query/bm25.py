@@ -149,6 +149,23 @@ class IndexReader:
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    # --- per-field norms surface (fielded_norms_topk) ---
+    def field_stats(self) -> dict | None:
+        """{field: {"n": docCount, "avg_dl": float}} for field_analyzers
+        builds (round 4+); None otherwise."""
+        return self.stats.get("field_stats")
+
+    def field_dl_arrays(self, fields: list[str]) -> dict[str, np.ndarray]:
+        """Per-slot per-field doc lengths (doc_idx order), one
+        column-pruned docs read."""
+        pdf = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            .select("doc_idx", *[f"dl_{f}" for f in fields])
+            .toPandas()
+            .sort_values("doc_idx")
+        )
+        return {f: pdf[f"dl_{f}"].to_numpy(np.float64) for f in fields}
+
     def pin_driver(self, positions: bool = False):
         """Serving mode: pull the segment store into driver memory, indexed
         by term. This is how a query node actually serves a shard (ES holds
@@ -1509,9 +1526,11 @@ def fielded_norms_topk(
 
     Requires a build whose docs/ carries dl_<field> columns and whose
     stats.json carries field_stats (field_analyzers builds do, round 4+).
-    Accumulation mirrors TATA: sorted-term order, np.add.at, same
-    tie-exact top-k."""
-    field_stats = reader.stats.get("field_stats")
+    Works over generational indexes too: MultiGenReader overrides
+    ``field_stats``/``field_dl_arrays`` to merge per-generation stats and
+    union the per-generation dl columns onto global slots. Accumulation
+    mirrors TATA: sorted-term order, np.add.at, same tie-exact top-k."""
+    field_stats = reader.field_stats()
     if not field_stats:
         raise ValueError(
             "per-field norms need a field_analyzers build with field_stats "
@@ -1525,13 +1544,7 @@ def fielded_norms_topk(
     missing = need - set(field_stats)
     if missing:
         raise ValueError(f"fields not in the index mapping: {sorted(missing)}")
-    docs_pdf = (
-        reader.spark.read.parquet(os.path.join(reader.index_dir, "docs"))
-        .select("doc_idx", *[f"dl_{f}" for f in sorted(need)])
-        .toPandas()
-        .sort_values("doc_idx")
-    )
-    fdl = {f: docs_pdf[f"dl_{f}"].to_numpy(np.float64) for f in sorted(need)}
+    fdl = reader.field_dl_arrays(sorted(need))
     postings = reader.fetch_postings(terms)
     doc_parts, score_parts = [], []
     for term in terms:

@@ -941,6 +941,45 @@ class MultiGenReader(IndexReader):
             q = q.limit(max_expansions)
         return [row["term"] for row in q.collect()]
 
+    # --- per-field norms over generations ---
+    def field_stats(self) -> dict | None:
+        """Merged per-field stats: docCounts sum over live generations,
+        avg_dl recombined from per-generation (n, avg) pairs — the same
+        merge rule the global n_docs/avg_dl use. None if any live
+        generation predates per-field builds (uniform flags are already
+        enforced by derive_index_cfg/merge)."""
+        acc: dict[str, list[float]] = {}
+        for g in self.live_gens:
+            with open(os.path.join(g["dir"], "stats.json")) as f:
+                fs = json.load(f).get("field_stats")
+            if not fs:
+                return None
+            for fld, st in fs.items():
+                n, s = acc.get(fld, (0, 0.0))
+                acc[fld] = [n + int(st["n"]), s + int(st["n"]) * float(st["avg_dl"])]
+        return {
+            fld: {"n": int(n), "avg_dl": (s / n) if n else 0.0}
+            for fld, (n, s) in acc.items()
+        }
+
+    def field_dl_arrays(self, fields: list[str]):
+        """Per-slot per-field doc lengths across ALL generations: one
+        union read of the dl_<field> columns, ordered onto global slots
+        (same layout rule as doc_arrays)."""
+        cols = [f"dl_{f}" for f in fields]
+        parts = [
+            self.spark.read.parquet(os.path.join(g["dir"], "docs"))
+            .select(
+                (F.col("doc_idx") + F.lit(self.bases[g["gen"]])).alias("slot"), *cols
+            )
+            for g in self.live_gens
+        ]
+        uni = parts[0]
+        for p in parts[1:]:
+            uni = uni.unionByName(p)
+        pdf = uni.toPandas().sort_values("slot")
+        return {f: pdf[f"dl_{f}"].to_numpy(np.float64) for f in fields}
+
     # --- query API (same scorers as a single-generation index) ---
     def score(self, query: str, k: int = 10, mode: str = "or"):
         return TermAtATimeScorer(self).score(query, k, mode=mode, live=self._live)

@@ -315,3 +315,37 @@ def test_schema_check_survives_log_compaction(spark, tmp_path):
         assert len(source_view(spark, idx).toPandas()) == 12
     finally:
         spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+
+
+def test_per_field_norms_multigen(spark, tmp_path):
+    """fielded_norms_topk over a generational index: merged per-field
+    stats + unioned dl columns; superseded docs masked by liveDocs; a
+    gen-1-only term is reachable with gen-aware normalization."""
+    from search_replica_spark.query.bm25 import fielded_norms_topk
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        add_generation,
+    )
+
+    a = _mk_docs([("r0", f"a/{i}.py", f"alpha shared{i % 2}") for i in range(8)])
+    a["lang"] = ["go", "py"] * 4
+    b = _mk_docs([("r0", "b/new.py", "omega alpha")])
+    b["lang"] = ["go"]
+    upd = a.iloc[[0]].copy()
+    upd["content"] = "alpha replaced"
+    idx = str(tmp_path / "mgfn")
+    cfg = IndexConfig(
+        shuffle_partitions=4, hot_df_threshold=200,
+        field_analyzers=(("content", "text"), ("lang", "keyword")),
+    )
+    add_generation(spark, spark.createDataFrame(a), idx, cfg)
+    add_generation(spark, spark.createDataFrame(pd.concat([b, upd], ignore_index=True)), idx)
+    mg = MultiGenReader(spark, idx)
+    fs = mg.field_stats()
+    assert fs["content"]["n"] == 10 and fs["lang"]["n"] == 10  # 8 + 2 (incl. superseded)
+    hits = fielded_norms_topk(mg, ["content:omega", "lang:go"], 20, live=mg._live)
+    ids = [d for d, _ in hits]
+    from search_replica_spark.oracle import doc_id_of
+
+    assert doc_id_of("r0", "b/new.py") == ids[0]  # omega + lang:go tops
+    assert len(ids) == 5  # the 5 live lang:go docs (a/0 superseded, still go)
