@@ -349,3 +349,25 @@ def test_per_field_norms_multigen(spark, tmp_path):
 
     assert doc_id_of("r0", "b/new.py") == ids[0]  # omega + lang:go tops
     assert len(ids) == 5  # the 5 live lang:go docs (a/0 superseded, still go)
+
+
+def test_cli_snapshot_restore_metrics(spark, tmp_path, capsys):
+    """CLI surface for the no-Spark subcommands: snapshot → restore →
+    metrics over the restored index."""
+    from search_replica_spark.__main__ import main
+    from search_replica_spark.streaming.incremental import add_generation
+
+    idx = str(tmp_path / "idx")
+    a = _mk_docs([("r0", f"a/{i}.py", f"cli w{i % 3}") for i in range(6)])
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    snap, dst = str(tmp_path / "snap"), str(tmp_path / "restored")
+
+    assert main(["snapshot", "--index-dir", idx, "--snap-dir", snap]) == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["generations"] == 1 and man["files"] > 0
+
+    assert main(["restore", "--snap-dir", snap, "--index-dir", dst]) == 0
+    capsys.readouterr()
+    assert main(["metrics", "--index-dir", dst]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["docs_indexed"] == 6 and m["live_generations"] == 1
