@@ -255,3 +255,53 @@ def text_repetition_2gram(spark, sf_dir):
             "dup_ratio_micro"
         ),
     )
+
+
+# Gopher-style quality GATE: the boolean keep/drop verdict a pretraining
+# mix applies before packing — document-length bounds, mean-token-length
+# band, and a lexical-diversity floor (unique-token ratio), each
+# integer-scaled so the verdict is bit-stable across engines. One
+# partial-aggregating groupBy; the gate composes with sampling/packing
+# downstream (filter keep, then pack).
+GATE_MIN_TOKENS, GATE_MAX_TOKENS = 20, 90
+GATE_MIN_AVG_LEN, GATE_MAX_AVG_LEN = 4_000_000, 5_000_000  # micro-chars
+GATE_MIN_UNIQ = 400_000  # micro-ratio
+
+_GATE_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+m AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS u,
+             CAST(sum(strlen(t)) AS BIGINT) AS lsum
+      FROM tok GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+       CAST((lsum * 1000000) // n AS BIGINT) AS avg_len_micro,
+       CAST((u * 1000000) // n AS BIGINT) AS uniq_micro,
+       (n BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS})
+        AND ((lsum * 1000000) // n
+             BETWEEN {GATE_MIN_AVG_LEN} AND {GATE_MAX_AVG_LEN})
+        AND ((u * 1000000) // n >= {GATE_MIN_UNIQ}) AS keep
+FROM m
+"""
+
+
+@register("text_quality_gate", _GATE_SQL)
+def text_quality_gate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    m = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("t").alias("u"),
+        F.sum(F.length("t")).alias("lsum"),
+    )
+    avg_len = F.expr("(lsum * 1000000) DIV n")
+    uniq = F.expr("(u * 1000000) DIV n")
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        avg_len.alias("avg_len_micro"),
+        uniq.alias("uniq_micro"),
+        (
+            F.col("n").between(GATE_MIN_TOKENS, GATE_MAX_TOKENS)
+            & avg_len.between(GATE_MIN_AVG_LEN, GATE_MAX_AVG_LEN)
+            & (uniq >= GATE_MIN_UNIQ)
+        ).alias("keep"),
+    )
