@@ -112,7 +112,13 @@ def main():
     # shape): unpruned vs block-max pruned over 10 reference queries
     from search_replica_spark.query.bm25 import bm25_topk_spark, bm25_topk_spark_pruned
 
-    lat_dist, lat_pruned = [], []
+    # bm25_p50_spark_pruned = the SHIPPING pruned entry point (its
+    # cost-based switch routes sub-PRUNE_MIN_DOCS corpora to the
+    # single-job plan, so at bench scale it should track the unpruned
+    # number); *_forced = the pruning machinery itself (min_docs=0:
+    # theta pass + threshold broadcast), tracked so a regression in the
+    # actual pruning plan stays visible at bench scale
+    lat_dist, lat_pruned, lat_forced = [], [], []
     for qtext, k in list(zip(qset["query_text"], qset["k"]))[:10]:
         t = time.time()
         bm25_topk_spark(spark, idx_dir, qtext, int(k)).collect()
@@ -120,10 +126,17 @@ def main():
         t = time.time()
         bm25_topk_spark_pruned(spark, idx_dir, qtext, int(k)).collect()
         lat_pruned.append(time.time() - t)
+        t = time.time()
+        bm25_topk_spark_pruned(spark, idx_dir, qtext, int(k), min_docs=0).collect()
+        lat_forced.append(time.time() - t)
     lat_dist.sort()
     lat_pruned.sort()
+    lat_forced.sort()
     queries["bm25_p50_spark_dist"] = round(lat_dist[len(lat_dist) // 2], 4)
     queries["bm25_p50_spark_pruned"] = round(lat_pruned[len(lat_pruned) // 2], 4)
+    queries["bm25_p50_spark_pruned_forced"] = round(
+        lat_forced[len(lat_forced) // 2], 4
+    )
 
     # serving mode: segments pinned in driver memory (how a query node
     # holds its shard) — per-query cost without the Spark-job round trip

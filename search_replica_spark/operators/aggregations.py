@@ -51,22 +51,31 @@ def agg_terms_lang(spark, sf_dir):
     """SELECT lang AS key, count(*) AS cnt,
               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-              CAST((1000000 * sum(n_chars)) // count(*) AS BIGINT)
-                  AS avg_chars_micro
+              CAST((sum(n_chars) // count(*)) * 1000000
+                   + ((sum(n_chars) % count(*)) * 1000000) // count(*)
+                   AS BIGINT) AS avg_chars_micro
        FROM documents GROUP BY lang""",
 )
 def agg_stats_by_lang(spark, sf_dir):
     # Every output column is a BIGINT so the cross-engine value-hash is
     # bit-stable: DuckDB's HUGEINT sum is cast down, and the avg is an
-    # integer-scaled micro value (floor(1e6 * sum / cnt)) instead of a
-    # rounded DOUBLE whose last bits depend on the engine's division.
+    # integer-scaled micro value instead of a rounded DOUBLE whose last
+    # bits depend on the engine's division. The micro value is computed as
+    # quotient*1e6 + (remainder*1e6)//cnt — identical to
+    # floor(1e6*sum/cnt) for non-negative inputs but never forms the
+    # sum*1e6 product, which would wrap int64 in Spark's LONG arithmetic
+    # once a bucket's char sum passes ~9.2e12 (DuckDB promotes to HUGEINT,
+    # so a naive form diverges between engines exactly at scale).
     d = load(spark, sf_dir, "documents")
     return d.groupBy(F.col("lang").alias("key")).agg(
         F.count("*").alias("cnt"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
-        F.expr("(1000000 * sum(n_chars)) DIV count(*)").alias("avg_chars_micro"),
+        F.expr(
+            "(sum(n_chars) DIV count(*)) * 1000000"
+            " + ((sum(n_chars) % count(*)) * 1000000) DIV count(*)"
+        ).alias("avg_chars_micro"),
     )
 
 
@@ -167,12 +176,15 @@ def agg_histogram_nchars(spark, sf_dir):
 
 # ES significant_terms aggregation: terms OVERREPRESENTED in a foreground
 # set vs the background corpus ({"significant_terms": {"field": "text"}}
-# under a lang filter). The exact spec here scores by integer-scaled lift
-# = (fg_df * bg_total * 1e6) // (bg_df * fg_total) over terms with
-# fg_df >= 3 — deterministic and bit-stable (ES's own JLH/chi² variants
-# are the same shape: per-term fg/bg counts from TWO partial aggregations,
-# one shuffle each, then a top-N). Foreground docs counted once per term
-# (document frequency, like ES).
+# under a lang filter). Scored by the integer-scaled RATE DIFFERENCE
+# fg_rate_micro - bg_rate_micro (the first factor of ES's JLH heuristic)
+# over terms with fg_df >= 3 — deterministic and bit-stable, and every
+# intermediate product is df*1e6 <= ~1e18 even at 10^12 docs (a
+# cross-multiplied lift ratio would wrap Spark's int64 at moderate corpus
+# sizes while DuckDB promotes to HUGEINT — the exact cross-engine
+# divergence this spec must avoid). Foreground docs counted once per term
+# (document frequency, like ES); two partial aggregations, one shuffle
+# each, then a top-N.
 @register(
     "agg_significant_terms_de",
     """WITH tok AS (
@@ -191,11 +203,11 @@ def agg_histogram_nchars(spark, sf_dir):
          FROM tok GROUP BY term
        )
        SELECT term, fg_df, bg_df,
-              CAST((fg_df * bg_total * 1000000) // (bg_df * fg_total) AS BIGINT)
-                  AS lift_micro
+              CAST((fg_df * 1000000) // fg_total
+                   - (bg_df * 1000000) // bg_total AS BIGINT) AS score_micro
        FROM stats, tots
        WHERE fg_df >= 3
-       ORDER BY lift_micro DESC, term LIMIT 10""",
+       ORDER BY score_micro DESC, term LIMIT 10""",
 )
 def agg_significant_terms_de(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -219,11 +231,11 @@ def agg_significant_terms_de(spark, sf_dir):
             "term",
             "fg_df",
             "bg_df",
-            F.expr("(fg_df * bg_total * 1000000) DIV (bg_df * fg_total)").alias(
-                "lift_micro"
-            ),
+            F.expr(
+                "(fg_df * 1000000) DIV fg_total - (bg_df * 1000000) DIV bg_total"
+            ).alias("score_micro"),
         )
-        .orderBy(F.col("lift_micro").desc(), "term")
+        .orderBy(F.col("score_micro").desc(), "term")
         .limit(10)
     )
 

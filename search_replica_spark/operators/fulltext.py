@@ -590,10 +590,15 @@ def ft_bm25_multigen_top10(spark, sf_dir):
 # at the driver gate, not just in pytest.
 @register("ft_bm25_pruned_top10", _bm25_sql(10))
 def ft_bm25_pruned_top10(spark, sf_dir):
+    # min_docs=0: this entry validates the PRUNING machinery against the
+    # oracle; the cost switch would otherwise route small corpora to the
+    # (already separately checked) unpruned plan.
     from search_replica_spark.query.bm25 import bm25_topk_spark_pruned
 
     idx = _index_dir_for(spark, sf_dir)
-    top = bm25_topk_spark_pruned(spark, idx, " ".join(BM25_QUERY_TERMS), 40)
+    top = bm25_topk_spark_pruned(
+        spark, idx, " ".join(BM25_QUERY_TERMS), 40, min_docs=0
+    )
     docs = spark.read.parquet(os.path.join(idx, "docs")).select("doc_id", "path")
     mapped = docs.join(F.broadcast(top), "doc_id").select(
         F.split("path", "_").getItem(1).cast("long").alias("doc_id"), "score"

@@ -150,23 +150,31 @@ def pack_sequences(spark, sf_dir):
 )
 def pack_sequences_by_lang(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    toks = _token_counts(d)
+    # a NULL shard key is a real partition in SQL window semantics, but
+    # pandas groupby drops NaN groups (and a None dict key would not match
+    # the NaN the Arrow batch carries) — shard on a non-null sentinel
+    # internally and emit the original lang untouched
+    toks = _token_counts(d).withColumn(
+        "_shard", F.coalesce(F.col("lang"), F.lit("\x00null"))
+    )
     P = _pack_partitions(spark, toks.count())
     # range partition on (shard, doc_id): a shard may span partitions, but
     # its rows stay doc_id-ordered ACROSS partitions, so per-(pid, shard)
     # sums compose into exact per-shard running offsets
     ds = (
-        toks.repartitionByRange(P, "lang", "doc_id")
-        .sortWithinPartitions("lang", "doc_id")
+        toks.repartitionByRange(P, "_shard", "doc_id")
+        .sortWithinPartitions("_shard", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
-    shard_sums = ds.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("s")).collect()
+    shard_sums = (
+        ds.groupBy("_pid", "_shard").agg(F.sum("n_tokens").alias("s")).collect()
+    )
     offsets: dict[tuple[int, str], int] = {}
     seen: dict[str, int] = {}
     for r in sorted(shard_sums, key=lambda r: r["_pid"]):
-        offsets[(int(r["_pid"]), r["lang"])] = seen.get(r["lang"], 0)
-        seen[r["lang"]] = seen.get(r["lang"], 0) + int(r["s"])
+        offsets[(int(r["_pid"]), r["_shard"])] = seen.get(r["_shard"], 0)
+        seen[r["_shard"]] = seen.get(r["_shard"], 0) + int(r["s"])
 
     def fn(batches):
         import pandas as pd
@@ -178,7 +186,7 @@ def pack_sequences_by_lang(spark, sf_dir):
             pid = int(pdf["_pid"].iloc[0])
             pdf = pdf.reset_index(drop=True)
             pack = pd.Series(0, index=pdf.index, dtype="int64")
-            for sh, g in pdf.groupby("lang", sort=False):
+            for sh, g in pdf.groupby("_shard", sort=False):
                 start = run.get(sh)
                 if start is None:
                     start = offsets.get((pid, sh), 0)

@@ -132,7 +132,7 @@ def main():
     from search_replica_spark.query.bm25 import bm25_topk_spark_pruned
 
     plans["bm25_pruned_main_pass"] = plan_of(
-        bm25_topk_spark_pruned(spark, idx, "spark join window", 10)
+        bm25_topk_spark_pruned(spark, idx, "spark join window", 10, min_docs=0)
     )
     plans["p17_partial_update_merge"] = plan_of(
         reg["p17_partial_update_merge"][0](spark, sf_dir)

@@ -1409,8 +1409,12 @@ def match_all(
     the reference's own demo nests inside has_child (demo/README.md:28).
     No postings are touched: the doc store IS the answer. Deterministic
     order (doc_id asc, ES's tie-break for equal scores) so paging over the
-    result is stable. At scale this is a doc-store scan, not a scorer."""
+    result is stable. At scale this is a doc-store scan, not a scorer.
+    ``live`` defaults to the reader's own liveDocs (generational readers),
+    like every other query entry point."""
     _dl, ids = reader.doc_arrays()
+    if live is None:
+        live = getattr(reader, "_live", None)
     if live is not None:
         ids = ids[live.astype(bool)]
     out = np.sort(ids)
@@ -1446,15 +1450,19 @@ def explain_score(
     """ES explain API (`GET /_explain/{id}`): the per-term BM25 breakdown
     for one document — term, tf, df, idf, and the term's score
     contribution, exactly the numbers the scorers sum. ``doc_id=None``
-    explains the TOP hit. Float ops mirror TermAtATimeScorer bit-for-bit
-    (same formula, same order), so an oracle recomputing the formula in
-    SQL agrees to the last bit. Returns [] for a doc that matches no
-    query term (ES: "no matching term")."""
+    explains the TOP LIVE hit (generational readers' liveDocs applies, as
+    in every query entry point). On a generational reader a re-upserted
+    doc_id resolves to its LATEST live slot — the version queries actually
+    score — never a superseded one. Float ops mirror TermAtATimeScorer
+    bit-for-bit (same formula, same order), so an oracle recomputing the
+    formula in SQL agrees to the last bit. Returns [] for a doc that
+    matches no query term (ES: "no matching term")."""
     terms = sorted(set(tokenize_text(query)))
     if not terms:
         return []
+    live = getattr(reader, "_live", None)
     if doc_id is None:
-        top = TermAtATimeScorer(reader).score(query, 1)
+        top = TermAtATimeScorer(reader).score(query, 1, live=live)
         if not top:
             return []
         doc_id = top[0][0]
@@ -1462,7 +1470,13 @@ def explain_score(
     slots = np.nonzero(doc_ids == doc_id)[0]
     if slots.size == 0:
         raise KeyError(f"doc_id {doc_id} not in index")
-    slot = int(slots[0])
+    if live is not None:
+        slots = slots[live[slots]]
+        if slots.size == 0:
+            raise KeyError(f"doc_id {doc_id} is deleted/superseded")
+    # slots order follows generation order — the last one is the live
+    # latest version when duplicates exist
+    slot = int(slots[-1])
     dl = float(doc_len[slot])
     out = []
     for term, (docs, tfs, _g) in sorted(reader.fetch_postings(terms).items()):
@@ -1492,20 +1506,41 @@ def collapse_topk(
     one result per repo/domain — the search-dedup every portal applies).
     ``collapse_ids``: per-slot int codes of the collapse field (doc_idx
     order, from the docs store). Returns (doc_id, collapse_id, score) in
-    (score desc, doc_id asc) order. Scoring = the exhaustive TATA pass;
-    the collapse itself is a groupby-argmax over the scored docs — at
-    scale the same shape runs as a window partitioned by the collapse key
-    over the distributed scorer output."""
+    (score desc, doc_id asc) order. Scoring = the exhaustive TATA pass
+    (``live`` defaults to the reader's liveDocs); the collapse itself is a
+    first-wins walk of the ranked hits that STOPS once k groups are filled
+    — a later hit can only join an existing group (and lose to its
+    earlier, higher-or-tied first hit) or open a group that ranks below
+    the current k-th, so early exit is exact. Driver state is O(hits
+    walked), never an O(corpus) map (hit→slot lookups go through one
+    sorted view of doc_ids). At scale the same shape runs as a window
+    partitioned by the collapse key over the distributed scorer output."""
+    if live is None:
+        live = getattr(reader, "_live", None)
     hits = TermAtATimeScorer(reader).score(query, k=len(collapse_ids), live=live)
     if not hits:
         return []
     _dl, doc_ids = reader.doc_arrays()
-    slot_of = {int(d): i for i, d in enumerate(doc_ids)}
+    order = np.argsort(doc_ids, kind="stable")
+    sorted_ids = doc_ids[order]
+    hit_ids = np.array([d for d, _ in hits], dtype=np.int64)
+    lo = np.searchsorted(sorted_ids, hit_ids, side="left")
+    hi = np.searchsorted(sorted_ids, hit_ids, side="right")
     best: dict[int, tuple[int, float]] = {}
-    for d, s in hits:  # hits arrive (score desc, doc_id asc) — first wins
-        cid = int(collapse_ids[slot_of[int(d)]])
+    for i, (d, s) in enumerate(hits):
+        # duplicate doc_ids exist on generational readers (superseded
+        # slots); take the latest LIVE slot — slot numbers grow with
+        # generation, so max of the live candidates is the served version
+        cands = order[lo[i]:hi[i]]
+        if live is not None and cands.size > 1:
+            alive = cands[live[cands]]
+            cands = alive if alive.size else cands
+        slot = int(cands.max())
+        cid = int(collapse_ids[slot])
         if cid not in best:
             best[cid] = (d, s)
+            if len(best) >= k:
+                break  # exact: see docstring
     ranked = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))[:k]
     return [(d, cid, s) for cid, (d, s) in ranked]
 
@@ -1536,6 +1571,8 @@ def fielded_norms_topk(
             "per-field norms need a field_analyzers build with field_stats "
             "(rebuild with round-4+ build_index)"
         )
+    if live is None:
+        live = getattr(reader, "_live", None)  # generational liveDocs default
     terms = sorted(set(terms))
     if not terms:
         return []

@@ -70,6 +70,17 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     # mutate the live index's commit log) — a fresh relocatable copy is
     # written below instead
     n_files = _copytree(index_dir, tmp, exclude=EXCLUDE + (GENS_FILE,))
+    # no lock is shared with writers, so detect a concurrent
+    # merge/add_generation: if the commit log changed while we copied, the
+    # copied files may not match the log we captured — fail rather than
+    # publish a snapshot whose generations.json references directories
+    # that were merged away mid-copy
+    if _load_gens(index_dir) != gens:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"index {index_dir} changed during snapshot (concurrent "
+            "merge/ingest) — retry when the writer is quiescent"
+        )
     if gens:
         # relocatable commit log: dir entries become snapshot-relative
         rel = [
@@ -116,6 +127,13 @@ def restore_index(snap_dir: str, index_dir: str) -> dict:
         for g in gens:
             if g["dir"]:
                 g["dir"] = os.path.join(os.path.abspath(index_dir), g["dir"])
+            # the streaming checkpoint is not part of the snapshot, so a
+            # restored index replicates with a FRESH stream whose batch
+            # ids restart at 0 — stale epoch watermarks would make
+            # add_generation treat the new stream's first batches as
+            # replays and silently drop them. Strip them.
+            g["epoch_id"] = None
+            g.pop("max_epoch", None)
         with open(os.path.join(tmp, GENS_FILE), "w") as f:
             json.dump(gens, f, indent=2)
     shutil.rmtree(index_dir, ignore_errors=True)  # empty dir allowed above

@@ -371,3 +371,58 @@ def test_cli_snapshot_restore_metrics(spark, tmp_path, capsys):
     assert main(["metrics", "--index-dir", dst]) == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["docs_indexed"] == 6 and m["live_generations"] == 1
+
+
+def test_restored_index_accepts_fresh_stream(spark, tmp_path):
+    """The snapshot excludes the checkpoint, so a restored index streams
+    from batch id 0 again — stale epoch watermarks must not make the new
+    stream's first batches look like replays (they'd be silently dropped)."""
+    from search_replica_spark.snapshot import restore_index, snapshot_index
+
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    idx, dst = str(tmp_path / "idx"), str(tmp_path / "restored")
+    os.makedirs(in1)
+    os.makedirs(in2)
+    a = _mk_docs([("r0", f"a/{i}.py", f"fresh w{i % 3}") for i in range(6)])
+    a.to_parquet(os.path.join(in1, "b0.parquet"), index=False)
+    _drain(spark, in1, idx)  # epoch 0 committed into the generation log
+
+    snapshot_index(idx, str(tmp_path / "snap"))
+    restore_index(str(tmp_path / "snap"), dst)
+
+    b = _mk_docs([("r0", f"b/{i}.py", f"fresher w{i % 3}") for i in range(4)])
+    b.to_parquet(os.path.join(in2, "b0.parquet"), index=False)
+    _drain(spark, in2, dst)  # fresh stream: its batch 0 must INDEX, not replay
+    assert len(source_view(spark, dst).toPandas()) == 10
+
+
+def test_match_all_and_explain_default_to_liveness(spark, tmp_path):
+    """match_all / explain_score on a generational reader must apply the
+    liveDocs mask by default: tombstoned docs don't appear, a superseded
+    doc explains as its LATEST version."""
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import explain_score, match_all
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        add_generation,
+    )
+
+    a = _mk_docs([("r0", f"a/{i}.py", "alpha beta") for i in range(6)])
+    idx = str(tmp_path / "lidx")
+    add_generation(spark, spark.createDataFrame(a), idx, CFG)
+    dels = a.iloc[[2]].copy()
+    dels["_change_type"] = "delete"
+    add_generation(spark, spark.createDataFrame(dels), idx, CFG)
+    upd = a.iloc[[4]].copy()
+    upd["content"] = "alpha alpha alpha gamma"  # tf(alpha)=3 in the live version
+    add_generation(spark, spark.createDataFrame(upd), idx, CFG)
+
+    mg = MultiGenReader(spark, idx)
+    ma_ids = [d for d, _ in match_all(mg)]
+    assert doc_id_of("r0", "a/2.py") not in ma_ids  # tombstoned: absent
+    assert len(ma_ids) == 5  # 6 - 1 deleted; superseded doc listed ONCE
+
+    exp = explain_score(mg, "alpha", doc_id=doc_id_of("r0", "a/4.py"))
+    assert exp[0]["tf"] == 3  # the live (latest) version, not the old tf=1
+    with pytest.raises(KeyError, match="deleted"):
+        explain_score(mg, "alpha", doc_id=doc_id_of("r0", "a/2.py"))
