@@ -460,9 +460,14 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
                 aggs.append(F.count(F.when(F.col(f"dl_{f}") > 0, 1)).alias(f"n_{f}"))
                 aggs.append(F.sum(f"dl_{f}").alias(f"s_{f}"))
             row = docs_df.agg(*aggs).collect()[0]
+            # sum_dl rides along so generational merges recombine stats
+            # EXACTLY (integer sums, one final float division — bit-equal
+            # to a single-index build; re-deriving from n*avg_dl would
+            # round twice)
             field_stats = {
                 f: {
                     "n": int(row[f"n_{f}"]),
+                    "sum_dl": int(row[f"s_{f}"] or 0),
                     "avg_dl": (float(row[f"s_{f}"]) / row[f"n_{f}"])
                     if row[f"n_{f}"]
                     else 0.0,

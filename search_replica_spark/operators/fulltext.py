@@ -1072,3 +1072,65 @@ def ft_bm25_fielded_norms_top10(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5z2: per-field norms over a GENERATIONAL index — the same query as
+# B5z served by a 2-generation fielded index (disjoint ingest batches).
+# With no doc in both generations, the integer-summed merged field stats
+# and summed per-term dfs equal the single-index values EXACTLY, so the
+# SAME single-index SQL twin is the oracle — proving the multigen
+# serving path bit-equal to a from-scratch build.
+def _fielded_multigen_index_dir_for(spark, sf_dir) -> str:
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.streaming.incremental import add_generation
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_fmgidx_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "generations.json")):
+        corpus = _corpus_from_documents(spark, sf_dir)
+        half = F.col("path").substr(-1, 1).cast("int") % 2  # doc_id parity
+        cfg = IndexConfig(
+            shuffle_partitions=8,
+            hot_df_threshold=1 << 30,
+            field_analyzers=(("content", "text"), ("lang", "keyword")),
+        )
+        add_generation(spark, corpus.filter(half == 0), out, cfg)
+        add_generation(spark, corpus.filter(half == 1), out)  # flags derive
+    return out
+
+
+@register(
+    "ft_bm25_fielded_norms_multigen_top10",
+    _FNORM_SQL,
+)
+def ft_bm25_fielded_norms_multigen_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import fielded_norms_topk
+    from search_replica_spark.streaming.incremental import MultiGenReader
+
+    idx = _fielded_multigen_index_dir_for(spark, sf_dir)
+
+    class _OrigIdMG(MultiGenReader):
+        def doc_arrays(self):
+            if self._doc_len is None:
+                parts = []
+                for g in self.live_gens:
+                    parts.append(
+                        self.spark.read.parquet(os.path.join(g["dir"], "docs"))
+                        .select("doc_idx", "path", "doc_len")
+                        .withColumn("gen", F.lit(int(g["gen"])))
+                    )
+                uni = parts[0]
+                for p in parts[1:]:
+                    uni = uni.unionByName(p)
+                pdf = uni.toPandas()
+                pdf["slot"] = pdf["doc_idx"] + pdf["gen"].map(self.bases)
+                pdf = pdf.sort_values("slot")
+                self._doc_len = pdf["doc_len"].to_numpy("float64")
+                self._doc_ids = (
+                    pdf["path"].str.split("_", n=1).str[1].astype("int64").to_numpy()
+                )
+            return self._doc_len, self._doc_ids
+
+    hits = fielded_norms_topk(_OrigIdMG(spark, idx), ["content:spark", "lang:de"], 10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -943,20 +943,25 @@ class MultiGenReader(IndexReader):
 
     # --- per-field norms over generations ---
     def field_stats(self) -> dict | None:
-        """Merged per-field stats: docCounts sum over live generations,
-        avg_dl recombined from per-generation (n, avg) pairs — the same
-        merge rule the global n_docs/avg_dl use. None if any live
-        generation predates per-field builds (uniform flags are already
-        enforced by derive_index_cfg/merge)."""
-        acc: dict[str, list[float]] = {}
+        """Merged per-field stats: docCounts and token sums accumulate as
+        INTEGERS over live generations, with one final float division —
+        bit-identical to the avg a single-index build over the same live
+        docs computes (recombining n*avg floats would round twice). None
+        if any live generation predates per-field builds (uniform flags
+        are already enforced by derive_index_cfg/merge). Legacy stats
+        without sum_dl fall back to n*avg."""
+        acc: dict[str, list] = {}
         for g in self.live_gens:
             with open(os.path.join(g["dir"], "stats.json")) as f:
                 fs = json.load(f).get("field_stats")
             if not fs:
                 return None
             for fld, st in fs.items():
-                n, s = acc.get(fld, (0, 0.0))
-                acc[fld] = [n + int(st["n"]), s + int(st["n"]) * float(st["avg_dl"])]
+                n, s = acc.get(fld, (0, 0))
+                gn = int(st["n"])
+                gs = st.get("sum_dl")
+                gs = int(gs) if gs is not None else gn * float(st["avg_dl"])
+                acc[fld] = [n + gn, s + gs]
         return {
             fld: {"n": int(n), "avg_dl": (s / n) if n else 0.0}
             for fld, (n, s) in acc.items()

@@ -198,8 +198,9 @@ def test_per_field_norms_build_and_scorer(spark, tmp_path):
         field_analyzers=(("content", "text"), ("lang", "keyword")),
     )
     st = build_index(spark, spark.createDataFrame(rows), idx, cfg)
-    assert st["field_stats"]["lang"] == {"n": 3, "avg_dl": 1.0}
+    assert st["field_stats"]["lang"] == {"n": 3, "sum_dl": 3, "avg_dl": 1.0}
     assert st["field_stats"]["content"]["n"] == 3
+    assert st["field_stats"]["content"]["sum_dl"] == 7
     assert abs(st["field_stats"]["content"]["avg_dl"] - 7 / 3) < 1e-12
     docs = spark.read.parquet(idx + "/docs").toPandas().set_index("path")
     assert docs.loc["a/0.py", "dl_content"] == 4 and docs.loc["a/0.py", "dl_lang"] == 1
