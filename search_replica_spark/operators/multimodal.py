@@ -55,14 +55,32 @@ def mm_image_meta(spark, sf_dir):
     )
 
 
+# Shared twin plumbing: recover the UTF-8 BYTE stream in pure SQL via
+# hex(encode(text)) → per-byte hex-pair decode. Every multimodal twin
+# below frames/samples the same bytes the Spark side sees through
+# np.frombuffer, so the oracles hold for non-ASCII corpora too (ADVICE
+# r4: the old char-indexed twins only agreed on ASCII).
+_BYTES_CTE = """
+s AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+b AS (SELECT doc_id, h,
+             unnest(generate_series(1, CAST(length(h) // 2 AS BIGINT))) AS pos
+      FROM s),
+ch AS (SELECT doc_id,
+              16 * (strpos('0123456789ABCDEF',
+                           substr(h, CAST(2 * pos - 1 AS BIGINT), 1)) - 1)
+                 + (strpos('0123456789ABCDEF',
+                           substr(h, CAST(2 * pos AS BIGINT), 1)) - 1) AS v,
+              pos
+       FROM b)
+"""
+
 # Feature extraction stub: integer byte statistics (sum / sum-of-squares) of
 # the payload — the batch shape, schema, and Arrow path of a real embedding
-# extractor, but exactly reproducible in SQL (ascii() over chars), so the
-# driver's DuckDB oracle checks it bit-for-bit. mean derives from the sums
-# as one float64 division, identical in both engines.
-_MM_FEAT_SQL = """
-WITH ch AS (SELECT doc_id, ascii(c) AS v
-            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents))
+# extractor, but exactly reproducible in SQL, so the driver's DuckDB oracle
+# checks it bit-for-bit. mean derives from the sums as one float64
+# division, identical in both engines.
+_MM_FEAT_SQL = f"""
+WITH {_BYTES_CTE}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,
        CAST(sum(v) AS BIGINT) AS byte_sum,
        CAST(sum(v * v) AS BIGINT) AS byte_sqsum,
@@ -112,15 +130,19 @@ def mm_fake_features(spark, sf_dir):
 # 16-point byte grid — the Spark-side shape of an image resize (fixed output
 # dims regardless of input size). Scalar outputs so the DuckDB twin compares
 # exactly: 4 grid samples + the 16-point checksum.
-_MM_THUMB_SQL = """
+_MM_THUMB_SQL = f"""
+WITH {_BYTES_CTE},
+L AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id HAVING count(*) >= 16),
+g AS (SELECT doc_id, n, unnest(generate_series(0, 15)) AS i FROM L),
+sel AS (SELECT g.doc_id, g.i, ch.v
+        FROM g JOIN ch ON ch.doc_id = g.doc_id AND ch.pos = (g.i * g.n) // 16 + 1)
 SELECT doc_id,
-       ascii(substr(text, 1, 1)) AS p0,
-       ascii(substr(text, CAST(floor(4 * strlen(text) / 16) AS INT) + 1, 1)) AS p25,
-       ascii(substr(text, CAST(floor(8 * strlen(text) / 16) AS INT) + 1, 1)) AS p50,
-       ascii(substr(text, CAST(floor(12 * strlen(text) / 16) AS INT) + 1, 1)) AS p75,
-       CAST((SELECT sum(ascii(substr(text, CAST(floor(g.i * strlen(text) / 16) AS INT) + 1, 1)))
-             FROM range(16) g(i)) AS BIGINT) AS checksum
-FROM documents WHERE strlen(text) >= 16
+       CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS p0,
+       CAST(max(CASE WHEN i = 4 THEN v END) AS BIGINT) AS p25,
+       CAST(max(CASE WHEN i = 8 THEN v END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN i = 12 THEN v END) AS BIGINT) AS p75,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM sel GROUP BY doc_id
 """
 
 
@@ -165,15 +187,17 @@ def mm_fake_thumbnail(spark, sf_dir):
 FRAME_BYTES = 256
 
 _MM_FRAMES_SQL = f"""
-WITH f AS (SELECT doc_id, text, strlen(text) // {FRAME_BYTES} AS n_frames
-           FROM documents WHERE strlen(text) >= {FRAME_BYTES}),
-sel AS (SELECT doc_id, text, n_frames,
-               unnest([0, n_frames // 2, n_frames - 1]) AS frame_idx
-        FROM f)
-SELECT DISTINCT doc_id, n_frames, frame_idx,
-       CAST((SELECT sum(ascii(substr(text, CAST(frame_idx * {FRAME_BYTES} AS INT) + CAST(g.i AS INT) + 1, 1)))
-             FROM range({FRAME_BYTES}) g(i)) AS BIGINT) AS frame_sum
-FROM sel
+WITH {_BYTES_CTE},
+fr AS (SELECT doc_id, (pos - 1) // {FRAME_BYTES} AS frame,
+              CAST(sum(v) AS BIGINT) AS fsum, count(*) AS cnt
+       FROM ch GROUP BY doc_id, (pos - 1) // {FRAME_BYTES}),
+ff AS (SELECT doc_id, frame, fsum FROM fr WHERE cnt = {FRAME_BYTES}),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+       FROM ff GROUP BY doc_id)
+SELECT DISTINCT f.doc_id, nf.n_frames, CAST(f.frame AS BIGINT) AS frame_idx,
+       f.fsum AS frame_sum
+FROM ff f JOIN nf USING (doc_id)
+WHERE f.frame IN (0, nf.n_frames // 2, nf.n_frames - 1)
 """
 
 
@@ -227,12 +251,16 @@ def mm_frame_sample(spark, sf_dir):
 # byte view for an ffmpeg decode; the Spark side (Arrow batches, framing,
 # per-frame schema, vectorized reduceat) is the production shape and the
 # integer arithmetic is exactly reproducible in SQL.
+#
+# Both engines frame UTF-8 BYTES (ADVICE r4: the old twin framed
+# characters, which only agreed on ASCII corpora). The twin recovers the
+# byte stream in pure SQL via hex(encode(text)) → per-byte hex-pair
+# decode, so frame boundaries and energies are byte-identical to the
+# numpy view for any input, non-ASCII included.
 FRAME = 256
 
 _MM_AUDIO_SQL = f"""
-WITH s AS (SELECT doc_id, string_split(text, '') AS l FROM documents),
-ch AS (SELECT doc_id, ascii(unnest(l)) AS v,
-              generate_subscripts(l, 1) AS pos FROM s)
+WITH {_BYTES_CTE}
 SELECT doc_id, CAST((pos - 1) // {FRAME} AS BIGINT) AS frame,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy

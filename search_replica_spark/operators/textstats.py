@@ -32,7 +32,7 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documen
 SELECT doc_id,
        count(*) AS n_tokens,
        count(DISTINCT term) AS n_uniq,
-       round(avg(CAST(strlen(term) AS DOUBLE)), 6) AS avg_token_len,
+       round(avg(CAST(length(term) AS DOUBLE)), 6) AS avg_token_len,
        round(avg(CASE WHEN term IN ({_SW}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
 FROM tok GROUP BY doc_id
 """
@@ -102,7 +102,7 @@ def doc_fingerprint(spark, sf_dir):
 @register(
     "text_bpe_token_count",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-       SELECT doc_id, CAST(sum(ceil(strlen(term) / 4.0)) AS BIGINT) AS n_bpe
+       SELECT doc_id, CAST(sum(ceil(length(term) / 4.0)) AS BIGINT) AS n_bpe
        FROM tok GROUP BY doc_id""",
 )
 def text_bpe_token_count(spark, sf_dir):
@@ -270,7 +270,7 @@ GATE_MIN_UNIQ = 400_000  # micro-ratio
 _GATE_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
 m AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS u,
-             CAST(sum(strlen(t)) AS BIGINT) AS lsum
+             CAST(sum(length(t)) AS BIGINT) AS lsum
       FROM tok GROUP BY doc_id)
 SELECT doc_id, n AS n_tokens,
        CAST((lsum * 1000000) // n AS BIGINT) AS avg_len_micro,

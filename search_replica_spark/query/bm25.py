@@ -415,12 +415,41 @@ def bm25_topk_spark_pruned(
 
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+
+    def _fallback_stats(reason: str) -> None:
+        # the docstring promises blocks_total/blocks_decoded whenever the
+        # caller passes prune_stats — on the unpruned fallback every block
+        # is decoded, so report total == decoded (one small filtered dict
+        # read; the caller opted into metadata jobs by asking for counters)
+        if prune_stats is None:
+            return
+        bsz = int(stats.get("block_size", 128))
+        terms_ = sorted(set(tokenize_text(query)))
+        nb = 0
+        if terms_:
+            rows = (
+                spark.read.parquet(os.path.join(index_dir, "dict"))
+                .filter(F.col("term").isin(terms_))
+                .select("df")
+                .collect()
+            )
+            nb = sum(-(-int(r["df"]) // bsz) for r in rows)
+        prune_stats.update(
+            blocks_total=nb,
+            blocks_decoded=nb,
+            blocks_theta_pass=0,
+            theta=0.0,
+            fallback=reason,
+        )
+
     if not stats.get("store_doclens", False):
-        return bm25_topk_spark(spark, index_dir, query, k)  # no dls_bin → no fast path
+        _fallback_stats("no_doclens")  # no dls_bin → no fast path
+        return bm25_topk_spark(spark, index_dir, query, k)
     if int(stats["n_docs"]) < min_docs:
         # cost-based switch (see PRUNE_MIN_DOCS): at this corpus size the
         # single-job plan is strictly faster; rank-identical either way.
         # Tests force the pruning path with min_docs=0.
+        _fallback_stats("min_docs")
         return bm25_topk_spark(spark, index_dir, query, k)
     n_docs, avg_dl, k1, b = stats["n_docs"], stats["avg_dl"], stats["k1"], stats["b"]
     block_size = int(stats.get("block_size", 128))

@@ -48,7 +48,11 @@ def _copytree(src: str, dst: str, exclude: tuple = ()) -> int:
             continue
         s, d = os.path.join(src, name), os.path.join(dst, name)
         if os.path.isdir(s):
-            n += _copytree(s, d)
+            # propagate the exclusion to every depth: a streaming
+            # checkpoint nested inside a generation dir must not be
+            # hardlinked into the snapshot (the live stream would write
+            # through the shared inodes)
+            n += _copytree(s, d, exclude)
         else:
             _link_or_copy(s, d)
             n += 1

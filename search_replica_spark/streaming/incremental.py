@@ -581,18 +581,22 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
         else schema.fieldNames()
     )
 
-    def _batch_files(epoch_id: int) -> list[str]:
+    def _batch_files(epoch_id: int) -> list[str] | None:
         """The micro-batch's source files, from the file-source metadata
         log (``checkpoint/sources/0/<batch>`` — the commit record Spark
         itself replays from; ``batch_df.inputFiles()`` is empty inside
         foreachBatch). Every compactInterval-th batch Spark writes
         ``<batch>.compact`` instead — a cumulative log — so fall back to
-        it and keep only THIS batch's entries (batchId field)."""
+        it and keep only THIS batch's entries (batchId field). Returns
+        ``None`` (not ``[]``) when the log entry cannot be found — e.g. a
+        non-local checkpoint filesystem or an unexpected log layout — so
+        the caller can surface the skipped schema check instead of
+        silently passing it."""
         p = os.path.join(checkpoint, "sources", "0", str(int(epoch_id)))
         if not os.path.exists(p):
             p += ".compact"
             if not os.path.exists(p):
-                return []
+                return None
         out = []
         with open(p) as f:
             for line in f:
@@ -603,9 +607,17 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
                         out.append(ent["path"])
         return out
 
-    def _check_batch_schema(epoch_id: int) -> list[str]:
+    def _check_batch_schema(epoch_id: int) -> tuple[list[str], bool]:
+        """Returns ``(extra_columns, checked)``. ``checked=False`` means the
+        file-source metadata log was unreadable and the drift guard did NOT
+        run — recorded as a ``schema_check_skipped`` metric by the caller so
+        the skipped check is visible (ADVICE r4: a silent [] here would
+        quietly disable the very guard this feature exists to provide)."""
+        files = _batch_files(epoch_id)
+        if files is None:
+            return [], False
         extra: set[str] = set()
-        for fpath in _batch_files(epoch_id):
+        for fpath in files:
             actual = set(spark.read.parquet(fpath).schema.fieldNames())
             missing = bound_fields - actual
             if missing:
@@ -615,7 +627,7 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
                     "nulls for them; restart index_stream with a corrected schema"
                 )
             extra |= actual - bound_fields
-        return sorted(extra)
+        return sorted(extra), True
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -629,7 +641,7 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
         if batch_df.isEmpty():
             return
         t0 = _time.time()
-        extra_cols = _check_batch_schema(int(epoch_id))
+        extra_cols, schema_checked = _check_batch_schema(int(epoch_id))
         st = add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
         if max_generations is not None:
             gens = _load_gens(index_dir)
@@ -640,6 +652,7 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
             "last_batch_sec": round(_time.time() - t0, 3),
             "last_batch_replayed": bool(st.get("replayed", False)),
             **({"schema_extra_columns": extra_cols} if extra_cols else {}),
+            **({} if schema_checked else {"schema_check_skipped": 1}),
         })
 
     return (
