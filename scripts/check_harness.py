@@ -30,6 +30,12 @@ def values_equal(a, b) -> bool:
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
+            if os.environ.get("EXACT", "0") == "1":
+                # r4 verdict: a float that can't convert must FAIL the
+                # gate loudly, not soften into a string compare
+                raise TypeError(
+                    f"EXACT mode: unconvertible float operands {a!r} vs {b!r}"
+                )
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True

@@ -173,7 +173,6 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from search_replica_spark.query.bm25 import (
             IndexReader,
-            TermAtATimeScorer,
             bm25_topk_spark,
             wand_topk,
         )
@@ -190,23 +189,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.strategy == "spark":
                 rows = bm25_topk_spark_multigen(spark, args.index, args.q, args.k).collect()
                 hits = [(r["doc_id"], r["score"]) for r in rows]
+            elif args.strategy == "wand":
+                hits = MultiGenReader(spark, args.index).wand(args.q, args.k)
             else:
-                mg = MultiGenReader(spark, args.index)
-                hits = (
-                    mg.wand(args.q, args.k)
-                    if args.strategy == "wand"
-                    else mg.score(args.q, args.k)
-                )
+                # default serving path: cost-switched doc-sharded scoring —
+                # above SHARD_MIN_DOCS no node holds O(corpus) doc arrays
+                from search_replica_spark.query.bm25 import serve_topk
+
+                hits = serve_topk(spark, args.index, args.q, args.k)
         elif args.strategy == "spark":
             rows = bm25_topk_spark(spark, args.index, args.q, args.k).collect()
             hits = [(r["doc_id"], r["score"]) for r in rows]
+        elif args.strategy == "wand":
+            hits = wand_topk(IndexReader(spark, args.index), args.q, args.k)
         else:
-            reader = IndexReader(spark, args.index)
-            hits = (
-                wand_topk(reader, args.q, args.k)
-                if args.strategy == "wand"
-                else TermAtATimeScorer(reader).score(args.q, args.k)
-            )
+            from search_replica_spark.query.bm25 import serve_topk
+
+            hits = serve_topk(spark, args.index, args.q, args.k)
         print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
     elif args.cmd == "compact":
         from search_replica_spark.sources.code_table import read_corpus

@@ -166,7 +166,16 @@ def generate_corpus(n_files: int, seed: int = SEED) -> pd.DataFrame:
 
 
 # file counts per scale factor (FIXTURES.md §1)
-SF_FILES = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000, "0.2": 400_000}
+SF_FILES = {
+    "0.001": 2_000,
+    "0.01": 20_000,
+    "0.1": 200_000,
+    "0.2": 400_000,
+    # 2M docs (~9 GB text): the scale point where the pruned-BM25 cost
+    # switch (PRUNE_MIN_DOCS = 1M) flips to the theta-pass plan — used by
+    # scripts/bench_sf1.py to validate the crossover with data
+    "1.0": 2_000_000,
+}
 
 
 def corpus_parquet(sf: str, cache_dir: str = "/tmp/spark_graft_corpus") -> str:

@@ -487,6 +487,10 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         "store_doclens": cfg.store_doclens,
         "store_positions": cfg.store_positions,
         "store_source": cfg.store_source,
+        # part of the index's fixed creation-time contract (like the flags
+        # above): later generations and partial/inline updates must resolve
+        # against the SAME column set even when built with a default cfg
+        "input_columns": list(cfg.input_columns),
         "field_analyzers": [list(t) for t in cfg.field_analyzers]
         if cfg.field_analyzers is not None
         else None,

@@ -99,7 +99,7 @@ def cdc_delete_live_docs(spark, sf_dir):
     idx = cdc_index_dir(spark, sf_dir)
     mg = MultiGenReader(spark, idx)
     _, doc_ids = mg.doc_arrays()
-    live_ids = [(int(x),) for x in doc_ids[mg._live.astype(bool)]]
+    live_ids = [(int(x),) for x in mg._live.drop_dead(doc_ids)]
     live_df = spark.createDataFrame(live_ids, "doc_id long")
     docs = spark.read.parquet(os.path.join(mg.live_gens[0]["dir"], "docs")).select(
         "doc_id", "path"
@@ -145,6 +145,102 @@ def pud_index_dir(spark, sf_dir) -> str:
         )
         add_generation(spark, partials, idx, cfg)
     return idx
+
+
+# B9/inline streamed maintenance: run the REAL engine through two child-CDC
+# batches against a parent index whose docs carry an `inlined` array column
+# (reference: postgres/inline.go:111-170 live painless denormalization,
+# search/scripts/inline_add.painless / inline_del.painless; asserted by
+# demo/consistency_test.go:60-69). Batch 1 inserts two children per even
+# parent; batch 2 replaces one child's value (parents % 4 == 0) and deletes
+# the other (parents % 6 == 0). The oracle recomputes the FINAL arrays from
+# the same deterministic child spec — matching it proves replace-by-key,
+# append, and remove-or-noop element semantics end-to-end.
+def inl_index_dir(spark, sf_dir) -> str:
+    """Build-once 3-generation inline-maintenance harness index (gen 0 =
+    parents with empty arrays, gens 1-2 = streamed child batches)."""
+    import hashlib
+    import shutil
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.operators.fulltext import _corpus_from_documents
+    from search_replica_spark.streaming.incremental import (
+        _load_gens,
+        add_generation,
+        apply_inline_updates,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_inl_{tag}_v1"
+    cfg = IndexConfig(
+        shuffle_partitions=8, hot_df_threshold=1 << 30, store_source=True,
+        input_columns=("repo", "path", "commit", "lang", "content", "inlined"),
+    )
+    if len(_load_gens(idx)) != 3:
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _corpus_from_documents(spark, sf_dir).withColumn(
+            "inlined", F.array().cast("array<struct<ck:long,value:string>>")
+        )
+        add_generation(spark, corpus, idx, cfg)
+        d = load(spark, sf_dir, "documents")
+        pkey = [
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        ]
+        ev = d.filter(F.col("doc_id") % 2 == 0)
+        b1 = ev.select(
+            *pkey, (F.col("doc_id") * 10).alias("ck"), F.col("lang").alias("value")
+        ).unionByName(
+            ev.select(
+                *pkey, (F.col("doc_id") * 10 + 1).alias("ck"),
+                F.col("source").alias("value"),
+            )
+        )
+        apply_inline_updates(spark, b1, idx, cfg)
+        upd = ev.filter(F.col("doc_id") % 4 == 0).select(
+            *pkey, (F.col("doc_id") * 10).alias("ck"),
+            F.concat(F.col("lang"), F.lit("!")).alias("value"),
+            F.lit(None).cast("string").alias("_change_type"),
+        )
+        dels = ev.filter(F.col("doc_id") % 6 == 0).select(
+            *pkey, (F.col("doc_id") * 10 + 1).alias("ck"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("delete").alias("_change_type"),
+        )
+        apply_inline_updates(spark, upd.unionByName(dels), idx, cfg)
+    return idx
+
+
+@register(
+    "cdc_inline_upsert",
+    """WITH ch AS (
+         SELECT doc_id, doc_id * 10 AS ck,
+                CASE WHEN doc_id % 4 = 0 THEN lang || '!' ELSE lang END AS value
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, doc_id * 10 + 1, source FROM documents
+         WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+       )
+       SELECT d.doc_id,
+              coalesce(string_agg(ch.ck || ':' || ch.value, ',' ORDER BY ch.ck),
+                       '') AS inline
+       FROM documents d LEFT JOIN ch USING (doc_id)
+       GROUP BY d.doc_id""",
+)
+def cdc_inline_upsert(spark, sf_dir):
+    from search_replica_spark.streaming.incremental import source_view
+
+    sv = source_view(spark, inl_index_dir(spark, sf_dir))
+    return sv.select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.col("inlined")),
+                lambda e: F.concat_ws(":", e["ck"].cast("string"), e["value"]),
+            ),
+            ",",
+        ).alias("inline"),
+    )
 
 
 @register(

@@ -138,6 +138,8 @@ def restore_index(snap_dir: str, index_dir: str) -> dict:
             # replays and silently drop them. Strip them.
             g["epoch_id"] = None
             g.pop("max_epoch", None)
+            g.pop("max_epochs", None)
+            g.pop("epoch_source", None)
         with open(os.path.join(tmp, GENS_FILE), "w") as f:
             json.dump(gens, f, indent=2)
     shutil.rmtree(index_dir, ignore_errors=True)  # empty dir allowed above

@@ -153,8 +153,10 @@ def derive_index_cfg(index_dir: str, base: IndexConfig | None = None) -> IndexCo
     with open(stats_p) as f:
         st = json.load(f)
     fa = st.get("field_analyzers")
+    ic = st.get("input_columns")
     return dataclasses.replace(
         cfg,
+        input_columns=tuple(ic) if ic else cfg.input_columns,
         store_positions=bool(st.get("store_positions", False)),
         store_doclens=bool(st.get("store_doclens", True)),
         store_source=bool(st.get("store_source", False)),
@@ -385,14 +387,209 @@ def scripted_update(spark, index_dir: str, where: str, set_exprs: dict, cfg=None
     return add_generation(spark, cur.select(*out), index_dir, cfg)
 
 
+def apply_inline_updates(
+    spark,
+    child_batch,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    field: str = "inlined",
+    child_pk: str = "ck",
+    upsert_missing: bool = True,
+    epoch_id: int | None = None,
+) -> dict:
+    """Streamed INLINE (denormalized-array) maintenance — the reference's
+    live child-table replication into a parent doc's embedded array
+    (postgres/inline.go:111-170; the painless add/del scripts
+    search/scripts/inline_add.painless:1-17 / inline_del.painless:1-17,
+    asserted by demo/consistency_test.go:60-69's set-equality check).
+
+    ``child_batch`` rows describe child-table CDC events:
+      - ``repo``/``path``  — the PARENT document's key;
+      - ``child_pk``       — the element's key within the parent's array;
+      - the element's payload columns (every field of the stored array's
+        element struct must be present);
+      - optional ``_change_type`` ('delete' removes the element; anything
+        else upserts it — replace-by-key or append, exactly the painless
+        add script's loop);
+      - optional ``_seq`` ordering multiple events per (parent, child) in
+        one batch (the reference applies WAL changes in LSN order; without
+        it duplicate keys fail fast);
+      - optional ``_old_repo``/``_old_path`` — the parent key BEFORE a
+        key-changing update: the element is removed from the old parent and
+        upserted on the new one (inline.go:66-95 tupleKeysChanged →
+        recreate). Without old-key columns, updates degrade to upsert-only,
+        the reference's ``upsertOnly`` mode (inline.go:56-62).
+
+    Semantics per painless script:
+      - upsert on a parent that exists: replace the array element whose
+        ``child_pk`` matches, else append (order is normalized by
+        ``sort_array`` — ES asserts element SET equality, not order);
+      - upsert on a missing parent with ``upsert_missing=True``: create a
+        stub parent (key columns + the array; other columns null) — the
+        reference's ``scripted_upsert:true`` upsert document;
+      - delete of an element absent from its parent, or on a missing
+        parent: noop (inline_del.painless's ``ctx.op = 'noop'``).
+
+    Execution shape (scales like partial updates): one groupBy collapsing
+    the batch to per-parent (touched keys, upserted elements), one
+    broadcast inner join against the stored _source (the distributed
+    analogue of ES's per-update GET), one higher-order-function array
+    rewrite — then the merged full rows re-index as a superseding
+    generation via ``add_generation`` (get → merge → reindex, the same
+    path ES's scripted updates take internally).
+    """
+    if not _load_gens(index_dir):
+        _adopt_plain_index(index_dir)
+    cfg = derive_index_cfg(index_dir, cfg)
+    if not cfg.store_source:
+        raise ValueError(
+            "apply_inline_updates requires an index built with "
+            "store_source=True: the parent's current array must be read "
+            "back to merge element-level edits (ES reads _source the same "
+            "way before running the inline scripts)"
+        )
+    if field not in cfg.input_columns:
+        raise ValueError(f"inline field {field!r} is not an index column")
+    _require_stored_source(index_dir)
+    cur = source_view(spark, index_dir)
+    ftype = cur.schema[field].dataType  # ArrayType(StructType(...))
+    elem_t = ftype.elementType
+    elem_fields = list(elem_t.fieldNames())
+    if child_pk not in elem_fields:
+        raise ValueError(
+            f"child_pk {child_pk!r} is not a field of the stored "
+            f"{field!r} element struct ({elem_fields})"
+        )
+    missing_payload = [c for c in elem_fields if c not in child_batch.columns]
+    if missing_payload:
+        raise ValueError(
+            f"child batch lacks element columns {missing_payload} — every "
+            f"field of the stored {field!r} element must be supplied"
+        )
+
+    cols = set(child_batch.columns)
+    has_seq = "_seq" in cols
+    seq = (F.col("_seq").cast("long") if has_seq else F.lit(0).cast("long"))
+    is_del = (
+        # null-safe: a CDC insert row leaves _change_type NULL, and
+        # NULL == 'delete' is NULL (not False) — it would poison every
+        # boolean downstream (~NULL filters, when(NULL) drops)
+        F.coalesce(F.col(CHANGE_COL) == "delete", F.lit(False))
+        if CHANGE_COL in cols else F.lit(False)
+    )
+    elem = F.struct(
+        *[F.col(c).cast(elem_t[c].dataType).alias(c) for c in elem_fields]
+    )
+    base = child_batch.select(
+        "repo", "path", F.col(child_pk).alias("_ck"),
+        elem.alias("_elem"), seq.alias("_sq"), is_del.alias("_del"),
+    )
+    if "_old_repo" in cols or "_old_path" in cols:
+        o_r = (F.coalesce(F.col("_old_repo"), F.col("repo"))
+               if "_old_repo" in cols else F.col("repo"))
+        o_p = (F.coalesce(F.col("_old_path"), F.col("path"))
+               if "_old_path" in cols else F.col("path"))
+        moved = child_batch.filter(
+            ((o_r != F.col("repo")) | (o_p != F.col("path"))) & ~is_del
+        )
+        base = base.unionByName(
+            moved.select(
+                o_r.alias("repo"), o_p.alias("path"),
+                F.col(child_pk).alias("_ck"), elem.alias("_elem"),
+                seq.alias("_sq"), F.lit(True).alias("_del"),
+            )
+        )
+    if not has_seq:
+        dup = (
+            base.groupBy("repo", "path", "_ck").count()
+            .filter(F.col("count") > 1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"{dup} (parent, {child_pk}) keys appear more than once in "
+                "an unordered child batch — add a _seq column to order them "
+                "(the reference applies WAL changes in LSN order)"
+            )
+    # last action per (parent, child key): struct-max on (_seq, del, elem)
+    acts = (
+        base.groupBy("repo", "path", "_ck")
+        .agg(F.max(F.struct("_sq", "_del", "_elem")).alias("_a"))
+        .select("repo", "path", "_ck",
+                F.col("_a._del").alias("_del"), F.col("_a._elem").alias("_elem"))
+    )
+    per_parent = acts.groupBy("repo", "path").agg(
+        F.collect_list("_ck").alias("_touched"),
+        # collect_list drops nulls → only the upserted elements survive
+        F.collect_list(F.when(~F.col("_del"), F.col("_elem"))).alias("_adds"),
+    )
+    others = [c for c in cfg.input_columns if c not in ("repo", "path")]
+    cur_sel = cur.select(
+        "repo", "path", *[F.col(c).alias(f"_cur_{c}") for c in others]
+    )
+    empty_arr = F.array().cast(ftype)
+    kept = F.filter(
+        F.coalesce(F.col(f"_cur_{field}"), empty_arr),
+        lambda e: ~F.array_contains(F.col("_touched"), e[child_pk]),
+    )
+    new_arr = F.sort_array(F.concat(kept, F.col("_adds")))
+    # one probe scan of the doc store, batch side broadcast (ES per-update
+    # GET, distributed); cache so the stub/noop accounting below and the
+    # index build don't re-run it
+    hit = cur_sel.join(F.broadcast(per_parent), ["repo", "path"], "inner")
+    merged = hit.select(
+        "repo", "path",
+        *[(new_arr if c == field else F.col(f"_cur_{c}")).alias(c)
+          for c in others],
+    ).persist()
+    n_parents = per_parent.count()
+    n_hit = merged.count()
+    out = merged
+    n_stub = 0
+    if n_hit < n_parents:
+        miss = per_parent.join(
+            F.broadcast(merged.select("repo", "path")), ["repo", "path"],
+            "left_anti",
+        )
+        if upsert_missing:
+            stub_t = {c: cur.schema[c].dataType for c in others}
+            stubs = miss.filter(F.size("_adds") > 0).select(
+                "repo", "path",
+                *[
+                    (F.sort_array(F.col("_adds")).cast(ftype) if c == field
+                     else F.lit(None).cast(stub_t[c])).alias(c)
+                    for c in others
+                ],
+            ).persist()
+            n_stub = stubs.count()
+            if n_stub:
+                out = merged.unionByName(stubs)
+    stats = add_generation(
+        spark, out, index_dir, cfg, epoch_id=epoch_id, epoch_source="inline"
+    )
+    merged.unpersist()
+    stats["inline_parents_updated"] = int(n_hit)
+    stats["inline_parents_created"] = int(n_stub)
+    stats["inline_parents_noop"] = int(n_parents - n_hit - n_stub)
+    return stats
+
+
 def add_generation(
     spark,
     batch_df,
     index_dir: str,
     cfg: IndexConfig | None = None,
     epoch_id: int | None = None,
+    epoch_source: str = "main",
 ) -> dict:
     """Index one micro-batch as a new generation; returns its stats.
+
+    ``epoch_source`` namespaces the replay watermark: two independent
+    streams feeding ONE index (the main-table CDC via ``index_stream`` and
+    a child-table CDC via ``inline_stream``) each have their own
+    monotonically-increasing foreachBatch epoch counter, so replay
+    protection must compare epochs only within the stream that produced
+    them — the reference has a single WAL LSN space, but Spark gives each
+    query its own batchId sequence.
 
     Rows with ``_change_type = 'delete'`` become tombstones (only their
     (repo, path) key is used); ``'update_partial'`` rows carry a SUBSET of
@@ -416,8 +613,17 @@ def add_generation(
     cfg = derive_index_cfg(index_dir, cfg)
     if epoch_id is not None:
         for g in gens:
-            committed = g.get("epoch_id") == epoch_id or (
-                g.get("max_epoch") is not None and epoch_id <= g["max_epoch"]
+            src = g.get("epoch_source", "main")
+            folded = (g.get("max_epochs") or {}).get(epoch_source)
+            committed = (
+                (src == epoch_source and g.get("epoch_id") == epoch_id)
+                or (folded is not None and epoch_id <= folded)
+                or (
+                    # legacy pre-namespace merge watermark ("main" only)
+                    epoch_source == "main"
+                    and g.get("max_epoch") is not None
+                    and epoch_id <= g["max_epoch"]
+                )
             )
             if committed:
                 return {"n_docs": g["n_docs"], "total_tokens": g["total_tokens"],
@@ -464,6 +670,8 @@ def add_generation(
             "n_docs": stats["n_docs"],
             "total_tokens": stats["total_tokens"],
             "epoch_id": epoch_id,
+            **({"epoch_source": epoch_source} if epoch_id is not None
+               and epoch_source != "main" else {}),
             "deleted_ids": deleted_ids,
         }
     )
@@ -472,6 +680,68 @@ def add_generation(
 
 
 METRICS_FILE = "metrics.json"
+
+
+def slot_lag(index_dir: str, input_dir: str,
+             checkpoint_name: str = "_checkpoint") -> dict:
+    """Replication-lag gauge — the engine's analogue of the reference's
+    ``slot_lag`` Prometheus gauge (postgres/slot_lag.go:15-39: WAL bytes
+    between ``pg_current_wal_lsn`` and the slot's ``confirmed_flush_lsn``).
+    For a file-source stream the equivalent two positions are the INPUT
+    LISTING (current source state) and the checkpoint's file-source
+    metadata log (what the stream has committed):
+
+      - ``pending_input_files`` — files present under ``input_dir`` that no
+        committed micro-batch has recorded yet;
+      - ``seconds_behind_source`` — age of the oldest such file (0 when
+        caught up), the time-domain form of the byte lag.
+
+    Driver-side metadata only (one directory listing + small log reads) —
+    no Spark job, so it is safe to compute per batch or per scrape."""
+    import glob as _glob
+    import time as _time
+
+    committed: set[str] = set()
+    logdir = os.path.join(index_dir, checkpoint_name, "sources", "0")
+    if os.path.isdir(logdir):
+        for fn in os.listdir(logdir):
+            p = os.path.join(logdir, fn)
+            # skip .crc sidecars and other hidden/binary companions
+            if not os.path.isfile(p) or fn.startswith("."):
+                continue
+            with open(p, errors="replace") as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        try:
+                            uri = json.loads(line)["path"]
+                        except (KeyError, ValueError):
+                            continue
+                        # "file:///x/y" and "/x/y" name the same file
+                        committed.add(uri.split("://", 1)[-1])
+    now = _time.time()
+    oldest = None
+    pending = 0
+    for p in _glob.glob(os.path.join(input_dir, "**", "*"), recursive=True):
+        base = os.path.basename(p)
+        # same visibility rule as Spark's file source: _ and . files are
+        # metadata, not input
+        if not os.path.isfile(p) or base.startswith(("_", ".")):
+            continue
+        if os.path.abspath(p) in committed:
+            continue
+        pending += 1
+        try:
+            mt = os.path.getmtime(p)
+        except OSError:
+            continue
+        oldest = mt if oldest is None else min(oldest, mt)
+    return {
+        "pending_input_files": pending,
+        "seconds_behind_source": round(max(0.0, now - oldest), 3)
+        if oldest is not None
+        else 0.0,
+    }
 
 
 def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
@@ -527,8 +797,19 @@ def _compute_metrics(index_dir: str) -> dict:
     import time as _time
 
     gens = _load_gens(index_dir)
-    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
-    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
+    # replication progress per source stream (main = index_stream, others =
+    # e.g. inline_stream); last_epoch stays the main-stream watermark for
+    # backward compatibility with existing scrapers
+    eps: dict[str, int] = {}
+    for g in gens:
+        src = g.get("epoch_source", "main")
+        if g.get("epoch_id") is not None:
+            eps[src] = max(eps.get(src, -1), int(g["epoch_id"]))
+        for s2, e2 in (g.get("max_epochs") or {}).items():
+            eps[s2] = max(eps.get(s2, -1), int(e2))
+        if g.get("max_epoch") is not None:
+            eps["main"] = max(eps.get("main", -1), int(g["max_epoch"]))
+    epochs = [eps["main"]] if "main" in eps else []
     live = [g for g in gens if g["dir"]]
     return {
         "generations": len(gens),
@@ -540,6 +821,7 @@ def _compute_metrics(index_dir: str) -> dict:
         "tokens_indexed": int(sum(g["total_tokens"] for g in live)),
         "tombstones_total": int(sum(len(g.get("deleted_ids", ())) for g in gens)),
         "last_epoch": max(epochs) if epochs else None,
+        **({"last_epochs": eps} if len(eps) > (1 if "main" in eps else 0) else {}),
         "updated_unix": round(_time.time(), 3),
     }
 
@@ -653,6 +935,62 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
             "last_batch_replayed": bool(st.get("replayed", False)),
             **({"schema_extra_columns": extra_cols} if extra_cols else {}),
             **({} if schema_checked else {"schema_check_skipped": 1}),
+            **slot_lag(index_dir, input_dir),
+        })
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
+                  cfg: IndexConfig | None = None, field: str = "inlined",
+                  child_pk: str = "ck", upsert_missing: bool = True,
+                  trigger: dict | None = None,
+                  max_files_per_trigger: int | None = None):
+    """Continuous CHILD-table replication into parent docs' inline arrays —
+    the streaming counterpart of the reference's live painless-script
+    denormalization (postgres/inline.go:111-170): each micro-batch of child
+    CDC events becomes element-level edits on the parents' stored arrays
+    via ``apply_inline_updates``, committed as a superseding generation.
+
+    Runs beside ``index_stream`` against the SAME index: it keeps its own
+    checkpoint (``_inline_checkpoint``) and its epochs are namespaced
+    (``epoch_source='inline'``), so at-least-once replays of either stream
+    stay exactly-once without the two batchId counters colliding.
+
+    ``schema`` describes the child event files: parent key (repo, path),
+    the element payload columns, and optionally _change_type/_seq/
+    _old_repo/_old_path (see ``apply_inline_updates``).
+    """
+    checkpoint = os.path.join(index_dir, "_inline_checkpoint")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process(batch_df, epoch_id: int):
+        import time as _time
+
+        if batch_df.isEmpty():
+            return
+        t0 = _time.time()
+        st = apply_inline_updates(
+            spark, batch_df, index_dir, cfg, field=field, child_pk=child_pk,
+            upsert_missing=upsert_missing, epoch_id=int(epoch_id),
+        )
+        write_metrics(index_dir, {
+            "last_inline_batch_parents": int(st.get("inline_parents_updated", 0))
+            + int(st.get("inline_parents_created", 0)),
+            "last_inline_batch_noop": int(st.get("inline_parents_noop", 0)),
+            "last_batch_docs": int(st.get("n_docs", 0)),
+            "last_batch_sec": round(_time.time() - t0, 3),
+            "last_batch_replayed": bool(st.get("replayed", False)),
+            **{f"inline_{k}": v for k, v in
+               slot_lag(index_dir, input_dir, "_inline_checkpoint").items()},
         })
 
     return (
@@ -714,6 +1052,16 @@ class LiveDocs:
         m[self.dead] = False
         return m.astype(dtype)
 
+    def drop_dead(self, arr):
+        """``arr`` (slot-indexed, len n) without the dead slots — the
+        sparse form of ``arr[self.astype(bool)]``: slice-gather around the
+        sorted dead array, O(dead) segments, NO dense O(n_docs) mask
+        allocation (the r4 verdict's match_all finding)."""
+        if self.dead.size == 0:
+            return arr
+        cuts = np.stack([self.dead, self.dead + 1], axis=1).ravel()
+        return np.concatenate(np.split(arr, cuts)[::2])
+
     def __len__(self) -> int:
         return self.n
 
@@ -734,7 +1082,8 @@ class MultiGenReader(IndexReader):
     avgdl increases, so WAND pruning stays lossless (rank-identity tested).
     """
 
-    def __init__(self, spark, index_dir: str, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, spark, index_dir: str, k1: float = 1.2, b: float = 0.75,
+                 shard_range: tuple[int, int] | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.gens = _load_gens(index_dir)
@@ -756,11 +1105,24 @@ class MultiGenReader(IndexReader):
             g["gen"]: (g["n_docs"], (g["total_tokens"] / g["n_docs"]) if g["n_docs"] else 0.0)
             for g in self.live_gens
         }
+        # doc-sharded serving over the merged SLOT space (gen-concatenated
+        # doc_idx): this reader holds only slots in [lo, hi) — same
+        # contract as IndexReader.shard_range; global stats stay global.
+        self.shard_range = shard_range
         self._doc_len = None
         self._doc_ids = None
         self._seg_df = None
         self._pinned = None
         self._live_cache: LiveDocs | None = None
+
+    def _gen_slot_filter(self, g):
+        """Per-generation doc_idx predicate for this shard (slot = doc_idx
+        + gen base), or None when the whole generation is in range."""
+        if self.shard_range is None:
+            return None
+        lo, hi = self.shard_range
+        base = self.bases[g["gen"]]
+        return max(0, lo - base), min(int(g["n_docs"]), hi - base)
 
     @property
     def _live(self) -> LiveDocs:
@@ -768,7 +1130,14 @@ class MultiGenReader(IndexReader):
         reader for the distributed query path (which resolves liveness as
         an anti-join, not a mask) costs no doc-store load at all."""
         if self._live_cache is None:
-            self._live_cache = self._liveness()
+            full = self._liveness()
+            if self.shard_range is not None:
+                # shard-local liveDocs: dead slots inside [lo, hi), rebased
+                lo, hi = self.shard_range
+                d = full.dead
+                local = d[(d >= lo) & (d < hi)] - lo
+                full = LiveDocs(hi - lo, local)
+            self._live_cache = full
         return self._live_cache
 
     # --- merged doc store (ONE Spark action over all generations) ---
@@ -781,7 +1150,19 @@ class MultiGenReader(IndexReader):
                     .select("doc_idx", "doc_id", "doc_len")
                     .withColumn("gen", F.lit(g["gen"]))
                 )
+                rng = self._gen_slot_filter(g)
+                if rng is not None:
+                    glo, ghi = rng
+                    if glo >= ghi:
+                        continue  # generation entirely outside this shard
+                    df = df.filter(
+                        (F.col("doc_idx") >= glo) & (F.col("doc_idx") < ghi)
+                    )
                 parts.append(df)
+            if not parts:
+                self._doc_len = np.empty(0, np.float64)
+                self._doc_ids = np.empty(0, np.int64)
+                return self._doc_len, self._doc_ids
             uni = parts[0]
             for p in parts[1:]:
                 uni = uni.unionByName(p)
@@ -899,10 +1280,25 @@ class MultiGenReader(IndexReader):
         parts = []
         for g in self.live_gens:
             seg = self.spark.read.parquet(os.path.join(g["dir"], "segments"))
+            q = seg.filter(F.col("term").isin(tset))
+            rng = self._gen_slot_filter(g)
+            if rng is not None:
+                glo, ghi = rng
+                if glo >= ghi:
+                    continue
+                # block-range pruning per generation (gen-local doc_idx)
+                q = q.filter(
+                    (F.col("last_doc_idx") >= glo) & (F.col("first_doc_idx") < ghi)
+                )
             parts.append(
-                seg.filter(F.col("term").isin(tset))
-                .select(*self._gen_cols(seg, positions))
+                q.select(*self._gen_cols(seg, positions))
                 .withColumn("gen", F.lit(g["gen"]))
+            )
+        if not parts:
+            import pandas as pd
+
+            return self._remap_blocks(
+                pd.DataFrame(columns=[*self.META_COLS, "gen"])
             )
         uni = parts[0]
         for p in parts[1:]:
@@ -1165,10 +1561,19 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     core = _stage_segments(spark, out, cfg)
     stats = _stage_finalize(spark, out, cfg, core, t0)
 
-    # epoch watermark survives the merge so an at-least-once replay of a
-    # pre-merge epoch stays a no-op (exactly-once across merges)
-    epochs = [g["epoch_id"] for g in gens if g.get("epoch_id") is not None]
-    epochs += [g["max_epoch"] for g in gens if g.get("max_epoch") is not None]
+    # epoch watermarks survive the merge so an at-least-once replay of a
+    # pre-merge epoch stays a no-op (exactly-once across merges); folded
+    # PER SOURCE STREAM — index_stream ("main") and inline_stream
+    # ("inline") have independent batchId counters (see add_generation)
+    max_eps: dict[str, int] = {}
+    for g in gens:
+        src = g.get("epoch_source", "main")
+        if g.get("epoch_id") is not None:
+            max_eps[src] = max(max_eps.get(src, -1), int(g["epoch_id"]))
+        for s2, e2 in (g.get("max_epochs") or {}).items():
+            max_eps[s2] = max(max_eps.get(s2, -1), int(e2))
+        if g.get("max_epoch") is not None:  # legacy single-space watermark
+            max_eps["main"] = max(max_eps.get("main", -1), int(g["max_epoch"]))
     for g in live_gens:
         shutil.rmtree(g["dir"], ignore_errors=True)
     final_dir = os.path.join(index_dir, "gen=0")
@@ -1177,7 +1582,8 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     _save_gens(index_dir, [{"gen": 0, "dir": final_dir, "n_docs": stats["n_docs"],
                             "total_tokens": stats["total_tokens"],
                             "epoch_id": None, "deleted_ids": [],
-                            "max_epoch": max(epochs) if epochs else None}])
+                            "max_epoch": max_eps.get("main"),
+                            **({"max_epochs": max_eps} if max_eps else {})}])
     return stats
 
 

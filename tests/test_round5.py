@@ -1,0 +1,474 @@
+"""Round-5 features: streamed inline (parent/child array) maintenance,
+epoch namespacing for multi-stream indexes, and fallback visibility.
+
+Reference parity targets:
+  - postgres/inline.go:111-170 — child CDC → parent inline-array edits;
+  - search/scripts/inline_add.painless:1-17 / inline_del.painless:1-17 —
+    replace-by-key-or-append / remove-or-noop element semantics;
+  - demo/consistency_test.go:60-69 — streamed inline state must equal the
+    batch-assembled state (ElementsMatch on the array).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_replica_spark.config import IndexConfig
+
+CHILD_SCHEMA = (
+    "repo string, path string, ck long, value string, "
+    "_change_type string, _old_repo string, _old_path string, _seq long"
+)
+
+PARENT_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, "
+    "inlined array<struct<ck:long, value:string>>"
+)
+
+
+def _cfg():
+    return IndexConfig(
+        shuffle_partitions=4,
+        store_source=True,
+        input_columns=("repo", "path", "commit", "lang", "content", "inlined"),
+    )
+
+
+def _parents(spark, n=20):
+    rows = [
+        ("r1", f"p{i}", "c0", "go", f"parent doc token{i} alpha", [])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, PARENT_SCHEMA)
+
+
+def _inline_state(spark, idx):
+    from search_replica_spark.streaming.incremental import source_view
+
+    return {
+        r["path"]: sorted((e["ck"], e["value"]) for e in (r["inlined"] or []))
+        for r in source_view(spark, idx).select("path", "inlined").collect()
+    }
+
+
+def _child_batches():
+    """Three batches of child churn over 20 parents. Returns (batches,
+    final_child_table) where final_child_table maps ck -> (parent_path,
+    value) for the children alive at the end — the batch-rebuild truth."""
+    b1 = [  # inserts: child 100+i on parent p{i%7}
+        ("r1", f"p{i % 7}", 100 + i, f"v{i}", None, None, None, i)
+        for i in range(12)
+    ]
+    b2 = [  # updates: even children change value; 104/105 move parents
+        ("r1", f"p{(i % 7)}", 100 + i, f"w{i}", None, None, None, 100 + i)
+        for i in range(0, 12, 2)
+        if 100 + i not in (104,)
+    ]
+    b2.append(("r1", "p15", 104, "moved4", None, "r1", "p4", 200))
+    b2.append(("r1", "p16", 105, "moved5", None, "r1", "p5", 201))
+    b3 = [  # deletes: children 106..108 die; 999 delete-missing = noop
+        ("r1", f"p{(i % 7)}", 100 + i, None, "delete", None, None, 300 + i)
+        for i in range(6, 9)
+    ]
+    b3.append(("r1", "p3", 999, None, "delete", None, None, 400))
+    final: dict[int, tuple[str, str]] = {}
+    for i in range(12):
+        final[100 + i] = (f"p{i % 7}", f"v{i}")
+    for i in range(0, 12, 2):
+        if 100 + i != 104:
+            final[100 + i] = (f"p{i % 7}", f"w{i}")
+    final[104] = ("p15", "moved4")
+    final[105] = ("p16", "moved5")
+    for i in range(6, 9):
+        final.pop(100 + i)
+    return [b1, b2, b3], final
+
+
+def _expected_state(n_parents, final):
+    exp = {f"p{i}": [] for i in range(n_parents)}
+    for ck, (path, value) in final.items():
+        exp.setdefault(path, []).append((ck, value))
+    return {p: sorted(v) for p, v in exp.items()}
+
+
+def test_apply_inline_updates_matches_batch_rebuild(spark, tmp_path):
+    """Streamed child churn == rebuilding the arrays from the final child
+    table (the reference's consistency_test inline assertion)."""
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark), idx, cfg)
+    batches, final = _child_batches()
+    for b in batches:
+        apply_inline_updates(
+            spark, spark.createDataFrame(b, CHILD_SCHEMA), idx, cfg
+        )
+    assert _inline_state(spark, idx) == _expected_state(20, final)
+
+
+def test_inline_stream_end_to_end(spark, tmp_path):
+    """inline_stream: child CDC parquet files → availableNow micro-batches
+    → same final state; replays of committed epochs are no-ops."""
+    from search_replica_spark.streaming.incremental import (
+        _load_gens,
+        add_generation,
+        inline_stream,
+        read_metrics,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "child_cdc")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark), idx, cfg)
+    batches, final = _child_batches()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, CHILD_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = inline_stream(
+        spark, src, idx, CHILD_SCHEMA, cfg, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert _inline_state(spark, idx) == _expected_state(20, final)
+    gens = _load_gens(idx)
+    inline_gens = [g for g in gens if g.get("epoch_source") == "inline"]
+    assert len(inline_gens) == 3  # one generation per micro-batch
+    m = read_metrics(idx)
+    assert m.get("last_epochs", {}).get("inline") == 2
+    # restarting the stream replays nothing (checkpoint already committed)
+    n_before = len(_load_gens(idx))
+    q2 = inline_stream(spark, src, idx, CHILD_SCHEMA, cfg)
+    q2.awaitTermination(60)
+    assert len(_load_gens(idx)) == n_before
+
+
+def test_inline_epoch_namespace_isolated_from_main(spark, tmp_path):
+    """A 'main' epoch N must not be treated as committed because an
+    'inline' generation carries epoch N (and vice versa)."""
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark, 5), idx, cfg, epoch_id=0)
+    ch = spark.createDataFrame(
+        [("r1", "p0", 1, "x", None, None, None, 0)], CHILD_SCHEMA
+    )
+    st = apply_inline_updates(spark, ch, idx, cfg, epoch_id=0)
+    assert not st.get("replayed")  # same epoch number, different namespace
+    assert st["inline_parents_updated"] == 1
+    # replay of the SAME inline epoch IS a no-op
+    st2 = apply_inline_updates(spark, ch, idx, cfg, epoch_id=0)
+    assert st2.get("replayed")
+    # and a fresh main batch with epoch 1 still lands
+    st3 = add_generation(spark, _parents(spark, 2), idx, cfg, epoch_id=1)
+    assert not st3.get("replayed")
+
+
+def test_inline_epoch_namespaces_survive_merge(spark, tmp_path):
+    """merge_generations folds per-source watermarks: post-merge replays of
+    pre-merge epochs from EITHER stream stay no-ops, and new epochs from
+    either stream land."""
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+        merge_generations,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark, 6), idx, cfg, epoch_id=0)
+    ch = spark.createDataFrame(
+        [("r1", "p1", 7, "y", None, None, None, 0)], CHILD_SCHEMA
+    )
+    apply_inline_updates(spark, ch, idx, cfg, epoch_id=0)
+    merge_generations(spark, idx, cfg)
+    st = apply_inline_updates(spark, ch, idx, cfg, epoch_id=0)
+    assert st.get("replayed")  # inline epoch 0 folded into the merge
+    st2 = add_generation(spark, _parents(spark, 2), idx, cfg, epoch_id=0)
+    assert st2.get("replayed")  # main epoch 0 folded too
+    ch2 = spark.createDataFrame(
+        [("r1", "p2", 8, "z", None, None, None, 0)], CHILD_SCHEMA
+    )
+    st3 = apply_inline_updates(spark, ch2, idx, cfg, epoch_id=1)
+    assert not st3.get("replayed")
+    assert _inline_state(spark, idx)["p2"] == [(8, "z")]
+
+
+def test_inline_unordered_duplicate_children_fail_fast(spark, tmp_path):
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark, 3), idx, cfg)
+    dup = spark.createDataFrame(
+        [("r1", "p0", 1, "a"), ("r1", "p0", 1, "b")],
+        "repo string, path string, ck long, value string",
+    )
+    with pytest.raises(ValueError, match="_seq"):
+        apply_inline_updates(spark, dup, idx, cfg)
+
+
+def test_inline_upsert_missing_disabled_noops(spark, tmp_path):
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark, 3), idx, cfg)
+    ch = spark.createDataFrame(
+        [("r1", "p77", 5, "x")], "repo string, path string, ck long, value string"
+    )
+    st = apply_inline_updates(spark, ch, idx, cfg, upsert_missing=False)
+    assert st["inline_parents_created"] == 0
+    assert st["inline_parents_noop"] == 1
+    assert "p77" not in _inline_state(spark, idx)
+
+
+def test_prune_stats_populated_on_fallback(spark, small_corpus, tmp_path):
+    """ADVICE r4: callers reading prune_stats must see the counters even
+    when the cost switch routes to the unpruned plan."""
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import bm25_topk_spark_pruned
+
+    idx = str(tmp_path / "idx")
+    sdf = spark.createDataFrame(small_corpus)
+    build_index(spark, sdf, idx, IndexConfig(shuffle_partitions=4))
+    ps: dict = {}
+    bm25_topk_spark_pruned(spark, idx, "versub delrel", 5, prune_stats=ps).collect()
+    assert ps["fallback"] == "min_docs"
+    assert ps["blocks_total"] == ps["blocks_decoded"] > 0
+    assert ps["theta"] == 0.0
+
+
+def test_snapshot_excludes_nested_checkpoints(tmp_path):
+    """ADVICE r4: _checkpoint dirs nested below the index top level must
+    not be hardlinked into snapshots."""
+    import json
+    import os
+
+    from search_replica_spark.snapshot import snapshot_index
+    from search_replica_spark.streaming.incremental import GENS_FILE
+
+    idx = tmp_path / "idx"
+    gen = idx / "gen=0"
+    (gen / "_checkpoint" / "sources").mkdir(parents=True)
+    (gen / "_checkpoint" / "sources" / "0").write_text("offsets")
+    (gen / "dict").mkdir(parents=True)
+    (gen / "dict" / "part-0.parquet").write_text("x")
+    (idx / "stats.json").write_text("{}")
+    with open(idx / GENS_FILE, "w") as f:
+        json.dump(
+            [{"gen": 0, "dir": str(gen), "n_docs": 1, "total_tokens": 1,
+              "epoch_id": None, "deleted_ids": []}],
+            f,
+        )
+    snap = tmp_path / "snap"
+    snapshot_index(str(idx), str(snap))
+    assert not os.path.exists(snap / "gen=0" / "_checkpoint")
+    assert os.path.exists(snap / "gen=0" / "dict" / "part-0.parquet")
+
+
+def test_sharded_serving_bit_equal_on_reference_queries(spark, small_index):
+    """r4 verdict #2: doc-sharded serving as the default above a size
+    threshold. Forced sharding must be BIT-EQUAL to the unsharded scorer
+    on the full 50-query reference set, and no shard reader may ever hold
+    O(corpus) doc arrays."""
+    from search_replica_spark.corpus import reference_queries
+    from search_replica_spark.query.bm25 import (
+        IndexReader,
+        TermAtATimeScorer,
+        make_serving_readers,
+        serve_topk,
+    )
+
+    idx_dir, stats = small_index
+    n = stats["n_docs"]
+    target = 150
+    scorer = TermAtATimeScorer(IndexReader(spark, idx_dir))
+    qs = reference_queries()
+    for qtext, k in zip(qs["query_text"], qs["k"]):
+        want = scorer.score(qtext, int(k))
+        got = serve_topk(spark, idx_dir, qtext, int(k), min_docs=0,
+                         target_docs=target)
+        assert got == want, qtext  # bit-equal, not just rank-equal
+    # per-node memory contract: every shard's arrays are O(n/shards)
+    readers = make_serving_readers(spark, idx_dir, min_docs=0,
+                                   target_docs=target)
+    sizes = [r.doc_arrays()[0].size for r in readers]
+    assert len(readers) == -(-n // target)
+    assert max(sizes) <= target + 1 < n
+    assert sum(sizes) == n
+    # cost switch: below the threshold, ONE unsharded reader serves
+    assert len(make_serving_readers(spark, idx_dir)) == 1
+
+
+def test_sharded_serving_multigen_with_deletes(spark, small_corpus, tmp_path):
+    """Sharding over the generational slot space: supersessions and
+    tombstones stay correct because each shard scopes its own liveDocs."""
+    from search_replica_spark.query.bm25 import TermAtATimeScorer, serve_topk
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        add_generation,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(shuffle_partitions=4)
+    sdf = spark.createDataFrame(small_corpus)
+    add_generation(spark, sdf.limit(400), idx, cfg)
+    add_generation(spark, sdf.limit(300), idx, cfg)  # 300 supersessions
+    dels = sdf.limit(60).withColumn("_change_type", F.lit("delete"))
+    add_generation(spark, dels, idx, cfg)  # 60 tombstones
+    mg = MultiGenReader(spark, idx)
+    full = TermAtATimeScorer(mg)
+    for q in ["versub delrel", "apache license", "def", "license versub"]:
+        want = full.score(q, 10, live=mg._live)
+        got = serve_topk(spark, idx, q, 10, min_docs=0, target_docs=100)
+        assert got == want, q
+
+
+def test_exact_checker_rejects_unconvertible_floats(monkeypatch):
+    """r4 verdict #3 (gate hardening): EXACT mode must fail loudly on a
+    float operand that cannot convert, never soften to string compare."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_harness",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      "scripts", "check_harness.py"),
+    )
+    ch = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ch)
+    monkeypatch.setenv("EXACT", "1")
+    assert ch.values_equal(1.5, 1.5)
+    assert not ch.values_equal(1.5, 1.5000001)
+    assert ch.values_equal(float("nan"), float("nan"))
+    with pytest.raises(TypeError, match="EXACT"):
+        ch.values_equal(1.5, "not-a-number")
+    monkeypatch.setenv("EXACT", "0")
+    assert ch.values_equal(1.5, "not-a-number") is False
+    assert ch.values_equal(1.5, 1.5 + 1e-12)
+
+
+def test_slot_lag_gauge_rises_then_drains(spark, tmp_path):
+    """slot_lag (postgres/slot_lag.go:15-39 analogue): with a backlog the
+    gauge shows pending files + seconds behind; after the stream drains the
+    backlog it reads 0, and the per-batch metrics carry it."""
+    from search_replica_spark.streaming.incremental import (
+        index_stream,
+        read_metrics,
+        slot_lag,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "in")
+    schema = "repo string, path string, commit string, lang string, content string"
+    for i in range(3):
+        spark.createDataFrame(
+            [("r", f"f{i}", "c", "go", f"content number{i}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    lag0 = slot_lag(idx, src)
+    assert lag0["pending_input_files"] == 3  # backlog visible pre-stream
+    assert lag0["seconds_behind_source"] > 0
+    cfg = IndexConfig(shuffle_partitions=2)
+    q = index_stream(spark, src, idx, schema, cfg)
+    q.awaitTermination(180)
+    lag1 = slot_lag(idx, src)
+    assert lag1 == {"pending_input_files": 0, "seconds_behind_source": 0.0}
+    m = read_metrics(idx)
+    assert m["pending_input_files"] == 0
+    # a new file arriving after the stream stopped shows up as lag again
+    spark.createDataFrame([("r", "f9", "c", "go", "late arrival")], schema)\
+        .coalesce(1).write.mode("append").parquet(src)
+    assert slot_lag(idx, src)["pending_input_files"] >= 1
+
+
+def test_no_dense_livedocs_in_query_entry_points(spark, small_corpus, tmp_path, monkeypatch):
+    """r4 verdict #6: no query entry point may materialize a dense
+    O(n_docs) bool mask from the sparse LiveDocs. The spy turns
+    ``astype`` into a hard failure, then drives every constant-score /
+    scoring entry point over a 2-generation reader."""
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import (
+        TermAtATimeScorer,
+        exists_match,
+        match_all,
+        prefix_match,
+        wand_topk,
+    )
+    from search_replica_spark.streaming.incremental import (
+        LiveDocs,
+        MultiGenReader,
+        add_generation,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(shuffle_partitions=4)
+    half = len(small_corpus) // 2
+    sdf = spark.createDataFrame(small_corpus)
+    add_generation(spark, sdf.limit(half), idx, cfg)
+    # second generation re-indexes a slice (supersedes) so liveness is real
+    add_generation(spark, sdf.limit(half + 50), idx, cfg)
+
+    def _boom(self, dtype):
+        raise AssertionError("dense LiveDocs mask materialized in query path")
+
+    monkeypatch.setattr(LiveDocs, "astype", _boom)
+    rd = MultiGenReader(spark, idx)
+    assert rd._live.dead.size > 0  # the spy only matters with real churn
+    all_docs = match_all(rd)
+    assert len(all_docs) == half + 50
+    assert match_all(rd, k=10) == all_docs[:10]
+    assert exists_match(rd, "content") is not None
+    prefix_match(rd, "ver")
+    TermAtATimeScorer(rd).score("versub", 5)
+    wand_topk(rd, "versub", 5)
+
+
+def test_livedocs_drop_dead_equals_dense_mask():
+    import numpy as np
+
+    from search_replica_spark.streaming.incremental import LiveDocs
+
+    arr = np.arange(100, 200)
+    for dead in ([], [0], [99], [0, 1, 2, 50, 98, 99], list(range(100))):
+        ld = LiveDocs(100, np.array(dead, dtype=np.int64))
+        m = np.ones(100, dtype=bool)
+        m[np.array(dead, dtype=np.int64)] = False
+        assert (ld.drop_dead(arr) == arr[m]).all()
+
+
+def test_derive_index_cfg_restores_input_columns(spark, tmp_path):
+    """input_columns is part of the creation-time contract: a later batch
+    built with a DEFAULT cfg must still resolve the index's own columns."""
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+    )
+
+    idx = str(tmp_path / "idx")
+    add_generation(spark, _parents(spark, 4), idx, _cfg())
+    ch = spark.createDataFrame(
+        [("r1", "p0", 3, "derived")],
+        "repo string, path string, ck long, value string",
+    )
+    # note: cfg=None — everything (including input_columns) derives from
+    # the index's stats.json
+    st = apply_inline_updates(spark, ch, idx, None)
+    assert st["inline_parents_updated"] == 1
+    assert _inline_state(spark, idx)["p0"] == [(3, "derived")]
