@@ -243,6 +243,99 @@ def cdc_inline_upsert(spark, sf_dir):
     )
 
 
+# inline_add_map.painless parity: the parent field is a MAP keyed by
+# String(pk) instead of an array. Same engine path (field_kind='map'),
+# different deterministic child spec: odd parents get child ck=d*10+5
+# (value=lang); batch 2 overwrites it for d % 5 == 0 and deletes it for
+# d % 9 == 0. Output flattens the map to a sorted "ck:value" string so the
+# DuckDB twin is hash-exact.
+def inl_map_index_dir(spark, sf_dir) -> str:
+    import hashlib
+    import shutil
+
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.operators.fulltext import _corpus_from_documents
+    from search_replica_spark.streaming.incremental import (
+        _load_gens,
+        add_generation,
+        apply_inline_updates,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ssr_harness_inlmap_{tag}_v1"
+    cfg = IndexConfig(
+        shuffle_partitions=8, hot_df_threshold=1 << 30, store_source=True,
+        input_columns=("repo", "path", "commit", "lang", "content", "inlined"),
+    )
+    if len(_load_gens(idx)) != 3:
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _corpus_from_documents(spark, sf_dir).withColumn(
+            "inlined",
+            F.expr("map()").cast("map<string, struct<ck:long, value:string>>"),
+        )
+        add_generation(spark, corpus, idx, cfg)
+        d = load(spark, sf_dir, "documents")
+        pkey = [
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        ]
+        odd = d.filter(F.col("doc_id") % 2 == 1)
+        b1 = odd.select(
+            *pkey, (F.col("doc_id") * 10 + 5).alias("ck"),
+            F.col("lang").alias("value"),
+        )
+        apply_inline_updates(spark, b1, idx, cfg, field_kind="map")
+        # % 9 parents are deletes — exclude them from the update set so no
+        # (parent, ck) key gets two unordered events in one batch
+        upd = odd.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 9 != 0)
+        ).select(
+            *pkey, (F.col("doc_id") * 10 + 5).alias("ck"),
+            F.concat(F.col("lang"), F.lit("?")).alias("value"),
+            F.lit(None).cast("string").alias("_change_type"),
+        )
+        dels = odd.filter(F.col("doc_id") % 9 == 0).select(
+            *pkey, (F.col("doc_id") * 10 + 5).alias("ck"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("delete").alias("_change_type"),
+        )
+        apply_inline_updates(spark, upd.unionByName(dels), idx, cfg,
+                             field_kind="map")
+    return idx
+
+
+@register(
+    "cdc_inline_upsert_map",
+    """WITH ch AS (
+         SELECT doc_id, doc_id * 10 + 5 AS ck,
+                CASE WHEN doc_id % 5 = 0 THEN lang || '?' ELSE lang END AS value
+         FROM documents WHERE doc_id % 2 = 1 AND doc_id % 9 <> 0
+       )
+       SELECT d.doc_id,
+              coalesce(string_agg(ch.ck || ':' || ch.value, ',' ORDER BY ch.ck),
+                       '') AS inline
+       FROM documents d LEFT JOIN ch USING (doc_id)
+       GROUP BY d.doc_id""",
+)
+def cdc_inline_upsert_map(spark, sf_dir):
+    from search_replica_spark.streaming.incremental import source_view
+
+    sv = source_view(spark, inl_map_index_dir(spark, sf_dir))
+    elems = F.sort_array(
+        F.transform(F.map_entries(F.col("inlined")), lambda e: e["value"])
+    )
+    return sv.select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                elems,
+                lambda e: F.concat_ws(":", e["ck"].cast("string"), e["value"]),
+            ),
+            ",",
+        ).alias("inline"),
+    )
+
+
 @register(
     "cdc_partial_update_source",
     """SELECT doc_id,

@@ -47,10 +47,19 @@ PRUNE_MIN_BLOCKS = 32
 # cost-based plan switch: below this corpus size the theta pass (one extra
 # Spark job, ~constant scheduler cost) always exceeds the decode volume it
 # saves, so the pruned entry point routes to the single-job unpruned plan —
-# the same physical-plan-by-cost choice Catalyst makes elsewhere. Measured
-# at sf0.1 (200k docs): unpruned 0.95 s vs pruned 2.3 s — the pruning
-# mechanics only pay once decode work dwarfs a scheduler round-trip.
-PRUNE_MIN_DOCS = 1_000_000
+# the same physical-plan-by-cost choice Catalyst makes elsewhere.
+# CALIBRATED FROM MEASUREMENT, not estimate (BENCH_SF1.json, r5):
+#   - sf0.1 (200k docs): unpruned 0.95 s vs pruned-forced 2.3 s;
+#   - sf1.0 (2M docs):   unpruned 3.56 s vs pruned-forced 8.10 s, with a
+#     0.89 mean blocks-decoded ratio — on this corpus's block-max score
+#     distribution (license boilerplate makes common query terms near-
+#     uniformly scored), disjunctive theta thresholds prune little, so the
+#     crossover sits ABOVE 2M docs. The threshold is therefore set an
+#     order of magnitude past the last measured losing point; the pruning
+#     machinery stays correct (rank-identity + <50%-decoded-on-selective-
+#     queries held by pytest with min_docs=0) for corpora whose impact
+#     distribution is skewed enough to cross sooner.
+PRUNE_MIN_DOCS = 20_000_000
 
 
 def prefix_range_cond(prefix: str):

@@ -216,10 +216,20 @@ def source_view(spark, index_dir: str):
         )
         uni = part if uni is None else uni.unionByName(part, allowMissingColumns=True)
     val_cols = [c for c in uni.columns if c not in ("doc_id", "doc_idx", "_gen")]
+    # max_by orders ONLY by _gen and merely carries the value struct — a
+    # plain max(struct(_gen, ...)) would try to ORDER by the value columns
+    # on ties, which breaks for non-orderable column types (map-kind inline
+    # fields); _gen ties are impossible (the build fails fast on duplicate
+    # doc_ids within a generation)
     picked = (
         uni.groupBy("doc_id")
-        .agg(F.max(F.struct(F.col("_gen"), *[F.col(c) for c in val_cols])).alias("_s"))
-        .select("doc_id", "_s.*")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in val_cols]), F.col("_gen")
+            ).alias("_s"),
+            F.max("_gen").alias("_gen"),
+        )
+        .select("doc_id", "_gen", "_s.*")
     )
     del_gen: dict[int, int] = {}
     for g in gens:
@@ -396,6 +406,7 @@ def apply_inline_updates(
     child_pk: str = "ck",
     upsert_missing: bool = True,
     epoch_id: int | None = None,
+    field_kind: str = "array",
 ) -> dict:
     """Streamed INLINE (denormalized-array) maintenance — the reference's
     live child-table replication into a parent doc's embedded array
@@ -419,6 +430,14 @@ def apply_inline_updates(
         upserted on the new one (inline.go:66-95 tupleKeysChanged →
         recreate). Without old-key columns, updates degrade to upsert-only,
         the reference's ``upsertOnly`` mode (inline.go:56-62).
+
+    ``field_kind``: ``"array"`` (default) keeps the parent's field as a
+    pk-keyed array of structs (inline_add.painless's replace-or-append
+    loop); ``"map"`` keeps it as ``map<string, struct>`` keyed by
+    ``String(pk)`` — the reference's inline_add_map.painless variant
+    (``ctx._source[inline][String(pk)] = obj``), where upsert is a plain
+    keyed put. Deletes remove the key (a strict superset of the reference,
+    which ships only the add script for maps — search/scripts.go:15).
 
     Semantics per painless script:
       - upsert on a parent that exists: replace the array element whose
@@ -450,10 +469,12 @@ def apply_inline_updates(
         )
     if field not in cfg.input_columns:
         raise ValueError(f"inline field {field!r} is not an index column")
+    if field_kind not in ("array", "map"):
+        raise ValueError(f"field_kind must be 'array' or 'map', got {field_kind!r}")
     _require_stored_source(index_dir)
     cur = source_view(spark, index_dir)
-    ftype = cur.schema[field].dataType  # ArrayType(StructType(...))
-    elem_t = ftype.elementType
+    ftype = cur.schema[field].dataType  # ArrayType(Struct) | MapType(str, Struct)
+    elem_t = ftype.valueType if field_kind == "map" else ftype.elementType
     elem_fields = list(elem_t.fieldNames())
     if child_pk not in elem_fields:
         raise ValueError(
@@ -526,12 +547,43 @@ def apply_inline_updates(
     cur_sel = cur.select(
         "repo", "path", *[F.col(c).alias(f"_cur_{c}") for c in others]
     )
-    empty_arr = F.array().cast(ftype)
-    kept = F.filter(
-        F.coalesce(F.col(f"_cur_{field}"), empty_arr),
-        lambda e: ~F.array_contains(F.col("_touched"), e[child_pk]),
-    )
-    new_arr = F.sort_array(F.concat(kept, F.col("_adds")))
+    if field_kind == "map":
+        # inline_add_map semantics: keyed put / keyed remove on the
+        # map<String(pk), obj> field — map_filter drops the touched keys,
+        # map_concat re-adds the upserted objects (disjoint by
+        # construction, so Spark's duplicate-map-key guard never fires)
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        entries_t = ArrayType(
+            StructType([StructField("key", StringType()),
+                        StructField("value", elem_t)])
+        )
+        touched_s = F.transform(F.col("_touched"), lambda x: x.cast("string"))
+        kept = F.map_filter(
+            F.coalesce(
+                F.col(f"_cur_{field}"),
+                F.map_from_entries(F.array().cast(entries_t)),
+            ),
+            lambda mk, _v: ~F.array_contains(touched_s, mk),
+        )
+        adds_map = F.map_from_entries(
+            F.transform(
+                F.col("_adds"),
+                lambda e: F.struct(
+                    e[child_pk].cast("string").alias("key"), e.alias("value")
+                ),
+            )
+        )
+        new_arr = F.map_concat(kept, adds_map)
+        stub_field_expr = adds_map
+    else:
+        empty_arr = F.array().cast(ftype)
+        kept = F.filter(
+            F.coalesce(F.col(f"_cur_{field}"), empty_arr),
+            lambda e: ~F.array_contains(F.col("_touched"), e[child_pk]),
+        )
+        new_arr = F.sort_array(F.concat(kept, F.col("_adds")))
+        stub_field_expr = F.sort_array(F.col("_adds")).cast(ftype)
     # one probe scan of the doc store, batch side broadcast (ES per-update
     # GET, distributed); cache so the stub/noop accounting below and the
     # index build don't re-run it
@@ -555,7 +607,7 @@ def apply_inline_updates(
             stubs = miss.filter(F.size("_adds") > 0).select(
                 "repo", "path",
                 *[
-                    (F.sort_array(F.col("_adds")).cast(ftype) if c == field
+                    (stub_field_expr if c == field
                      else F.lit(None).cast(stub_t[c])).alias(c)
                     for c in others
                 ],
@@ -950,7 +1002,8 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
                   cfg: IndexConfig | None = None, field: str = "inlined",
                   child_pk: str = "ck", upsert_missing: bool = True,
                   trigger: dict | None = None,
-                  max_files_per_trigger: int | None = None):
+                  max_files_per_trigger: int | None = None,
+                  field_kind: str = "array"):
     """Continuous CHILD-table replication into parent docs' inline arrays —
     the streaming counterpart of the reference's live painless-script
     denormalization (postgres/inline.go:111-170): each micro-batch of child
@@ -981,6 +1034,7 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
         st = apply_inline_updates(
             spark, batch_df, index_dir, cfg, field=field, child_pk=child_pk,
             upsert_missing=upsert_missing, epoch_id=int(epoch_id),
+            field_kind=field_kind,
         )
         write_metrics(index_dir, {
             "last_inline_batch_parents": int(st.get("inline_parents_updated", 0))

@@ -204,6 +204,56 @@ def test_inline_epoch_namespaces_survive_merge(spark, tmp_path):
     assert _inline_state(spark, idx)["p2"] == [(8, "z")]
 
 
+MAP_PARENT_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, "
+    "inlined map<string, struct<ck:long, value:string>>"
+)
+
+
+def test_apply_inline_updates_map_kind(spark, tmp_path):
+    """field_kind='map' — the reference's inline_add_map.painless variant
+    (ctx._source[inline][String(pk)] = obj): keyed put / keyed remove on a
+    map<string, struct> field, stub upsert included."""
+    from search_replica_spark.streaming.incremental import (
+        add_generation,
+        apply_inline_updates,
+        source_view,
+    )
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        shuffle_partitions=4, store_source=True,
+        input_columns=("repo", "path", "commit", "lang", "content", "inlined"),
+    )
+    rows = [
+        ("r1", f"p{i}", "c0", "go", f"parent token{i}",
+         {str(i * 10): (i * 10, f"v{i}")})
+        for i in range(4)
+    ]
+    add_generation(spark, spark.createDataFrame(rows, MAP_PARENT_SCHEMA), idx, cfg)
+    ch = spark.createDataFrame(
+        [
+            ("r1", "p0", 99, "new", None, 1),       # insert new key on p0
+            ("r1", "p1", 10, "replaced", None, 2),  # overwrite key "10"
+            ("r1", "p2", 20, None, "delete", 3),    # remove key "20"
+            ("r1", "p9", 77, "stub", None, 4),      # upsert missing parent
+        ],
+        "repo string, path string, ck long, value string, _change_type string, _seq long",
+    )
+    st = apply_inline_updates(spark, ch, idx, cfg, field_kind="map")
+    assert st["inline_parents_updated"] == 3
+    assert st["inline_parents_created"] == 1
+    out = {
+        r["path"]: {k: (v["ck"], v["value"]) for k, v in (r["inlined"] or {}).items()}
+        for r in source_view(spark, idx).select("path", "inlined").collect()
+    }
+    assert out["p0"] == {"0": (0, "v0"), "99": (99, "new")}
+    assert out["p1"] == {"10": (10, "replaced")}
+    assert out["p2"] == {}
+    assert out["p3"] == {"30": (30, "v3")}
+    assert out["p9"] == {"77": (77, "stub")}
+
+
 def test_inline_unordered_duplicate_children_fail_fast(spark, tmp_path):
     from search_replica_spark.streaming.incremental import (
         add_generation,
