@@ -57,6 +57,21 @@ CHECKS = {
         "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "why": "prefix filtering (df-ranked window, prefix tokens only) sits BELOW the self-join, so hot tokens cannot explode the join",
     },
+    "shard_docs_slice": {
+        "want": ["GreaterThanOrEqual(doc_idx", "LessThan(doc_idx"],
+        "avoid": [],
+        "why": "shard-scoped serving (r5): a shard reader's doc-array load pushes its slot range into the docs parquet scan — each node transfers O(corpus/shards), never the corpus",
+    },
+    "shard_block_range_prune": {
+        "want": ["In(term", "last_doc_idx", "first_doc_idx"],
+        "avoid": ["CartesianProduct"],
+        "why": "shard-scoped posting fetch: term IN + block-range overlap both reach the segment scan, so min/max row-group stats on the docID-ordered blocks prune everything outside the shard",
+    },
+    "inline_resolve": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "streamed inline maintenance (r5): the child batch (collapsed per parent) broadcasts against the stored _source — one probe scan of the doc store, the distributed form of ES's per-update GET",
+    },
     "dedup_simhash_hamming": {
         "want": ["v1", "v2", "v3"],
         "avoid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
@@ -166,6 +181,36 @@ def main():
     plans["b8b_routing_partition_pruning"] = plan_of(
         reg["b8b_routing_partition_pruning"][0](spark, sf_dir)
     )
+    # r5: shard-scoped serving reader plans (docs slice + block-range prune)
+    from search_replica_spark.query.bm25 import IndexReader
+
+    shard_rd = IndexReader(spark, idx, shard_range=(100, 600))
+    plans["shard_docs_slice"] = plan_of(
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .select("doc_idx", "doc_id", "doc_len")
+        .filter((F.col("doc_idx") >= 100) & (F.col("doc_idx") < 600))
+    )
+    seg_cols = [c for c in shard_rd.META_COLS]
+    plans["shard_block_range_prune"] = plan_of(
+        spark.read.parquet(os.path.join(idx, "segments"))
+        .filter(F.col("term").isin(["spark", "join"]))
+        .filter((F.col("last_doc_idx") >= 100) & (F.col("first_doc_idx") < 600))
+        .select(*seg_cols)
+    )
+
+    # r5: streamed inline resolution (dry-run plan, nothing committed)
+    from search_replica_spark.operators.streaming_ops import inl_index_dir
+    from search_replica_spark.streaming.incremental import apply_inline_updates
+
+    inl_idx = inl_index_dir(spark, sf_dir)
+    child = spark.createDataFrame(
+        [("r", "doc_0", 1, "x")],
+        "repo string, path string, ck long, value string",
+    )
+    plans["inline_resolve"] = plan_of(
+        apply_inline_updates(spark, child, inl_idx, None, dry_run=True)
+    )
+
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))

@@ -407,7 +407,8 @@ def apply_inline_updates(
     upsert_missing: bool = True,
     epoch_id: int | None = None,
     field_kind: str = "array",
-) -> dict:
+    dry_run: bool = False,
+):
     """Streamed INLINE (denormalized-array) maintenance — the reference's
     live child-table replication into a parent doc's embedded array
     (postgres/inline.go:111-170; the painless add/del scripts
@@ -592,7 +593,12 @@ def apply_inline_updates(
         "repo", "path",
         *[(new_arr if c == field else F.col(f"_cur_{c}")).alias(c)
           for c in others],
-    ).persist()
+    )
+    if dry_run:
+        # plan-audit hook: the UNEXECUTED resolution plan (no persist, no
+        # counting jobs, no generation committed)
+        return merged
+    merged = merged.persist()
     n_parents = per_parent.count()
     n_hit = merged.count()
     out = merged
@@ -1361,19 +1367,38 @@ class MultiGenReader(IndexReader):
 
     def pin_driver(self, positions: bool = False):
         """Serving mode over ALL generations: one union read pins every
-        generation's segments, remapped, term-indexed (see IndexReader)."""
+        generation's segments, remapped, term-indexed (see IndexReader).
+        A shard-scoped reader pins only blocks overlapping its slot range
+        — the per-node memory contract of doc-sharded serving."""
         if self._pinned is None:
             parts = []
             for g in self.live_gens:
                 seg = self.spark.read.parquet(os.path.join(g["dir"], "segments"))
+                q = seg
+                rng = self._gen_slot_filter(g)
+                if rng is not None:
+                    glo, ghi = rng
+                    if glo >= ghi:
+                        continue
+                    q = q.filter(
+                        (F.col("last_doc_idx") >= glo)
+                        & (F.col("first_doc_idx") < ghi)
+                    )
                 parts.append(
-                    seg.select(*self._gen_cols(seg, positions))
+                    q.select(*self._gen_cols(seg, positions))
                     .withColumn("gen", F.lit(g["gen"]))
                 )
-            uni = parts[0]
-            for p in parts[1:]:
-                uni = uni.unionByName(p)
-            pdf = self._remap_blocks(uni.toPandas())
+            if not parts:
+                import pandas as pd
+
+                pdf = self._remap_blocks(
+                    pd.DataFrame(columns=[*self.META_COLS, "gen"])
+                )
+            else:
+                uni = parts[0]
+                for p in parts[1:]:
+                    uni = uni.unionByName(p)
+                pdf = self._remap_blocks(uni.toPandas())
             self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
         return self
 
