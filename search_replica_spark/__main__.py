@@ -112,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     sv.add_argument("--index-dir", required=True)
     sv.add_argument("--port", type=int, default=9090)
+    sv.add_argument("--input-dir", default=None,
+                    help="source dir for LIVE slot-lag gauges on /metrics "
+                    "(pending_input_files / seconds_behind_source)")
 
     sn = sub.add_parser(
         "snapshot",
@@ -141,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":  # pure file reads — no Spark session
         from search_replica_spark.serve import serve_state
 
-        srv, port = serve_state(args.index_dir, args.port)
+        srv, port = serve_state(args.index_dir, args.port, input_dir=args.input_dir)
         print(json.dumps({"listening": port, "endpoints": ["/metrics", "/state"]}))
         try:
             import threading

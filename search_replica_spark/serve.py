@@ -59,6 +59,7 @@ def _state_doc(m: dict) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     index_dir: str = ""
+    input_dir: str | None = None
 
     def _send(self, code: int, body: bytes, ctype: str) -> None:
         self.send_response(code)
@@ -70,6 +71,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
         try:
             m = read_metrics(self.index_dir)
+            if self.input_dir is not None:
+                # LIVE replication lag at scrape time (the reference's
+                # GaugeFunc shape, slot_lag.go:15-39) — metrics.json only
+                # refreshes per batch, but lag must be visible the moment
+                # the source runs ahead of an idle stream
+                from search_replica_spark.streaming.incremental import slot_lag
+
+                m.update(slot_lag(self.index_dir, self.input_dir))
         except Exception as e:  # noqa: BLE001 — a scrape must never kill the server
             self._send(500, str(e).encode(), "text/plain")
             return
@@ -86,13 +95,17 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
-def serve_state(index_dir: str, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+def serve_state(index_dir: str, port: int = 0,
+                input_dir: str | None = None) -> tuple[ThreadingHTTPServer, int]:
     """Start the metrics/health server on a daemon thread; returns
     ``(server, bound_port)`` (``port=0`` = ephemeral, the production
     default when the driver does not own a stable port — the bound port is
     what gets registered with service discovery). ``server.shutdown()``
-    stops it."""
-    handler = type("_BoundHandler", (_Handler,), {"index_dir": index_dir})
+    stops it. ``input_dir``: when given, every scrape also computes the
+    LIVE slot-lag gauges (pending_input_files / seconds_behind_source)
+    against that source directory."""
+    handler = type("_BoundHandler", (_Handler,),
+                   {"index_dir": index_dir, "input_dir": input_dir})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, name="ssr-state-http", daemon=True)
     t.start()

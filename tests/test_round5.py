@@ -448,6 +448,42 @@ def test_slot_lag_gauge_rises_then_drains(spark, tmp_path):
     assert slot_lag(idx, src)["pending_input_files"] >= 1
 
 
+def test_metrics_endpoint_serves_live_slot_lag(spark, tmp_path):
+    """serve_state(input_dir=...) computes the lag gauges at SCRAPE time —
+    a file arriving while the stream is idle is visible immediately, like
+    the reference's GaugeFunc (not only after the next batch)."""
+    import urllib.request
+
+    from search_replica_spark.serve import serve_state
+    from search_replica_spark.streaming.incremental import index_stream
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "in")
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame([("r", "f0", "c", "go", "tok zero")], schema)\
+        .coalesce(1).write.mode("append").parquet(src)
+    q = index_stream(spark, src, idx, schema, IndexConfig(shuffle_partitions=2))
+    q.awaitTermination(120)
+    srv, port = serve_state(idx, 0, input_dir=src)
+    try:
+        def scrape():
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10
+            ) as r:
+                return r.read().decode()
+
+        body = scrape()
+        assert "ssr_pending_input_files 0" in body
+        # a file lands while no stream is running → next scrape sees it
+        spark.createDataFrame([("r", "f1", "c", "go", "tok one")], schema)\
+            .coalesce(1).write.mode("append").parquet(src)
+        body = scrape()
+        assert "ssr_pending_input_files 1" in body
+        assert "ssr_seconds_behind_source" in body
+    finally:
+        srv.shutdown()
+
+
 def test_no_dense_livedocs_in_query_entry_points(spark, small_corpus, tmp_path, monkeypatch):
     """r4 verdict #6: no query entry point may materialize a dense
     O(n_docs) bool mask from the sparse LiveDocs. The spy turns
