@@ -297,3 +297,88 @@ def agg_filters_buckets(spark, sf_dir):
         "stack(3, 'short', short, 'medium', medium, 'long', long)"
         " AS (bucket, doc_count)"
     )
+
+
+# ES range aggregation with explicit bounds (ES key format "from-to"):
+# {"range": {"field": "n_chars", "ranges": [{"to": 500},
+#  {"from": 500, "to": 1500}, {"from": 1500}]}}. Like every ES bucket agg
+# this is one partial-aggregating pass — here a single stack() unpivot of
+# three conditional counts, no shuffle per bucket.
+@register(
+    "agg_range_nchars",
+    """SELECT '*-500.0' AS key, count(CASE WHEN n_chars < 500 THEN 1 END) AS doc_count
+       FROM documents
+       UNION ALL
+       SELECT '500.0-1500.0',
+              count(CASE WHEN n_chars >= 500 AND n_chars < 1500 THEN 1 END)
+       FROM documents
+       UNION ALL
+       SELECT '1500.0-*', count(CASE WHEN n_chars >= 1500 THEN 1 END)
+       FROM documents""",
+)
+def agg_range_nchars(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    one = d.agg(
+        F.count(F.when(F.col("n_chars") < 500, 1)).alias("lo"),
+        F.count(
+            F.when((F.col("n_chars") >= 500) & (F.col("n_chars") < 1500), 1)
+        ).alias("mid"),
+        F.count(F.when(F.col("n_chars") >= 1500, 1)).alias("hi"),
+    )
+    return one.selectExpr(
+        "stack(3, '*-500.0', lo, '500.0-1500.0', mid, '1500.0-*', hi)"
+        " AS (key, doc_count)"
+    )
+
+
+# ES missing aggregation: {"missing": {"field": "label"}} — docs that lack
+# an indexed value. The synthetic corpus has no null columns, so the agg
+# runs over a DERIVED nullable field (label = lang unless 'go'), exercising
+# the exact null-bucket semantics ES applies to absent values.
+@register(
+    "agg_missing_label",
+    """SELECT count(*) - count(nullif(lang, 'go')) AS doc_count,
+              CAST(count(nullif(lang, 'go')) AS BIGINT) AS present
+       FROM documents""",
+)
+def agg_missing_label(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    label = F.expr("nullif(lang, 'go')")
+    return d.agg(
+        (F.count(F.lit(1)) - F.count(label)).alias("doc_count"),
+        F.count(label).cast("long").alias("present"),
+    )
+
+
+# ES value_count + weighted_avg metric aggregations:
+# {"value_count": {"field": "n_chars"}} and
+# {"weighted_avg": {"value": {"field": "n_chars"},
+#                   "weight": {"field": "w"}}} with a deterministic integer
+# weight (doc_id % 10 + 1). The weighted mean is integer-scaled to
+# micro-units in BOTH engines (quotient*1e6 + scaled remainder), so the
+# value-hash gate compares exact integers — never engine float rounding.
+@register(
+    "agg_value_count_weighted_avg",
+    """SELECT count(n_chars) AS value_count,
+              CAST(sum(n_chars * (doc_id % 10 + 1)) AS BIGINT) AS wsum,
+              CAST(sum(doc_id % 10 + 1) AS BIGINT) AS wtotal,
+              CAST((sum(n_chars * (doc_id % 10 + 1)) // sum(doc_id % 10 + 1))
+                   * 1000000
+                   + ((sum(n_chars * (doc_id % 10 + 1))
+                       % sum(doc_id % 10 + 1)) * 1000000)
+                     // sum(doc_id % 10 + 1) AS BIGINT) AS weighted_avg_micro
+       FROM documents""",
+)
+def agg_value_count_weighted_avg(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("n_chars").alias("value_count"),
+        F.expr("CAST(sum(n_chars * (doc_id % 10 + 1)) AS BIGINT)").alias("wsum"),
+        F.expr("CAST(sum(doc_id % 10 + 1) AS BIGINT)").alias("wtotal"),
+        F.expr(
+            "CAST((sum(n_chars * (doc_id % 10 + 1)) DIV sum(doc_id % 10 + 1))"
+            " * 1000000"
+            " + ((sum(n_chars * (doc_id % 10 + 1)) % sum(doc_id % 10 + 1))"
+            " * 1000000) DIV sum(doc_id % 10 + 1) AS BIGINT)"
+        ).alias("weighted_avg_micro"),
+    )

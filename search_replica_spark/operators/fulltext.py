@@ -1134,3 +1134,45 @@ def ft_bm25_fielded_norms_multigen_top10(spark, sf_dir):
     hits = fielded_norms_topk(_OrigIdMG(spark, idx), ["content:spark", "lang:de"], 10)
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5z3: FIELD BOOSTS over per-field norms — ES `fields: ["content^2",
+# "lang^0.5"]` / the BM25F field-weight model: each field clause's score
+# multiplies by its boost before summation. Boosts are exact binary floats
+# (2.0, 0.5) so both engines' products are bit-identical under round(.,6).
+_FNORM_BOOST_SQL = f"""
+WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dlc AS (SELECT doc_id, count(*) AS dl FROM tokc GROUP BY doc_id),
+statc AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlc),
+statl AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+tfc AS (SELECT doc_id, count(*) AS tf FROM tokc WHERE term = 'spark' GROUP BY doc_id),
+dfc AS (SELECT count(*) AS df FROM tfc),
+tfl AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+dfl AS (SELECT count(*) AS df FROM tfl),
+contrib AS (
+  SELECT tfc.doc_id,
+         2.0 * ln(1 + (statc.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         * tfc.tf / (tfc.tf + {K1} * (1 - {B} + {B} * dlc.dl / statc.avgdl)) AS s
+  FROM tfc JOIN dlc USING (doc_id) CROSS JOIN dfc CROSS JOIN statc
+  UNION ALL
+  SELECT tfl.doc_id,
+         0.5 * ln(1 + (statl.n - dfl.df + 0.5) / (dfl.df + 0.5))
+         * (1.0 / (1.0 + {K1})) AS s
+  FROM tfl CROSS JOIN dfl CROSS JOIN statl
+),
+sc AS (SELECT doc_id, sum(s) AS s FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@register("ft_bm25_boosted_fields_top10", _FNORM_BOOST_SQL)
+def ft_bm25_boosted_fields_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import fielded_norms_topk
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    hits = fielded_norms_topk(
+        _OrigIdReader(spark, idx), ["content:spark", "lang:de"], 10,
+        boosts={"content": 2.0, "lang": 0.5},
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -1758,6 +1758,7 @@ def fielded_norms_topk(
     terms: list[str],
     k: int = 10,
     live: np.ndarray | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Per-FIELD-norms BM25 over a fielded index — ES's actual multi-field
     scoring model (Lucene BM25Similarity per field): each ``field:term``
@@ -1772,7 +1773,12 @@ def fielded_norms_topk(
     Works over generational indexes too: MultiGenReader overrides
     ``field_stats``/``field_dl_arrays`` to merge per-generation stats and
     union the per-generation dl columns onto global slots. Accumulation
-    mirrors TATA: sorted-term order, np.add.at, same tie-exact top-k."""
+    mirrors TATA: sorted-term order, np.add.at, same tie-exact top-k.
+
+    ``boosts``: per-field score multipliers — ES ``fields: ["title^2",
+    "body"]`` syntax / the BM25F field-weight model. Missing fields boost
+    1.0. Use exact binary floats (2.0, 0.5, 0.25) when the result feeds a
+    bit-exact oracle comparison."""
     field_stats = reader.field_stats()
     if not field_stats:
         raise ValueError(
@@ -1803,9 +1809,12 @@ def fielded_norms_topk(
         idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
         dl = fdl[fld][docs]
         tf = tfs.astype(np.float64)
+        boost = float(boosts.get(fld, 1.0)) if boosts else 1.0
         doc_parts.append(docs)
         score_parts.append(
-            idf * (tf / (tf + reader.k1 * (1.0 - reader.b + reader.b * dl / avg_f)))
+            boost
+            * idf
+            * (tf / (tf + reader.k1 * (1.0 - reader.b + reader.b * dl / avg_f)))
         )
     if not doc_parts:
         return []
