@@ -1,11 +1,13 @@
 """sf1.0 (2M-doc) scale point for the pruned-BM25 cost switch.
 
-The shipping entry `bm25_topk_spark_pruned` routes corpora below
-PRUNE_MIN_DOCS (1M) to the single-job unpruned plan because the theta
-metadata pass cannot amortize at small scale. This script validates the
-WIN side of that switch with data: at 2M docs the pruned plan must be
-<= the unpruned plan AND decode a minority of blocks. Writes
-BENCH_SF1.json.
+MEASURES (does not assert a winner): unpruned vs forced-pruned p50, the
+shipping entry's cost-switched routing, and the blocks-decoded ratio at
+2M docs. The r5 measurement showed the pruned plan LOSING here (8.1 s vs
+3.6 s, 0.89 of blocks decoded — this corpus's near-uniform block maxima
+defeat disjunctive theta pruning), which recalibrated PRUNE_MIN_DOCS
+1M → 20M: the switch must route 2M-doc corpora to the single-job plan,
+and the one thing this script hard-asserts is RANK IDENTITY between the
+two plans. Writes BENCH_SF1.json.
 
 Usage: python scripts/bench_sf1.py  (takes ~15-25 min cold: corpus
 generation + index build are cached under /tmp)

@@ -91,7 +91,13 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             fails += 1
             continue
-        err = frames_match(sdf, ddf)
+        try:
+            err = frames_match(sdf, ddf)
+        except TypeError as e:
+            # EXACT-mode unconvertible-float guard: fail THIS query loudly
+            # but keep checking the rest — aborting mid-loop would leave
+            # every later entry unverified and no summary line
+            err = str(e)
         if err:
             print(f"FAIL {name}: {err}")
             fails += 1

@@ -171,9 +171,9 @@ SF_FILES = {
     "0.01": 20_000,
     "0.1": 200_000,
     "0.2": 400_000,
-    # 2M docs (~9 GB text): the scale point where the pruned-BM25 cost
-    # switch (PRUNE_MIN_DOCS = 1M) flips to the theta-pass plan — used by
-    # scripts/bench_sf1.py to validate the crossover with data
+    # 2M docs (~9 GB text): the largest measured scale point — used by
+    # scripts/bench_sf1.py, whose r5 run showed block-max pruning still
+    # losing here and drove PRUNE_MIN_DOCS to 20M (see query/bm25.py)
     "1.0": 2_000_000,
 }
 

@@ -181,21 +181,19 @@ def main():
     plans["b8b_routing_partition_pruning"] = plan_of(
         reg["b8b_routing_partition_pruning"][0](spark, sf_dir)
     )
-    # r5: shard-scoped serving reader plans (docs slice + block-range prune)
+    # r5: shard-scoped serving reader plans — captured from the READER'S
+    # OWN query builders (_docs_query/_blocks_query), so a pushdown
+    # regression in IndexReader fails this audit, not a hand-rebuilt twin
     from search_replica_spark.query.bm25 import IndexReader
 
     shard_rd = IndexReader(spark, idx, shard_range=(100, 600))
-    plans["shard_docs_slice"] = plan_of(
-        spark.read.parquet(os.path.join(idx, "docs"))
-        .select("doc_idx", "doc_id", "doc_len")
-        .filter((F.col("doc_idx") >= 100) & (F.col("doc_idx") < 600))
-    )
-    seg_cols = [c for c in shard_rd.META_COLS]
+    plans["shard_docs_slice"] = plan_of(shard_rd._docs_query())
     plans["shard_block_range_prune"] = plan_of(
-        spark.read.parquet(os.path.join(idx, "segments"))
-        .filter(F.col("term").isin(["spark", "join"]))
-        .filter((F.col("last_doc_idx") >= 100) & (F.col("first_doc_idx") < 600))
-        .select(*seg_cols)
+        shard_rd._blocks_query(
+            spark.read.parquet(os.path.join(idx, "segments")),
+            ["spark", "join"],
+            positions=False,
+        )
     )
 
     # r5: streamed inline resolution (dry-run plan, nothing committed)

@@ -152,17 +152,23 @@ class IndexReader:
         return self._seg_df
 
     # --- doc store (doc_idx-ordered arrays, loaded once) ---
+    def _docs_query(self):
+        """The (unexecuted) shard-scoped docs scan — doc_arrays() collects
+        it; the plan audit explains it, so a pushdown regression in THIS
+        builder fails the audit rather than a hand-rebuilt lookalike."""
+        q = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docs")
+        ).select("doc_idx", "doc_id", "doc_len")
+        if self.shard_range is not None:
+            lo, hi = self.shard_range
+            # pushed to the parquet scan: a shard node transfers and
+            # holds only its own O(hi-lo) slice, never the corpus
+            q = q.filter((F.col("doc_idx") >= lo) & (F.col("doc_idx") < hi))
+        return q
+
     def doc_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         if self._doc_len is None:
-            q = self.spark.read.parquet(
-                os.path.join(self.index_dir, "docs")
-            ).select("doc_idx", "doc_id", "doc_len")
-            if self.shard_range is not None:
-                lo, hi = self.shard_range
-                # pushed to the parquet scan: a shard node transfers and
-                # holds only its own O(hi-lo) slice, never the corpus
-                q = q.filter((F.col("doc_idx") >= lo) & (F.col("doc_idx") < hi))
-            pdf = q.toPandas().sort_values("doc_idx")
+            pdf = self._docs_query().toPandas().sort_values("doc_idx")
             self._doc_len = pdf["doc_len"].to_numpy(np.float64)
             self._doc_ids = pdf["doc_id"].to_numpy(np.int64)
         return self._doc_len, self._doc_ids
@@ -227,6 +233,15 @@ class IndexReader:
             # cache built without position streams → serve a positional
             # request straight from parquet rather than silently degrading
             seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        return (
+            self._blocks_query(seg, terms, positions)
+            .toPandas()
+            .sort_values(["term", "block_id"])
+        )
+
+    def _blocks_query(self, seg, terms: list[str], positions: bool):
+        """The (unexecuted) shard-scoped segment scan — shared by
+        fetch_blocks and the plan audit (see _docs_query)."""
         cols = list(self.META_COLS) + (list(self.POS_COLS) if positions else [])
         cols = [c for c in cols if c in seg.columns]
         q = seg.filter(F.col("term").isin(list(set(terms))))
@@ -238,7 +253,7 @@ class IndexReader:
             q = q.filter(
                 (F.col("last_doc_idx") >= lo) & (F.col("first_doc_idx") < hi)
             )
-        return q.select(*cols).toPandas().sort_values(["term", "block_id"])
+        return q.select(*cols)
 
     def expand_prefix(
         self, prefix: str, max_expansions: int | None = 50, extra_filter=None
@@ -1352,6 +1367,13 @@ def serve_topk(
         idxs = uniq[matched]
         if idxs.size:
             merged.extend(_select_topk(sums[matched], doc_ids[idxs], k))
+        # release this shard's arrays before the next loads: in production
+        # each shard is a different NODE; a single-process coordinator
+        # (tests, small deployments) must not accumulate every slice into
+        # the O(corpus) footprint the sharding exists to avoid (r5 review)
+        r._doc_len = r._doc_ids = None
+        if hasattr(r, "_live_cache"):
+            r._live_cache = None
     merged.sort(key=lambda t: (-t[1], t[0]))
     return merged[:k]
 

@@ -69,24 +69,27 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        route = self.path.split("?")[0]
         try:
             m = read_metrics(self.index_dir)
-            if self.input_dir is not None:
+            if self.input_dir is not None and route == "/metrics":
                 # LIVE replication lag at scrape time (the reference's
                 # GaugeFunc shape, slot_lag.go:15-39) — metrics.json only
                 # refreshes per batch, but lag must be visible the moment
-                # the source runs ahead of an idle stream
+                # the source runs ahead of an idle stream. Only the
+                # /metrics route pays the input-dir walk; /state and 404
+                # probes stay one small-file read.
                 from search_replica_spark.streaming.incremental import slot_lag
 
                 m.update(slot_lag(self.index_dir, self.input_dir))
         except Exception as e:  # noqa: BLE001 — a scrape must never kill the server
             self._send(500, str(e).encode(), "text/plain")
             return
-        if self.path.split("?")[0] == "/metrics":
+        if route == "/metrics":
             self._send(
                 200, _prometheus_text(m).encode(), "text/plain; version=0.0.4"
             )
-        elif self.path.split("?")[0] == "/state":
+        elif route == "/state":
             self._send(200, json.dumps(_state_doc(m)).encode(), "application/json")
         else:
             self._send(404, b"not found\n", "text/plain")

@@ -30,7 +30,11 @@ import shutil
 
 from search_replica_spark.streaming.incremental import GENS_FILE, _load_gens
 
-EXCLUDE = ("_checkpoint",)
+# every live streaming checkpoint is excluded at EVERY depth: a restored
+# index resumes replication with FRESH streams (epoch watermarks are
+# stripped below to match), and hardlinked checkpoint files would let the
+# live stream write through shared inodes into the snapshot
+EXCLUDE = ("_checkpoint", "_inline_checkpoint")
 
 
 def _link_or_copy(src: str, dst: str) -> None:

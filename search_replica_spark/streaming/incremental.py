@@ -61,6 +61,67 @@ GENS_FILE = "generations.json"
 CHANGE_COL = "_change_type"  # insert | update | update_partial | delete
 # (Iceberg CDC dialect + ES's partial-update bulk op, table.go:143-151)
 
+# Per-index commit lock: generational commits are a read-modify-write of
+# generations.json plus a build into the next gen=N directory, so two
+# writers interleaving (e.g. index_stream and inline_stream foreachBatch
+# THREADS of one driver, each with its own batchId cadence) would both
+# compute the same gen_id and clobber each other's output + commit-log
+# entry. Structured Streaming runs every foreachBatch in the SAME driver
+# process, so a per-index re-entrant thread lock serializes them; a
+# SECOND driver writing the same index concurrently is outside the
+# engine's contract (same as Lucene's single-IndexWriter rule) and needs
+# external coordination.
+import threading as _threading
+
+_INDEX_LOCKS: dict[str, _threading.RLock] = {}
+_INDEX_LOCKS_GUARD = _threading.Lock()
+
+
+def _index_write_lock(index_dir: str) -> _threading.RLock:
+    key = os.path.abspath(index_dir)
+    with _INDEX_LOCKS_GUARD:
+        if key not in _INDEX_LOCKS:
+            _INDEX_LOCKS[key] = _threading.RLock()
+        return _INDEX_LOCKS[key]
+
+
+def _locked_writer(index_dir_pos: int):
+    """Serialize a whole write entry point on the per-index RLock (the
+    lock is re-entrant, so apply_inline_updates → add_generation nests)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            index_dir = kwargs.get("index_dir")
+            if index_dir is None and len(args) > index_dir_pos:
+                index_dir = args[index_dir_pos]
+            with _index_write_lock(str(index_dir)):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def _fold_epochs(gens: list[dict]) -> dict[str, int]:
+    """Per-source replay watermarks folded from the commit log: each
+    generation's own (epoch_source, epoch_id), any merge-folded
+    ``max_epochs`` map, and the legacy single-space ``max_epoch`` (always
+    'main'). One definition shared by the replay check, merges, and
+    metrics — three hand-rolled copies of this fold drifting apart would
+    silently break exactly-once (r5 review)."""
+    out: dict[str, int] = {}
+    for g in gens:
+        src = g.get("epoch_source", "main")
+        if g.get("epoch_id") is not None:
+            out[src] = max(out.get(src, -1), int(g["epoch_id"]))
+        for s2, e2 in (g.get("max_epochs") or {}).items():
+            out[s2] = max(out.get(s2, -1), int(e2))
+        if g.get("max_epoch") is not None:
+            out["main"] = max(out.get("main", -1), int(g["max_epoch"]))
+    return out
+
 
 def _load_gens(index_dir: str) -> list[dict]:
     p = os.path.join(index_dir, GENS_FILE)
@@ -361,6 +422,7 @@ def _resolve_partial_updates(spark, partials, index_dir: str, cfg: IndexConfig):
     return merged, int(n_missing)
 
 
+@_locked_writer(1)
 def scripted_update(spark, index_dir: str, where: str, set_exprs: dict, cfg=None):
     """ES scripted update (`_update {"script": ...}` — the last of the
     reference's B9 bulk-op family, table.go:56-63 / SURVEY §2A B9): apply an
@@ -397,6 +459,7 @@ def scripted_update(spark, index_dir: str, where: str, set_exprs: dict, cfg=None
     return add_generation(spark, cur.select(*out), index_dir, cfg)
 
 
+@_locked_writer(2)
 def apply_inline_updates(
     spark,
     child_batch,
@@ -603,6 +666,7 @@ def apply_inline_updates(
     n_hit = merged.count()
     out = merged
     n_stub = 0
+    stubs = None
     if n_hit < n_parents:
         miss = per_parent.join(
             F.broadcast(merged.select("repo", "path")), ["repo", "path"],
@@ -625,12 +689,15 @@ def apply_inline_updates(
         spark, out, index_dir, cfg, epoch_id=epoch_id, epoch_source="inline"
     )
     merged.unpersist()
+    if stubs is not None:
+        stubs.unpersist()  # one leaked cache per streamed batch otherwise
     stats["inline_parents_updated"] = int(n_hit)
     stats["inline_parents_created"] = int(n_stub)
     stats["inline_parents_noop"] = int(n_parents - n_hit - n_stub)
     return stats
 
 
+@_locked_writer(2)
 def add_generation(
     spark,
     batch_df,
@@ -670,22 +737,17 @@ def add_generation(
     # new docs) or diverge segment schemas across generations.
     cfg = derive_index_cfg(index_dir, cfg)
     if epoch_id is not None:
-        for g in gens:
-            src = g.get("epoch_source", "main")
-            folded = (g.get("max_epochs") or {}).get(epoch_source)
-            committed = (
-                (src == epoch_source and g.get("epoch_id") == epoch_id)
-                or (folded is not None and epoch_id <= folded)
-                or (
-                    # legacy pre-namespace merge watermark ("main" only)
-                    epoch_source == "main"
-                    and g.get("max_epoch") is not None
-                    and epoch_id <= g["max_epoch"]
-                )
+        # Spark batchIds are monotonic per stream, so any epoch at or below
+        # this source's folded watermark is an at-least-once replay
+        if epoch_id <= _fold_epochs(gens).get(epoch_source, -1):
+            last = next(
+                (g for g in reversed(gens)
+                 if g.get("epoch_source", "main") == epoch_source
+                 and g.get("epoch_id") == epoch_id),
+                gens[-1] if gens else {"n_docs": 0, "total_tokens": 0},
             )
-            if committed:
-                return {"n_docs": g["n_docs"], "total_tokens": g["total_tokens"],
-                        "replayed": True}
+            return {"n_docs": last["n_docs"], "total_tokens": last["total_tokens"],
+                    "replayed": True}
 
     deleted_ids: list[int] = []
     partial_missing = 0
@@ -739,6 +801,11 @@ def add_generation(
 
 METRICS_FILE = "metrics.json"
 
+# slot_lag's parsed-log cache: {logdir: {filename: ((name, size, mtime_ns),
+# frozenset_of_paths)}} — log files are append-once (Spark writes each
+# batch's metadata file atomically), so (size, mtime) identifies content
+_SLOT_LAG_CACHE: dict[str, dict] = {}
+
 
 def slot_lag(index_dir: str, input_dir: str,
              checkpoint_name: str = "_checkpoint") -> dict:
@@ -754,19 +821,38 @@ def slot_lag(index_dir: str, input_dir: str,
       - ``seconds_behind_source`` — age of the oldest such file (0 when
         caught up), the time-domain form of the byte lag.
 
-    Driver-side metadata only (one directory listing + small log reads) —
-    no Spark job, so it is safe to compute per batch or per scrape."""
+    Driver-side metadata only (one directory listing + incremental log
+    reads) — no Spark job, so it is safe to compute per batch or per
+    scrape. Already-parsed log files are cached per (size, mtime): without
+    that, a long-lived stream would re-read its entire batch history every
+    call — O(batches²) cumulative work (r5 review)."""
     import glob as _glob
     import time as _time
+    from urllib.parse import unquote, urlparse
+
+    def _norm(uri: str) -> str:
+        # Spark logs Hadoop-qualified URIs: "file:///x/y", the single-slash
+        # "file:/x/y" form, and percent-encoded names ("a%20b"). urlparse
+        # handles all three; a bare path passes through (empty scheme).
+        parsed = urlparse(uri)
+        return unquote(parsed.path) if parsed.scheme else uri
 
     committed: set[str] = set()
     logdir = os.path.join(index_dir, checkpoint_name, "sources", "0")
+    cache = _SLOT_LAG_CACHE.setdefault(os.path.abspath(logdir), {})
     if os.path.isdir(logdir):
         for fn in os.listdir(logdir):
             p = os.path.join(logdir, fn)
             # skip .crc sidecars and other hidden/binary companions
             if not os.path.isfile(p) or fn.startswith("."):
                 continue
+            st = os.stat(p)
+            key = (fn, st.st_size, st.st_mtime_ns)
+            hit = cache.get(fn)
+            if hit is not None and hit[0] == key:
+                committed |= hit[1]
+                continue
+            paths: set[str] = set()
             with open(p, errors="replace") as f:
                 for line in f:
                     line = line.strip()
@@ -775,8 +861,9 @@ def slot_lag(index_dir: str, input_dir: str,
                             uri = json.loads(line)["path"]
                         except (KeyError, ValueError):
                             continue
-                        # "file:///x/y" and "/x/y" name the same file
-                        committed.add(uri.split("://", 1)[-1])
+                        paths.add(_norm(uri))
+            cache[fn] = (key, paths)
+            committed |= paths
     now = _time.time()
     oldest = None
     pending = 0
@@ -802,6 +889,7 @@ def slot_lag(index_dir: str, input_dir: str,
     }
 
 
+@_locked_writer(0)
 def write_metrics(index_dir: str, extra: dict | None = None) -> dict:
     """K9 runtime observability for the replication loop — the engine's
     analogue of the reference's Prometheus counters + /state healthcheck
@@ -858,15 +946,7 @@ def _compute_metrics(index_dir: str) -> dict:
     # replication progress per source stream (main = index_stream, others =
     # e.g. inline_stream); last_epoch stays the main-stream watermark for
     # backward compatibility with existing scrapers
-    eps: dict[str, int] = {}
-    for g in gens:
-        src = g.get("epoch_source", "main")
-        if g.get("epoch_id") is not None:
-            eps[src] = max(eps.get(src, -1), int(g["epoch_id"]))
-        for s2, e2 in (g.get("max_epochs") or {}).items():
-            eps[s2] = max(eps.get(s2, -1), int(e2))
-        if g.get("max_epoch") is not None:
-            eps["main"] = max(eps.get("main", -1), int(g["max_epoch"]))
+    eps = _fold_epochs(gens)
     epochs = [eps["main"]] if "main" in eps else []
     live = [g for g in gens if g["dir"]]
     return {
@@ -1061,6 +1141,7 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
     )
 
 
+@_locked_writer(2)
 def compact(spark, corpus_df, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     """Merge all generations into one by rebuilding from the current table
     snapshot (reference analogue: full reindex from a consistent snapshot,
@@ -1484,6 +1565,7 @@ class MultiGenReader(IndexReader):
         return int(self._live.sum())
 
 
+@_locked_writer(1)
 def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> dict:
     """Lucene-style SEGMENT MERGE: collapse all generations into one WITHOUT
     touching the source table. ``compact()`` re-reads and re-tokenizes the
@@ -1644,15 +1726,7 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
     # pre-merge epoch stays a no-op (exactly-once across merges); folded
     # PER SOURCE STREAM — index_stream ("main") and inline_stream
     # ("inline") have independent batchId counters (see add_generation)
-    max_eps: dict[str, int] = {}
-    for g in gens:
-        src = g.get("epoch_source", "main")
-        if g.get("epoch_id") is not None:
-            max_eps[src] = max(max_eps.get(src, -1), int(g["epoch_id"]))
-        for s2, e2 in (g.get("max_epochs") or {}).items():
-            max_eps[s2] = max(max_eps.get(s2, -1), int(e2))
-        if g.get("max_epoch") is not None:  # legacy single-space watermark
-            max_eps["main"] = max(max_eps.get("main", -1), int(g["max_epoch"]))
+    max_eps = _fold_epochs(gens)
     for g in live_gens:
         shutil.rmtree(g["dir"], ignore_errors=True)
     final_dir = os.path.join(index_dir, "gen=0")

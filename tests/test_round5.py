@@ -254,6 +254,58 @@ def test_apply_inline_updates_map_kind(spark, tmp_path):
     assert out["p9"] == {"77": (77, "stub")}
 
 
+def test_concurrent_main_and_inline_streams_one_index(spark, tmp_path):
+    """The documented deployment: index_stream AND inline_stream running
+    against the SAME index from one driver. The per-index commit lock
+    serializes their read-modify-write of generations.json; without it two
+    foreachBatch threads race the same gen_id (r5 review finding #1)."""
+    from search_replica_spark.streaming.incremental import (
+        _load_gens,
+        add_generation,
+        index_stream,
+        inline_stream,
+        source_view,
+    )
+
+    idx = str(tmp_path / "idx")
+    main_src = str(tmp_path / "main_cdc")
+    child_src = str(tmp_path / "child_cdc")
+    cfg = _cfg()
+    add_generation(spark, _parents(spark, 10), idx, cfg)
+    main_schema = PARENT_SCHEMA
+    # three main batches of new parents and three child batches on gen-0
+    # parents, written up front; both streams drain them concurrently
+    # (maxFilesPerTrigger=1 → 3 micro-batches each, interleaved)
+    for i in range(3):
+        spark.createDataFrame(
+            [("r2", f"q{i}", "c0", "go", f"new parent token{i}", [])],
+            main_schema,
+        ).coalesce(1).write.mode("append").parquet(main_src)
+        spark.createDataFrame(
+            [("r1", f"p{i}", 500 + i, f"cv{i}", None, None, None, i)],
+            CHILD_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(child_src)
+    q1 = index_stream(spark, main_src, idx, main_schema, cfg,
+                      max_files_per_trigger=1)
+    q2 = inline_stream(spark, child_src, idx, CHILD_SCHEMA, cfg,
+                       max_files_per_trigger=1)
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    gens = _load_gens(idx)
+    # commit log consistent: sequential unique gen ids, every dir present
+    import os as _os
+
+    assert [g["gen"] for g in gens] == list(range(len(gens)))
+    assert all(_os.path.isdir(g["dir"]) for g in gens if g["dir"])
+    assert len(gens) == 1 + 3 + 3
+    sv = {r["path"]: r for r in source_view(spark, idx).collect()}
+    for i in range(3):
+        assert f"q{i}" in sv  # main stream's inserts all landed
+        assert [(e["ck"], e["value"]) for e in sv[f"p{i}"]["inlined"]] == [
+            (500 + i, f"cv{i}")
+        ]  # inline stream's element edits all landed
+
+
 def test_inline_unordered_duplicate_children_fail_fast(spark, tmp_path):
     from search_replica_spark.streaming.incremental import (
         add_generation,
@@ -318,6 +370,8 @@ def test_snapshot_excludes_nested_checkpoints(tmp_path):
     gen = idx / "gen=0"
     (gen / "_checkpoint" / "sources").mkdir(parents=True)
     (gen / "_checkpoint" / "sources" / "0").write_text("offsets")
+    (idx / "_inline_checkpoint").mkdir(parents=True)
+    (idx / "_inline_checkpoint" / "offsets").write_text("o")
     (gen / "dict").mkdir(parents=True)
     (gen / "dict" / "part-0.parquet").write_text("x")
     (idx / "stats.json").write_text("{}")
@@ -330,6 +384,7 @@ def test_snapshot_excludes_nested_checkpoints(tmp_path):
     snap = tmp_path / "snap"
     snapshot_index(str(idx), str(snap))
     assert not os.path.exists(snap / "gen=0" / "_checkpoint")
+    assert not os.path.exists(snap / "_inline_checkpoint")
     assert os.path.exists(snap / "gen=0" / "dict" / "part-0.parquet")
 
 
