@@ -185,6 +185,54 @@ def main():
     queries["bm25_p50_wand_multigen_pinned"] = round(p50_mg_w, 4)
     shutil.rmtree(mg_dir, ignore_errors=True)
 
+    # --- 2c. streamed inline maintenance at scale (r5 flagship): quarter-
+    # corpus parent index with stored _source + empty inline arrays, then
+    # ONE child-CDC batch of 2 events per parent resolved + committed
+    # (broadcast probe join + array rewrite + superseding generation) ---
+    from search_replica_spark.streaming.incremental import apply_inline_updates
+
+    inl_dir = f"/dev/shm/bench_inl_{corpus_sf}_{cpus}"
+    shutil.rmtree(inl_dir, ignore_errors=True)
+    inl_cfg = IndexConfig(
+        shuffle_partitions=cpus, hot_df_threshold=50_000, store_source=True,
+        input_columns=("repo", "path", "commit", "lang", "content", "inlined"),
+    )
+    parents = corpus.filter(F.crc32(F.col("path")) % 4 == 1).withColumn(
+        "inlined",
+        F.expr("CAST(array() AS array<struct<ck: bigint, value: string>>)"),
+    )
+    add_generation(spark, parents, inl_dir, inl_cfg)
+    children = parents.select(
+        "repo", "path", F.explode(F.array(F.lit(1), F.lit(2))).alias("off")
+    ).select(
+        "repo", "path",
+        (F.crc32(F.col("path")).cast("long") * 10 + F.col("off")).alias("ck"),
+        F.concat(F.lit("v"), F.col("off").cast("string")).alias("value"),
+    )
+    n_children = children.count()
+    t = time.time()
+    st_inl = apply_inline_updates(spark, children, inl_dir, inl_cfg)
+    queries["inline_apply_batch"] = round(time.time() - t, 3)
+    assert st_inl["inline_parents_updated"] > 0
+    shutil.rmtree(inl_dir, ignore_errors=True)
+
+    # --- 2d. doc-sharded serving (r5): forced 4-shard serve_topk (each
+    # query re-resolves shard readers from disk — the cold-cache shape) ---
+    from search_replica_spark.query.bm25 import serve_topk
+
+    with open(os.path.join(idx_dir, "stats.json")) as _f:
+        _n_docs = json.load(_f)["n_docs"]
+    lat_serve = []
+    for qtext, k in list(zip(qset["query_text"], qset["k"]))[:5]:
+        t = time.time()
+        serve_topk(spark, idx_dir, qtext, int(k), min_docs=0,
+                   target_docs=max(1, _n_docs // 4))
+        lat_serve.append(time.time() - t)
+    lat_serve.sort()
+    queries["bm25_p50_serve_sharded_forced"] = round(
+        lat_serve[len(lat_serve) // 2], 4
+    )
+
     # --- 3. operator queries at the sf dir ---
     reg = all_registered()
     for name in ("ft_bm25_sql_top10", "dedup_minhash_lsh", "ann_cosine_top10",
