@@ -1176,3 +1176,86 @@ def ft_bm25_boosted_fields_top10(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5r: ES RESCORE API (rescore.window_size, score_mode=total) — a cheap
+# BM25 pass ranks the corpus, only the top-50 window is re-scored with an
+# exact "spark join" phrase count over the stored _source, merged as
+# 1.0*base + 0.25*phrase_tf (0.25 = exact binary float, bit-stable twin).
+# The expensive scorer's cost is window-bounded — ES's contract at scale.
+_RESCORE_SQL = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+win AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+ph AS (SELECT w.doc_id,
+              1.0 * w.s + 0.25 * len(list_filter(
+                  generate_series(1, len(string_split(d.text, ' ')) - 1),
+                  i -> string_split(d.text, ' ')[i] = 'spark'
+                       AND string_split(d.text, ' ')[i + 1] = 'join')) AS s
+       FROM win w JOIN documents d USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM ph
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@register("ft_rescore_phrase_top10", _RESCORE_SQL)
+def ft_rescore_phrase_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import rescore_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    content = spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.split(F.col("path"), "_").getItem(1).cast("long").alias("doc_id"),
+        "content",
+    )
+    hits = rescore_topk(
+        spark, idx, " ".join(BM25_QUERY_TERMS), ["spark", "join"],
+        window=50, k=10, rescore_weight=0.25,
+        reader=_OrigIdReader(spark, idx), content_df=content,
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# B5fs: ES function_score, field_value_factor(modifier=ln1p, multiply):
+# final = BM25 * ln(1 + doc_len) over EVERY matching doc — the function is
+# part of the query (any match can be promoted), so the whole match set is
+# scored; the factor field is already in the doc arrays (no fetch).
+_FSCORE_SQL = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT sc.doc_id, round(sc.s * ln(1 + dl.dl), 6) AS score
+FROM sc JOIN dl USING (doc_id)
+ORDER BY sc.s * ln(1 + dl.dl) DESC, sc.doc_id LIMIT 10
+"""
+
+
+@register("ft_function_score_top10", _FSCORE_SQL)
+def ft_function_score_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import function_score_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = function_score_topk(
+        _OrigIdReader(spark, idx), " ".join(BM25_QUERY_TERMS), 10
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
+    )

@@ -1852,3 +1852,84 @@ def fielded_norms_topk(
     if idxs.size == 0:
         return []
     return _select_topk(sums[matched], doc_ids[idxs], k)
+
+
+def rescore_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    phrase: list[str],
+    window: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    reader: IndexReader | None = None,
+    content_df=None,
+) -> list[tuple[int, float]]:
+    """ES rescore API (``rescore.window_size``, score_mode=total): a cheap
+    BM25 pass ranks the corpus, then ONLY the top-``window`` candidates are
+    re-scored with a more expensive signal — here an exact phrase-occurrence
+    count over the stored ``_source`` — and merged as
+    ``query_weight * base + rescore_weight * phrase_tf``.
+
+    This is ES's exact cost contract at 100 TB: the expensive scorer's
+    work is bounded by the window (a point-lookup fetch of ≤window docs,
+    pushed down on doc_id), never by the corpus. Requires a
+    ``store_source`` build unless ``content_df`` supplies (doc_id,
+    content) in the reader's doc_id space. Ties break (score desc,
+    doc_id asc) like every other entry point."""
+    r = reader or IndexReader(spark, index_dir)
+    base = TermAtATimeScorer(r).score(
+        query, window, live=getattr(r, "_live", None)
+    )
+    if not base:
+        return []
+    ids = [int(d) for d, _ in base]
+    if content_df is None:
+        content_df = spark.read.parquet(
+            os.path.join(index_dir, "docs")
+        ).select("doc_id", "content")
+    rows = content_df.filter(F.col("doc_id").isin(ids)).collect()
+    texts = {int(rw["doc_id"]): rw["content"] for rw in rows}
+    want = [t.lower() for t in phrase]
+    n = len(want)
+    out = []
+    for d, s in base:
+        toks = tokenize_text(texts.get(int(d)) or "")
+        ptf = sum(
+            1 for i in range(len(toks) - n + 1) if toks[i : i + n] == want
+        )
+        out.append((int(d), query_weight * s + rescore_weight * float(ptf)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def function_score_topk(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES function_score with ``field_value_factor`` (modifier ``ln1p``,
+    multiply boost_mode): final = BM25 * ln(1 + doc_len) over EVERY
+    matching doc — unlike rescore, the function is part of the query, so
+    the multiplier can promote any match into the top-k and the whole
+    match set is scored (ES does the same; the factor field here is the
+    indexed document length, already in the doc arrays every scorer holds
+    — no extra fetch). Vectorized end-to-end; ties (score desc, doc_id
+    asc)."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    base = TermAtATimeScorer(r).score(query, int(r.n_docs) or 1, live=live)
+    if not base:
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    order = np.argsort(doc_ids, kind="stable")
+    sorted_ids = doc_ids[order]
+    ds = np.fromiter((d for d, _ in base), dtype=np.int64, count=len(base))
+    ss = np.fromiter((s for _, s in base), dtype=np.float64, count=len(base))
+    dl = doc_len[order[np.searchsorted(sorted_ids, ds)]]
+    final = ss * np.log1p(dl)
+    top = np.lexsort((ds, -final))[:k]
+    return [(int(ds[i]), float(final[i])) for i in top]
