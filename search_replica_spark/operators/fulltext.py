@@ -1259,3 +1259,27 @@ def ft_function_score_top10(spark, sf_dir):
     return spark.createDataFrame(
         [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
     )
+
+
+# B5c2: ES _count API — matching-doc cardinality, no scoring/fetch.
+@register(
+    "ft_count_match",
+    f"""WITH tok AS ({_TOK})
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_or,
+               CAST((SELECT count(*) FROM (
+                   SELECT doc_id FROM tok
+                   WHERE term IN ('spark', 'join', 'window')
+                   GROUP BY doc_id
+                   HAVING count(DISTINCT term) = 3)) AS BIGINT) AS n_and
+        FROM tok WHERE term IN ('spark', 'join', 'window')""",
+)
+def ft_count_match(spark, sf_dir):
+    from search_replica_spark.query.bm25 import count_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    rd = _OrigIdReader(spark, idx)
+    q = " ".join(BM25_QUERY_TERMS)
+    return spark.createDataFrame(
+        [(count_match(rd, q), count_match(rd, q, mode="and"))],
+        "n_or long, n_and long",
+    )

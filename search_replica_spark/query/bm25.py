@@ -1933,3 +1933,35 @@ def function_score_topk(
     final = ss * np.log1p(dl)
     top = np.lexsort((ds, -final))[:k]
     return [(int(ds[i]), float(final[i])) for i in top]
+
+
+def count_match(
+    reader: IndexReader,
+    query: str,
+    mode: str = "or",
+    live: np.ndarray | None = None,
+) -> int:
+    """ES ``_count`` API: how many live docs match, no scoring, no fetch —
+    one multi-term posting fetch, a distinct-slot union (OR) or
+    per-doc match-count filter (AND), and the liveDocs mask. The cheapest
+    query shape there is; at scale the same answer falls out of the
+    segment metadata (sum of df) when the query is a single term with no
+    deletes, but the general path here is exact under tombstones."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return 0
+    postings = r.fetch_postings(terms)
+    if not postings:
+        return 0
+    if mode == "and" and len(postings) < len(terms):
+        return 0
+    slots = np.concatenate([p[0] for p in postings.values()])
+    uniq, counts = np.unique(slots, return_counts=True)
+    if mode == "and":
+        uniq = uniq[counts >= len(terms)]
+    if live is not None and uniq.size:
+        uniq = uniq[live[uniq]]
+    return int(uniq.size)
