@@ -299,6 +299,173 @@ def _ivf_index_dir_for(spark, sf_dir) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the classic memory-compressed ANN path
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+# The 64-dim vector splits into M=8 subspaces of 8 dims; each subspace gets
+# a K=16-entry codebook, so a vector stores as 8 4-bit codes (~4 bytes vs
+# 512 raw — 128× compression). Search is asymmetric distance computation
+# (ADC): the query stays exact, each candidate's distance is the sum of
+# query-to-assigned-centroid squared distances per subspace — one tiny
+# (M × K) lookup table computed once per query, then a narrow scan over the
+# codes column. At 100 TB that scan reads the ~4-byte code column instead
+# of the 512-byte vector column, and the codebook (M·K·DSUB doubles) is a
+# broadcast. Training here is a deterministic seeded partition (vec_id % K
+# as the initial assignment) with ordered-fold means so the DuckDB twin
+# reproduces the codebook BIT-EXACTLY — a production build would Lloyd-
+# iterate from this same init (the iteration count is a quality knob, not
+# a correctness one, and pytest asserts the recall this codebook achieves).
+PQ_M, PQ_DSUB, PQ_K = 8, 8, 16
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_PQ_CTES = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+sub AS (SELECT vec_id, CAST(t.m AS INT) AS m,
+               emb[CAST(t.m AS INT)*{PQ_DSUB} + 1 : CAST(t.m AS INT)*{PQ_DSUB} + {PQ_DSUB}] AS sv
+        FROM e, range({PQ_M}) t(m)),
+dims AS (SELECT vec_id, m, vec_id % {PQ_K} AS j, CAST(p.i AS INT) AS i,
+                sv[CAST(p.i AS INT) + 1] AS v
+         FROM sub, range({PQ_DSUB}) p(i)),
+cb AS (SELECT m, j, list(c ORDER BY i) AS cent FROM (
+         SELECT m, j, i, list_sum(list(v ORDER BY vec_id)) / count(*) AS c
+         FROM dims GROUP BY m, j, i) GROUP BY m, j),
+dist AS (SELECT s.vec_id, s.m, c.j,
+                list_sum(list_transform(list_zip(s.sv, c.cent),
+                                        x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+         FROM sub s JOIN cb c USING (m)),
+codes AS (SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+            FROM dist) WHERE rn = 1)
+"""
+
+_PQ_CODES_SQL = (
+    _PQ_CTES
+    + """
+SELECT vec_id, list(j ORDER BY m) AS codes FROM codes GROUP BY vec_id
+ORDER BY vec_id
+"""
+)
+
+_PQ_ADC_SQL = (
+    _PQ_CTES
+    + f""",
+qsub AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+ad AS (SELECT k.vec_id, list_sum(list(dm ORDER BY m)) AS adc FROM (
+         SELECT codes.vec_id, codes.m,
+                list_sum(list_transform(list_zip(q.qsv, c.cent),
+                                        x -> (x[1]-x[2])*(x[1]-x[2]))) AS dm
+         FROM codes JOIN cb c USING (m, j) JOIN qsub q USING (m)
+         WHERE codes.vec_id <> {QUERY_VEC_ID}) k
+       GROUP BY k.vec_id)
+SELECT vec_id, round(adc, 5) AS adc FROM ad ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+)
+
+
+def _pq_parts(spark, sf_dir):
+    """Shared PQ lineage: (subvectors, codebook, codes) DataFrames."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("emb", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+    # codebook: seeded partition vec_id % K; centroid = ordered-fold mean
+    # (fold order matches the twin's list_sum(list(v ORDER BY vec_id)))
+    dims = sub.select(
+        "vec_id", "m", (F.col("vec_id") % PQ_K).alias("j"), F.posexplode("sv").alias("i", "v")
+    )
+    cb = (
+        dims.groupBy("m", "j", "i")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("v"),
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("c", F.col("s") / F.col("n"))
+        .groupBy("m", "j")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("m", "j", F.transform("ic", lambda s: s.getField("c")).alias("cent"))
+    )
+    # encode: nearest centroid per (vec, subspace), ties to the smallest j
+    dist = sub.join(F.broadcast(cb), "m").withColumn(
+        "d2", _sq_dist(F.col("sv"), F.col("cent"))
+    )
+    codes = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("best"))
+        .select("vec_id", "m", F.col("best.j").alias("j"))
+    )
+    return sub, cb, codes
+
+
+@register("ann_pq_codes", _PQ_CODES_SQL)
+def ann_pq_codes(spark, sf_dir):
+    _sub, _cb, codes = _pq_parts(spark, sf_dir)
+    return (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "j"))).alias("mj"))
+        .select("vec_id", F.transform("mj", lambda s: s.getField("j")).alias("codes"))
+        .orderBy("vec_id")
+    )
+
+
+@register("ann_pq_adc_top10", _PQ_ADC_SQL)
+def ann_pq_adc_top10(spark, sf_dir):
+    sub, cb, codes = _pq_parts(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select("m", F.col("sv").alias("qsv"))
+    ad = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(cb), ["m", "j"])
+        .join(F.broadcast(qsub), "m")
+        .withColumn("dm", _sq_dist(F.col("qsv"), F.col("cent")))
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "dm"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("dm"),
+            ).alias("adc")
+        )
+        .select("vec_id", F.round("adc", 5).alias("adc"))
+    )
+    return ad.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def pq_adc_pandas(emb_pdf: pd.DataFrame, query_vec_id: int, k: int) -> list[int]:
+    """NumPy reference for recall tests: top-k vec_ids by PQ-ADC distance
+    with the same seeded-partition codebook."""
+    ids = emb_pdf["vec_id"].to_numpy()
+    mat = np.stack(emb_pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    subs = mat.reshape(len(ids), PQ_M, PQ_DSUB)
+    cb = np.zeros((PQ_M, PQ_K, PQ_DSUB))
+    for j in range(PQ_K):
+        cb[:, j, :] = subs[ids % PQ_K == j].mean(axis=0)
+    d2 = ((subs[:, :, None, :] - cb[None]) ** 2).sum(axis=3)  # (n, M, K)
+    codes = d2.argmin(axis=2)
+    q = subs[ids == query_vec_id][0]
+    lut = ((q[:, None, :] - cb) ** 2).sum(axis=2)  # (M, K)
+    adc = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+    sel = np.lexsort((ids, adc))
+    return [int(ids[i]) for i in sel if ids[i] != query_vec_id][:k]
+
+
 @register("ann_ivf_persisted_top10", _IVF_SQL)
 def ann_ivf_persisted_top10(spark, sf_dir):
     import os
