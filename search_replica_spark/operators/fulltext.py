@@ -1283,3 +1283,134 @@ def ft_count_match(spark, sf_dir):
         [(count_match(rd, q), count_match(rd, q, mode="and"))],
         "n_or long, n_and long",
     )
+
+
+# ---------------------------------------------------------------------------
+# B5dm/B5bq/B5cs/B5ms: four more ES query-DSL surfaces over the same index.
+# Shared twin prelude: per-(doc, term) BM25 contributions for the union of
+# both subqueries' terms; each entry aggregates them its own way.
+_DM_Q1 = ("join", "spark")  # subquery 1: "spark join"
+_DM_Q2 = ("hash", "window")  # subquery 2: "window hash"
+
+_DM_CTES = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('hash', 'join', 'spark', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term,
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+sc1 AS (SELECT doc_id, sum(c) AS s FROM w
+        WHERE term IN ({", ".join(f"'{t}'" for t in _DM_Q1)}) GROUP BY doc_id),
+sc2 AS (SELECT doc_id, sum(c) AS s FROM w
+        WHERE term IN ({", ".join(f"'{t}'" for t in _DM_Q2)}) GROUP BY doc_id)
+"""
+
+# dis_max final = best + tie * (total - best); the twin spells the combine
+# with the SAME operations/order ((s1+s2) - greatest, not least) so both
+# engines run identical float arithmetic.
+_DISMAX_SQL = (
+    _DM_CTES
+    + """,
+u AS (SELECT coalesce(sc1.doc_id, sc2.doc_id) AS doc_id,
+             coalesce(sc1.s, 0) AS s1, coalesce(sc2.s, 0) AS s2
+      FROM sc1 FULL OUTER JOIN sc2 ON sc1.doc_id = sc2.doc_id)
+SELECT doc_id,
+       round(greatest(s1, s2) + 0.5 * ((s1 + s2) - greatest(s1, s2)), 6) AS score
+FROM u
+ORDER BY greatest(s1, s2) + 0.5 * ((s1 + s2) - greatest(s1, s2)) DESC, doc_id
+LIMIT 10
+"""
+)
+
+
+@register("ft_dis_max_top10", _DISMAX_SQL)
+def ft_dis_max_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import dis_max_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = dis_max_topk(
+        _OrigIdReader(spark, idx), ["spark join", "window hash"], 10, tie_breaker=0.5
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# boosting query: positive = "spark join", negative = "hash" (filter
+# context), negative_boost 0.25 (exact binary float — bit-stable twin).
+_BOOSTING_SQL = (
+    _DM_CTES
+    + """
+SELECT doc_id,
+       round(CASE WHEN EXISTS (SELECT 1 FROM tok x
+                               WHERE x.doc_id = sc1.doc_id AND x.term = 'hash')
+                  THEN s * 0.25 ELSE s END, 6) AS score
+FROM sc1
+ORDER BY (CASE WHEN EXISTS (SELECT 1 FROM tok x
+                            WHERE x.doc_id = sc1.doc_id AND x.term = 'hash')
+               THEN s * 0.25 ELSE s END) DESC, doc_id
+LIMIT 10
+"""
+)
+
+
+@register("ft_boosting_top10", _BOOSTING_SQL)
+def ft_boosting_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import boosting_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = boosting_topk(
+        _OrigIdReader(spark, idx), "spark join", "hash", negative_boost=0.25, k=10
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# constant_score: filter-context match, every hit scores exactly the boost;
+# ties all equal → top-k = k smallest doc_ids.
+@register(
+    "ft_constant_score",
+    f"""WITH tok AS ({_TOK})
+        SELECT DISTINCT doc_id, CAST(1.5 AS DOUBLE) AS score FROM tok
+        WHERE term IN ('spark', 'window') ORDER BY doc_id LIMIT 25""",
+)
+def ft_constant_score(spark, sf_dir):
+    from search_replica_spark.query.bm25 import constant_score_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = constant_score_match(_OrigIdReader(spark, idx), "spark window", boost=1.5, k=25)
+    return spark.createDataFrame(hits, "doc_id long, score double")
+
+
+# _msearch: two searches, one call, one reader — per-query top-5.
+_MSEARCH_SQL = (
+    _DM_CTES
+    + """
+SELECT * FROM (
+  (SELECT 0 AS qid, doc_id, round(s, 6) AS score FROM sc1
+   ORDER BY s DESC, doc_id LIMIT 5)
+  UNION ALL
+  (SELECT 1 AS qid, doc_id, round(s, 6) AS score FROM sc2
+   ORDER BY s DESC, doc_id LIMIT 5))
+ORDER BY qid, score DESC, doc_id
+"""
+)
+
+
+@register("ft_msearch_top5", _MSEARCH_SQL)
+def ft_msearch_top5(spark, sf_dir):
+    from search_replica_spark.query.bm25 import msearch
+
+    idx = _index_dir_for(spark, sf_dir)
+    results = msearch(_OrigIdReader(spark, idx), ["spark join", "window hash"], 5)
+    rows = [
+        (qid, d, round(s, 6))
+        for qid, hits in enumerate(results)
+        for d, s in hits
+    ]
+    return spark.createDataFrame(rows, "qid int, doc_id long, score double")

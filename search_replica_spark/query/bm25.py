@@ -1965,3 +1965,110 @@ def count_match(
     if live is not None and uniq.size:
         uniq = uniq[live[uniq]]
     return int(uniq.size)
+
+
+def dis_max_topk(
+    reader: IndexReader,
+    queries: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES dis_max query: each subquery scores independently; a doc's final
+    score is the BEST subquery score plus ``tie_breaker`` times the rest —
+    max(s_i) + tie_breaker * (sum(s_i) - max(s_i)). Unlike bool/should
+    (which sums), dis_max rewards the single best-matching clause, the ES
+    idiom for "same text searched across variant fields/phrasings".
+
+    Each subquery is one multi-term posting fetch over the same reader
+    arrays (no extra index passes); the combine is a vectorized
+    segmented max/sum over the union of match sets."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    id_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for q in queries:
+        hits = TermAtATimeScorer(r).score(q, int(r.n_docs) or 1, live=live)
+        if not hits:
+            continue
+        id_parts.append(np.fromiter((d for d, _ in hits), np.int64, len(hits)))
+        score_parts.append(np.fromiter((s for _, s in hits), np.float64, len(hits)))
+    if not id_parts:
+        return []
+    ids = np.concatenate(id_parts)
+    ss = np.concatenate(score_parts)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    best = np.zeros(uniq.size, np.float64)
+    np.maximum.at(best, inv, ss)
+    total = np.zeros(uniq.size, np.float64)
+    np.add.at(total, inv, ss)
+    final = best + tie_breaker * (total - best)
+    return _select_topk(final, uniq, k)
+
+
+def boosting_topk(
+    reader: IndexReader,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES boosting query: docs are ranked by the ``positive`` query's BM25
+    score, but any doc that ALSO matches the ``negative`` query keeps its
+    place in the match set with its score multiplied by ``negative_boost``
+    — demotion without exclusion (the must_not alternative when the bad
+    signal should lower, not remove). The negative side is filter-context:
+    one posting fetch, no scoring."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    base = TermAtATimeScorer(r).score(positive, int(r.n_docs) or 1, live=live)
+    if not base:
+        return []
+    neg_terms = sorted(set(tokenize_text(negative)))
+    postings = r.fetch_postings(neg_terms) if neg_terms else {}
+    _, doc_ids = r.doc_arrays()
+    neg_ids = (
+        np.unique(doc_ids[np.concatenate([p[0] for p in postings.values()])])
+        if postings
+        else np.empty(0, np.int64)
+    )
+    ds = np.fromiter((d for d, _ in base), np.int64, len(base))
+    ss = np.fromiter((s for _, s in base), np.float64, len(base))
+    demoted = np.isin(ds, neg_ids)
+    final = np.where(demoted, ss * negative_boost, ss)
+    return _select_topk(final, ds, k)
+
+
+def constant_score_match(
+    reader: IndexReader,
+    query: str,
+    boost: float = 1.0,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES constant_score query: the wrapped query runs in FILTER context
+    (any-term match, no BM25, cacheable at scale) and every matching doc
+    scores exactly ``boost``. All scores tie, so top-k under the engine-wide
+    (score desc, doc_id asc) tie-break is the k smallest matching doc_ids."""
+    terms = sorted(set(tokenize_text(query)))
+    ids = _expansion_docs(reader, terms, live)
+    ids = ids[:k] if k is not None else ids
+    return [(int(d), float(boost)) for d in ids]
+
+
+def msearch(
+    reader: IndexReader,
+    queries: list[str],
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[list[tuple[int, float]]]:
+    """ES _msearch API: N independent searches answered in one call. The
+    serving-node win is amortization — one reader (arrays, dict, liveness)
+    serves every subquery; at the Spark layer the same batching folds N
+    queries' term fetches into one ``term IN (...)`` pushdown scan."""
+    if live is None:
+        live = getattr(reader, "_live", None)
+    return [TermAtATimeScorer(reader).score(q, k, live=live) for q in queries]

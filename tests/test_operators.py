@@ -235,3 +235,45 @@ def test_pq_codes_and_adc_match_numpy_twin(spark, registry):
     l2_top10 = [int(ids[i]) for i in order if ids[i] != 0][:10]
     pq50 = pq_adc_pandas(emb, 0, 50)
     assert len(set(pq50) & set(l2_top10)) >= 3
+
+
+def test_dis_max_boosting_msearch_semantics(spark):
+    """ES-semantics invariants on the new query surfaces: dis_max with
+    tie_breaker=0 is the per-doc best clause score; boosting with
+    negative_boost=1.0 degenerates to the positive query; msearch equals
+    the per-query searches; constant_score hits are doc_id-ascending with
+    the constant score."""
+    from search_replica_spark.operators.fulltext import _index_dir_for, _OrigIdReader
+    from search_replica_spark.query.bm25 import (
+        TermAtATimeScorer,
+        boosting_topk,
+        constant_score_match,
+        dis_max_topk,
+        msearch,
+    )
+
+    idx = _index_dir_for(spark, SF_DIR)
+    rd = _OrigIdReader(spark, idx)
+    q1, q2 = "spark join", "window hash"
+
+    s1 = dict(TermAtATimeScorer(rd).score(q1, int(rd.n_docs)))
+    s2 = dict(TermAtATimeScorer(rd).score(q2, int(rd.n_docs)))
+    got = dis_max_topk(rd, [q1, q2], 10, tie_breaker=0.0)
+    for d, s in got:
+        assert s == pytest.approx(max(s1.get(d, 0.0), s2.get(d, 0.0)))
+
+    assert boosting_topk(rd, q1, "hash", negative_boost=1.0, k=10) == (
+        TermAtATimeScorer(rd).score(q1, 10)
+    )
+    # a demoted doc never outranks its undemoted self
+    demoted = dict(boosting_topk(rd, q1, "hash", negative_boost=0.25, k=int(rd.n_docs)))
+    for d, s in demoted.items():
+        assert s <= s1[d] + 1e-12
+
+    ms = msearch(rd, [q1, q2], 5)
+    assert ms[0] == TermAtATimeScorer(rd).score(q1, 5)
+    assert ms[1] == TermAtATimeScorer(rd).score(q2, 5)
+
+    cs = constant_score_match(rd, "spark window", boost=1.5, k=25)
+    ids = [d for d, _ in cs]
+    assert ids == sorted(ids) and all(s == 1.5 for _, s in cs)
