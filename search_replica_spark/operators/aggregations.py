@@ -382,3 +382,78 @@ def agg_value_count_weighted_avg(spark, sf_dir):
             " * 1000000) DIV sum(doc_id % 10 + 1) AS BIGINT)"
         ).alias("weighted_avg_micro"),
     )
+
+
+# ES PIPELINE aggregations — second-pass aggs over another agg's buckets:
+# derivative, cumulative_sum, and moving_fn (trailing 3-bucket average)
+# chained onto a date_histogram. The pipeline pass runs over n_buckets
+# rows (already reduced by the histogram's map-side partial agg + one
+# shuffle), so the global window here is post-aggregation and O(buckets),
+# not O(corpus) — the same cost shape ES's reduce phase has. The moving
+# average is integer-scaled micro (quotient form) so the value-hash is
+# bit-stable cross-engine.
+@register(
+    "agg_pipeline_day",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT bucket_start, doc_count,
+              doc_count - lag(doc_count) OVER (ORDER BY bucket_start) AS derivative,
+              CAST(sum(doc_count) OVER (ORDER BY bucket_start
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative,
+              CAST((sum(doc_count) OVER w3 // count(*) OVER w3) * 1000000
+                   + ((sum(doc_count) OVER w3 % count(*) OVER w3) * 1000000)
+                     // count(*) OVER w3 AS BIGINT) AS moving_avg3_micro
+       FROM h
+       WINDOW w3 AS (ORDER BY bucket_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY bucket_start""",
+)
+def agg_pipeline_day(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    w = Window.orderBy("bucket_start")
+    w3 = w.rowsBetween(-2, 0)
+    return (
+        h.withColumn("s3", F.sum("doc_count").over(w3))
+        .withColumn("n3", F.count("*").over(w3))
+        .select(
+            "bucket_start",
+            "doc_count",
+            (F.col("doc_count") - F.lag("doc_count").over(w)).alias("derivative"),
+            F.sum("doc_count")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cumulative"),
+            F.expr("(s3 DIV n3) * 1000000 + ((s3 % n3) * 1000000) DIV n3").alias(
+                "moving_avg3_micro"
+            ),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+# ES max_bucket sibling pipeline agg: which bucket of the histogram has
+# the largest doc_count ({"max_bucket": {"buckets_path": "days>_count"}}).
+@register(
+    "agg_max_bucket_day",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT bucket_start AS key, doc_count AS value FROM h
+       ORDER BY doc_count DESC, bucket_start LIMIT 1""",
+)
+def agg_max_bucket_day(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    return (
+        h.select(F.col("bucket_start").alias("key"), F.col("doc_count").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("key").asc())
+        .limit(1)
+    )

@@ -305,3 +305,27 @@ def text_quality_gate(spark, sf_dir):
             & (uniq >= GATE_MIN_UNIQ)
         ).alias("keep"),
     )
+
+
+# PII scrubbing for training data: mask identifier-like digit runs (>=4
+# digits) and replace the direct identifier with a STABLE pseudonym (md5
+# prefix) so downstream joins/dedup still line up without exposing the
+# original key — the standard pre-training anonymization pass. Pure JVM
+# expressions (regexp_replace + md5), embarrassingly parallel, no shuffle;
+# at 100 TB this runs at scan speed with full column pruning. The digit
+# pattern is RE2-safe (no lookarounds) so the Spark and DuckDB regexes are
+# the same string.
+@register(
+    "pii_redact_customers",
+    r"""SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS name_redacted,
+               substr(md5(c_name), 1, 12) AS pseudonym
+        FROM customer ORDER BY c_custkey""",
+)
+def pii_redact_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]{4,}", "[ID]").alias("name_redacted"),
+        F.md5("c_name").substr(1, 12).alias("pseudonym"),
+    ).orderBy("c_custkey")

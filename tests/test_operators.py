@@ -37,6 +37,9 @@ def test_registry_complete(registry):
         ("doc_winnow_fingerprint", 1),
         ("ann_cosine_top10", 1),
         ("mm_image_meta", 1),
+        ("agg_pipeline_day", 1),
+        ("agg_max_bucket_day", 1),
+        ("pii_redact_customers", 1),
     ],
 )
 def test_operator_runs(spark, registry, name, min_rows):
