@@ -95,6 +95,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="Lucene-style merge policy: collapse generations when "
                          "the count exceeds this (merge uses index data only)")
 
+    rp = sub.add_parser(
+        "replicate",
+        help="multi-table replication into one index from a JSON config "
+        "(topo-ordered main + inline child streams — the reference's "
+        "whole-database replication loop, replication.go:237-367)",
+    )
+    rp.add_argument("--index-dir", required=True)
+    rp.add_argument(
+        "--config", required=True,
+        help='JSON file: {"<table>": {"input_dir": ..., "schema": "<DDL>", '
+        '"kind": "main"|"inline", "parent": "<table>", ...}}',
+    )
+    rp.add_argument(
+        "--trigger", default="availableNow",
+        help='"availableNow" (drain in topo order, then exit) or a '
+        'processingTime interval like "5 seconds" (run until killed)',
+    )
+
     m = sub.add_parser(
         "metrics",
         help="print the replication-loop metrics surface (K9 — the "
@@ -259,6 +277,24 @@ def main(argv: list[str] | None = None) -> int:
         q = index_stream(spark, args.input_dir, args.index_dir, schema, trigger=trig,
                          max_generations=args.max_generations)
         q.awaitTermination()
+    elif args.cmd == "replicate":
+        import json as _json
+
+        from search_replica_spark.streaming.orchestrate import replicate_tables
+
+        with open(args.config) as f:
+            tables = _json.load(f)
+        trig = (
+            {"availableNow": True}
+            if args.trigger == "availableNow"
+            else {"processingTime": args.trigger}
+        )
+        handles = replicate_tables(
+            spark, tables, args.index_dir, trigger=trig
+        )
+        if args.trigger != "availableNow":
+            for q in handles.values():
+                q.awaitTermination()
     return 0
 
 

@@ -34,7 +34,7 @@ from search_replica_spark.streaming.incremental import GENS_FILE, _load_gens
 # index resumes replication with FRESH streams (epoch watermarks are
 # stripped below to match), and hardlinked checkpoint files would let the
 # live stream write through shared inodes into the snapshot
-EXCLUDE = ("_checkpoint", "_inline_checkpoint")
+EXCLUDE = ("_checkpoint", "_inline_checkpoint", "_checkpoint_*")
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -48,7 +48,13 @@ def _copytree(src: str, dst: str, exclude: tuple = ()) -> int:
     n = 0
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(src):
-        if name in exclude or name.endswith(".tmp"):
+        if (
+            name in exclude
+            or name.endswith(".tmp")
+            # "<prefix>*" entries exclude by prefix (per-table stream
+            # checkpoints: _checkpoint_<source_name>)
+            or any(e.endswith("*") and name.startswith(e[:-1]) for e in exclude)
+        ):
             continue
         s, d = os.path.join(src, name), os.path.join(dst, name)
         if os.path.isdir(s):

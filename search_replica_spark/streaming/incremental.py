@@ -471,6 +471,7 @@ def apply_inline_updates(
     epoch_id: int | None = None,
     field_kind: str = "array",
     dry_run: bool = False,
+    epoch_source: str = "inline",
 ):
     """Streamed INLINE (denormalized-array) maintenance — the reference's
     live child-table replication into a parent doc's embedded array
@@ -686,7 +687,7 @@ def apply_inline_updates(
             if n_stub:
                 out = merged.unionByName(stubs)
     stats = add_generation(
-        spark, out, index_dir, cfg, epoch_id=epoch_id, epoch_source="inline"
+        spark, out, index_dir, cfg, epoch_id=epoch_id, epoch_source=epoch_source
     )
     merged.unpersist()
     if stubs is not None:
@@ -967,7 +968,8 @@ def _compute_metrics(index_dir: str) -> dict:
 def index_stream(spark, input_dir: str, index_dir: str, schema: str,
                  cfg: IndexConfig | None = None, trigger: dict | None = None,
                  max_generations: int | None = None,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 source_name: str = "main"):
     """Structured Streaming: parquet files arriving in input_dir → generations.
 
     trigger: ``{"availableNow": True}`` (default — drain what exists, then
@@ -1053,7 +1055,14 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
-    checkpoint = os.path.join(index_dir, "_checkpoint")
+    # ``source_name`` namespaces both the checkpoint dir and the epoch
+    # watermark, so N table streams can feed ONE index (replicate_tables);
+    # the default keeps the historical single-stream layout.
+    checkpoint = os.path.join(
+        index_dir,
+        "_checkpoint" if source_name == "main" else f"_checkpoint_{source_name}",
+    )
+    mkey = "" if source_name == "main" else f"{source_name}_"
 
     def process(batch_df, epoch_id: int):
         import time as _time
@@ -1062,18 +1071,22 @@ def index_stream(spark, input_dir: str, index_dir: str, schema: str,
             return
         t0 = _time.time()
         extra_cols, schema_checked = _check_batch_schema(int(epoch_id))
-        st = add_generation(spark, batch_df, index_dir, cfg, epoch_id=int(epoch_id))
+        st = add_generation(spark, batch_df, index_dir, cfg,
+                            epoch_id=int(epoch_id), epoch_source=source_name)
         if max_generations is not None:
             gens = _load_gens(index_dir)
             if len(gens) > max_generations and sum(1 for g in gens if g["dir"]) >= 1:
                 merge_generations(spark, index_dir, cfg)
         write_metrics(index_dir, {
-            "last_batch_docs": int(st.get("n_docs", 0)),
-            "last_batch_sec": round(_time.time() - t0, 3),
-            "last_batch_replayed": bool(st.get("replayed", False)),
-            **({"schema_extra_columns": extra_cols} if extra_cols else {}),
-            **({} if schema_checked else {"schema_check_skipped": 1}),
-            **slot_lag(index_dir, input_dir),
+            f"{mkey}last_batch_docs": int(st.get("n_docs", 0)),
+            f"{mkey}last_batch_sec": round(_time.time() - t0, 3),
+            f"{mkey}last_batch_replayed": bool(st.get("replayed", False)),
+            **({f"{mkey}schema_extra_columns": extra_cols} if extra_cols else {}),
+            **({} if schema_checked else {f"{mkey}schema_check_skipped": 1}),
+            **{f"{mkey}{k}": v for k, v in slot_lag(
+                index_dir, input_dir,
+                "_checkpoint" if source_name == "main"
+                else f"_checkpoint_{source_name}").items()},
         })
 
     return (
@@ -1089,7 +1102,8 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
                   child_pk: str = "ck", upsert_missing: bool = True,
                   trigger: dict | None = None,
                   max_files_per_trigger: int | None = None,
-                  field_kind: str = "array"):
+                  field_kind: str = "array",
+                  source_name: str = "inline"):
     """Continuous CHILD-table replication into parent docs' inline arrays —
     the streaming counterpart of the reference's live painless-script
     denormalization (postgres/inline.go:111-170): each micro-batch of child
@@ -1105,7 +1119,11 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
     the element payload columns, and optionally _change_type/_seq/
     _old_repo/_old_path (see ``apply_inline_updates``).
     """
-    checkpoint = os.path.join(index_dir, "_inline_checkpoint")
+    ckname = (
+        "_inline_checkpoint" if source_name == "inline"
+        else f"_checkpoint_{source_name}"
+    )
+    checkpoint = os.path.join(index_dir, ckname)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1120,7 +1138,7 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
         st = apply_inline_updates(
             spark, batch_df, index_dir, cfg, field=field, child_pk=child_pk,
             upsert_missing=upsert_missing, epoch_id=int(epoch_id),
-            field_kind=field_kind,
+            field_kind=field_kind, epoch_source=source_name,
         )
         write_metrics(index_dir, {
             "last_inline_batch_parents": int(st.get("inline_parents_updated", 0))
@@ -1129,8 +1147,8 @@ def inline_stream(spark, input_dir: str, index_dir: str, schema: str,
             "last_batch_docs": int(st.get("n_docs", 0)),
             "last_batch_sec": round(_time.time() - t0, 3),
             "last_batch_replayed": bool(st.get("replayed", False)),
-            **{f"inline_{k}": v for k, v in
-               slot_lag(index_dir, input_dir, "_inline_checkpoint").items()},
+            **{f"{source_name}_{k}": v for k, v in
+               slot_lag(index_dir, input_dir, ckname).items()},
         })
 
     return (

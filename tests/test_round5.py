@@ -613,3 +613,95 @@ def test_derive_index_cfg_restores_input_columns(spark, tmp_path):
     st = apply_inline_updates(spark, ch, idx, None)
     assert st["inline_parents_updated"] == 1
     assert _inline_state(spark, idx)["p0"] == [(3, "derived")]
+
+
+def test_replicate_tables_topo_multi_table(spark, tmp_path):
+    """Multi-table CDC orchestration (replication.go:237-367 +
+    config.go:56-87): one index, a main-table stream and a child-table
+    stream, drained parent-first. upsert_missing=False makes the ordering
+    load-bearing — if the child stream ran before the main stream drained,
+    every child edit would no-op and the final state assert would fail."""
+    from search_replica_spark.plans.topo import CycleError
+    from search_replica_spark.streaming.incremental import _load_gens
+    from search_replica_spark.streaming.orchestrate import replicate_tables
+
+    idx = str(tmp_path / "idx")
+    main_src = str(tmp_path / "main_cdc")
+    child_src = str(tmp_path / "child_cdc")
+    cfg = _cfg()
+    # child events land on disk BEFORE any parent exists in the index
+    children = [
+        ("r1", f"p{i % 7}", 100 + i, f"v{i}", None, None, None, i)
+        for i in range(12)
+    ]
+    spark.createDataFrame(children, CHILD_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(child_src)
+    spark.createDataFrame(
+        [("r1", f"p{i}", "c0", "go", f"parent token{i}", []) for i in range(7)],
+        PARENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(main_src)
+    spark.createDataFrame(
+        [("r2", f"q{i}", "c0", "go", f"extra token{i}", []) for i in range(3)],
+        PARENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(main_src)
+
+    tables = {
+        "items": {
+            "input_dir": child_src, "schema": CHILD_SCHEMA, "kind": "inline",
+            "parent": "docs", "upsert_missing": False,
+        },
+        "docs": {"input_dir": main_src, "schema": PARENT_SCHEMA},
+    }
+    replicate_tables(spark, tables, idx, cfg)
+
+    exp = {f"p{i}": [] for i in range(7)}
+    exp.update({f"q{i}": [] for i in range(3)})
+    for i in range(12):
+        exp[f"p{i % 7}"].append((100 + i, f"v{i}"))
+    assert _inline_state(spark, idx) == {p: sorted(v) for p, v in exp.items()}
+
+    gens = _load_gens(idx)
+    assert {g.get("epoch_source") for g in gens if g["dir"]} == {"docs", "items"}
+    # per-table checkpoints exist and stay out of snapshots
+    import os
+
+    assert os.path.isdir(os.path.join(idx, "_checkpoint_docs"))
+    assert os.path.isdir(os.path.join(idx, "_checkpoint_items"))
+    from search_replica_spark.snapshot import snapshot_index
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(idx, snap)
+    for root, dirs, _files in os.walk(snap):
+        assert not [d for d in dirs if d.startswith("_checkpoint")], root
+
+    # a replay drains nothing new (both watermarks already committed)
+    n = len(gens)
+    replicate_tables(spark, tables, idx, cfg)
+    assert len(_load_gens(idx)) == n
+
+    # cfg=None derives a store_source config from the main table's schema
+    # (the CLI path: `replicate --config cfg.json` passes no IndexConfig)
+    idx_auto = str(tmp_path / "idx_auto")
+    t2 = {n: dict(s) for n, s in tables.items()}
+    t2["items"]["upsert_missing"] = True
+    replicate_tables(spark, t2, idx_auto)
+    assert _inline_state(spark, idx_auto)["p0"] == sorted(exp["p0"])
+
+    # config validation: inline without a configured parent, and cycles
+    with pytest.raises(ValueError):
+        replicate_tables(
+            spark,
+            {"items": {"input_dir": child_src, "schema": CHILD_SCHEMA,
+                       "kind": "inline"}},
+            str(tmp_path / "idx2"), cfg,
+        )
+    with pytest.raises(CycleError):
+        replicate_tables(
+            spark,
+            {"a": {"input_dir": main_src, "schema": PARENT_SCHEMA,
+                   "kind": "inline", "parent": "b", "field": "inlined"},
+             "b": {"input_dir": main_src, "schema": PARENT_SCHEMA,
+                   "kind": "inline", "parent": "a", "field": "inlined"}},
+            str(tmp_path / "idx3"), cfg,
+        )
