@@ -236,8 +236,8 @@ def main():
     # --- 3. operator queries at the sf dir ---
     reg = all_registered()
     for name in ("ft_bm25_sql_top10", "dedup_minhash_lsh", "ann_cosine_top10",
-                 "p11_inline_denorm", "p16_lastwins_dedup", "ft_df_stats",
-                 "dedup_embedding_lsh", "dedup_simhash_hamming"):
+                 "ann_pq_adc_top10", "p11_inline_denorm", "p16_lastwins_dedup",
+                 "ft_df_stats", "dedup_embedding_lsh", "dedup_simhash_hamming"):
         fn, _ = reg[name]
         t = time.time()
         df = fn(spark, sf_dir)

@@ -1414,3 +1414,31 @@ def ft_msearch_top5(spark, sf_dir):
         for d, s in hits
     ]
     return spark.createDataFrame(rows, "qid int, doc_id long, score double")
+
+
+# terms_set: minimum_should_match gate over a term list — docs matching
+# >= 2 of {hash, spark, window}, scored as the sum of matched
+# contributions (ES terms_set semantics). Reuses the per-(doc, term)
+# contribution CTE the dis_max family shares.
+_TERMS_SET_SQL = (
+    _DM_CTES
+    + """
+SELECT doc_id, round(sum(c), 6) AS score FROM w
+WHERE term IN ('hash', 'spark', 'window')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+ORDER BY sum(c) DESC, doc_id LIMIT 10
+"""
+)
+
+
+@register("ft_terms_set_top10", _TERMS_SET_SQL)
+def ft_terms_set_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import terms_set_topk
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = terms_set_topk(
+        _OrigIdReader(spark, idx), ["hash", "spark", "window"], min_match=2, k=10
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
+    )

@@ -112,6 +112,11 @@ CHECKS = {
         "avoid": ["Window"],
         "why": "global running token sum via the two-pass partition-offset pattern (range partition + local cumsum from O(P) driver offsets) — a global-window formulation would funnel 10^12 rows through ONE partition's sort",
     },
+    "ann_pq_adc": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "why": "PQ ADC search: the (M×K) codebook and the query's M subvectors BROADCAST against the per-vector codes — the probe is a narrow-column broadcast-join pipeline over ~4-byte codes, never a shuffle of raw vectors or an all-pairs product",
+    },
     "b8b_routing_partition_pruning": {
         "want": ["PartitionFilters: [isnotnull(bucket", "PushedFilters: [IsNotNull(o_custkey"],
         "avoid": ["CartesianProduct"],
@@ -209,6 +214,7 @@ def main():
         apply_inline_updates(spark, child, inl_idx, None, dry_run=True)
     )
 
+    plans["ann_pq_adc"] = plan_of(reg["ann_pq_adc_top10"][0](spark, sf_dir))
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
     plans["dedup_simhash_hamming"] = plan_of(reg["dedup_simhash_hamming"][0](spark, sf_dir))

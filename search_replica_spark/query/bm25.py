@@ -2072,3 +2072,49 @@ def msearch(
     if live is None:
         live = getattr(reader, "_live", None)
     return [TermAtATimeScorer(reader).score(q, k, live=live) for q in queries]
+
+
+def terms_set_topk(
+    reader: IndexReader,
+    terms: list[str],
+    min_match: int,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES terms_set query: docs matching at least ``min_match`` DISTINCT
+    terms of the list qualify; each qualifying doc scores the sum of its
+    matched terms' BM25 contributions (bool/should scoring behind a
+    minimum_should_match gate). One multi-term posting fetch; the
+    distinct-match count and score both fall out of one segmented pass
+    over the concatenated postings."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    want = sorted({t for q in terms for t in tokenize_text(q)})
+    if not want:
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    postings = r.fetch_postings(want)
+    if len(postings) == 0:
+        return []
+    doc_parts, score_parts = [], []
+    for term in sorted(postings):
+        docs, tfs, _ = postings[term]
+        idf = r.idf(len(docs))
+        dl = doc_len[docs]
+        tf = tfs.astype(np.float64)
+        doc_parts.append(docs)
+        score_parts.append(idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))))
+    all_docs = np.concatenate(doc_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(uniq.size, np.float64)
+    np.add.at(sums, inv, np.concatenate(score_parts))
+    nmatch = np.zeros(uniq.size, np.int64)
+    np.add.at(nmatch, inv, np.ones(all_docs.size, np.int64))  # postings are distinct per term
+    matched = nmatch >= int(min_match)
+    if live is not None:
+        matched &= live[uniq]
+    idxs = uniq[matched]
+    if idxs.size == 0:
+        return []
+    return _select_topk(sums[matched], doc_ids[idxs], k)

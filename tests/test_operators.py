@@ -280,3 +280,29 @@ def test_dis_max_boosting_msearch_semantics(spark):
     cs = constant_score_match(rd, "spark window", boost=1.5, k=25)
     ids = [d for d, _ in cs]
     assert ids == sorted(ids) and all(s == 1.5 for _, s in cs)
+
+
+def test_terms_set_min_match_bounds(spark):
+    """terms_set degenerates to the bool/should OR query at min_match=1 and
+    to operator:and at min_match=len(terms); intermediate thresholds are a
+    subset of the OR match set with unchanged per-doc scores."""
+    from search_replica_spark.operators.fulltext import _index_dir_for, _OrigIdReader
+    from search_replica_spark.query.bm25 import TermAtATimeScorer, terms_set_topk
+
+    idx = _index_dir_for(spark, SF_DIR)
+    rd = _OrigIdReader(spark, idx)
+    terms = ["hash", "spark", "window"]
+    n = int(rd.n_docs)
+
+    tata = TermAtATimeScorer(rd)
+    assert terms_set_topk(rd, terms, min_match=1, k=n) == tata.score(
+        " ".join(terms), n, mode="or"
+    )
+    assert terms_set_topk(rd, terms, min_match=len(terms), k=n) == tata.score(
+        " ".join(terms), n, mode="and"
+    )
+    or_scores = dict(tata.score(" ".join(terms), n, mode="or"))
+    mid = terms_set_topk(rd, terms, min_match=2, k=n)
+    assert 0 < len(mid) < len(or_scores)
+    for d, s in mid:
+        assert s == pytest.approx(or_scores[d])
