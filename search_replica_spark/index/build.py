@@ -399,18 +399,56 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     seg = seg.repartition(P, "term").sortWithinPartitions("term", "block_id")
     seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
 
-    # enrich the dictionary with each term's global max block score: the
-    # block-max-pruned query plan needs gmax per query term, and carrying
-    # it in the dict turns that from a per-QUERY segment-metadata job into
-    # a one-off per-BUILD aggregation (a column-pruned scan of two tiny
-    # segment columns). Written fresh and swapped in — the stage owns the
-    # directory until it returns, so the swap is invisible to readers.
-    gmax_tbl = (
-        spark.read.parquet(os.path.join(out, "segments"))
-        .groupBy("term")
-        .agg(F.max("max_score").alias("gmax"))
+    spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
+
+
+def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict, t0: float) -> dict:
+    P = cfg.shuffle_partitions
+    segdf = spark.read.parquet(os.path.join(out, "segments"))
+    # ONE scan of segments/ feeds both finalize products: the per-file
+    # lineage AND the per-term gmax (the block-max-pruned plan's dict
+    # enrichment). Segments are hash-partitioned by term, so the
+    # (file, term) pre-aggregate has exactly one row per term — small
+    # enough to re-aggregate both ways without touching the (heavy)
+    # binary columns again. Fusing these saves a full extra segments job
+    # per build vs computing gmax in its own pass.
+    termlin_dir = os.path.join(out, "_termlin")
+    (
+        segdf.groupBy(F.input_file_name().alias("file"), "term")
+        .agg(
+            F.count("*").alias("blocks"),
+            F.sum("n").alias("postings_emitted"),
+            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias(
+                "bytes_compressed"
+            ),
+            F.max("max_score").alias("gmax"),
+        )
+        .write.mode("overwrite")
+        .parquet(termlin_dir)
     )
+    tl = spark.read.parquet(termlin_dir)
+    # per-partition lineage: one row per output file (= shuffle partition)
+    lineage = tl.groupBy("file").agg(
+        F.sum("blocks").alias("blocks"),
+        F.sum("postings_emitted").alias("postings_emitted"),
+        F.sum("bytes_compressed").alias("bytes_compressed"),
+        F.count("*").alias("terms"),  # one termlin row per (file, term)
+    ).withColumn("stage", F.lit("segments"))
+    lineage.write.mode("overwrite").parquet(os.path.join(out, "lineage"))
+
+    # dict gmax enrichment — idempotent (finalize re-runs on resume, and
+    # the dict may already carry gmax from a crashed earlier finalize).
+    # Written fresh and renamed in; the index is not adopted (stats.json)
+    # until after the swap, so readers never observe the gmax-less dict.
     dict_new = os.path.join(out, "_dict_gmax")
+    if not os.path.exists(os.path.join(out, "dict")) and os.path.exists(dict_new):
+        # crash window on a prior finalize: dict/ removed, rename pending
+        os.rename(dict_new, os.path.join(out, "dict"))
+    dict_df = spark.read.parquet(os.path.join(out, "dict"))
+    if "gmax" in dict_df.columns:
+        dict_df = dict_df.drop("gmax")
+    gmax_tbl = tl.groupBy("term").agg(F.max("gmax").alias("gmax"))
     (
         dict_df.join(gmax_tbl, "term", "left")
         .repartitionByRange(min(P, 8), "term")
@@ -420,21 +458,7 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
     )
     shutil.rmtree(os.path.join(out, "dict"))
     os.rename(dict_new, os.path.join(out, "dict"))
-
-    spark.conf.set("spark.sql.shuffle.partitions", old_width)
-    return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
-
-
-def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict, t0: float) -> dict:
-    segdf = spark.read.parquet(os.path.join(out, "segments"))
-    # per-partition lineage: one row per output file (= shuffle partition)
-    lineage = segdf.groupBy(F.input_file_name().alias("file")).agg(
-        F.count("*").alias("blocks"),
-        F.sum("n").alias("postings_emitted"),
-        (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias("bytes_compressed"),
-        F.countDistinct("term").alias("terms"),
-    ).withColumn("stage", F.lit("segments"))
-    lineage.write.mode("overwrite").parquet(os.path.join(out, "lineage"))
+    shutil.rmtree(termlin_dir, ignore_errors=True)
 
     lin = spark.read.parquet(os.path.join(out, "lineage")).agg(
         F.sum("postings_emitted").alias("p"),
