@@ -359,6 +359,105 @@ def ft_bm25_phrase_slop_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+SPAN_TERMS = ("row", "scan", "batch")  # ordered 3-term chain; slop below
+SPAN_SLOP = 3
+
+
+def _span_near_sql(limit: int) -> str:
+    """DuckDB twin of span_near_topk (ordered): greedy forward chain — for
+    each occurrence p0 of the first term take the FIRST later occurrence of
+    the second (p1), then the first occurrence of the third after p1 (p2);
+    width = p2−p0−2, weight 1/(width+1) for width ≤ slop, BM25 over the
+    weight sum with summed idfs (same scoring family as the phrase twins)."""
+    t0, t1, t2 = SPAN_TERMS
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(SPAN_TERMS)))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN ({terms_in}) GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS v
+           FROM df CROSS JOIN stats),
+a AS (SELECT doc_id, ord FROM tok WHERE term = '{t0}'),
+b AS (SELECT doc_id, ord FROM tok WHERE term = '{t1}'),
+c AS (SELECT doc_id, ord FROM tok WHERE term = '{t2}'),
+s1 AS (SELECT a.doc_id, a.ord AS p0, min(b.ord) AS p1
+       FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord > a.ord
+       GROUP BY a.doc_id, a.ord),
+s2 AS (SELECT s1.doc_id, s1.p0, min(c.ord) AS p2
+       FROM s1 JOIN c ON c.doc_id = s1.doc_id AND c.ord > s1.p1
+       GROUP BY s1.doc_id, s1.p0),
+ptf AS (SELECT doc_id, sum(1.0 / (p2 - p0 - 2 + 1)) AS ptf FROM s2
+        WHERE p2 - p0 - 2 <= {SPAN_SLOP} GROUP BY doc_id)
+SELECT ptf.doc_id,
+       round(idfsum.v * ptf.ptf
+             / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY idfsum.v * ptf.ptf / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         ptf.doc_id
+LIMIT {limit}
+"""
+
+
+# B5s: ES span_near (ordered, slop) — the Lucene span-query family, over
+# the same positional index as the phrase entries.
+@register("ft_span_near_top10", _span_near_sql(10))
+def ft_span_near_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import span_near_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = span_near_topk(
+        _OrigIdReader(spark, idx), list(SPAN_TERMS), 10, slop=SPAN_SLOP
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+SPAN_FIRST_TERM, SPAN_FIRST_END = "customer", 2  # first 2 token positions
+
+
+def _span_first_sql(limit: int) -> str:
+    """DuckDB twin of span_first_topk: docs whose term occurs within the
+    first ``end`` positions (engine positions are 0-based, DuckDB ord is
+    1-based ⇒ ord ≤ end), tf = early-occurrence count, plain BM25 term
+    scoring."""
+    t, end = SPAN_FIRST_TERM, SPAN_FIRST_END
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}'),
+e AS (SELECT doc_id, count(*) AS tf FROM tok
+      WHERE term = '{t}' AND ord <= {end} GROUP BY doc_id)
+SELECT e.doc_id,
+       round(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) * e.tf
+             / (e.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM e JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+ORDER BY ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) * e.tf
+         / (e.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         e.doc_id
+LIMIT {limit}
+"""
+
+
+# B5t: ES span_first — early-position gate over the positional index.
+@register("ft_span_first_top10", _span_first_sql(10))
+def ft_span_first_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import span_first_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = span_first_topk(
+        _OrigIdReader(spark, idx), SPAN_FIRST_TERM, SPAN_FIRST_END, 10
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 class _OrigIdReader:
     """IndexReader whose doc_ids are the SOURCE doc_ids (parsed back from the
     indexed path column), so every scorer tie-break (score desc, doc_id asc)

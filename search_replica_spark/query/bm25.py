@@ -818,6 +818,131 @@ def phrase_topk(
     return _select_topk(scores, doc_ids[idxs], k)
 
 
+def span_near_topk(
+    reader: IndexReader,
+    terms: list[str],
+    k: int = 10,
+    slop: int = 0,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``span_near`` (ordered) over a positional index — the Lucene
+    SpanNearQuery family (reference delegates it to ES with the rest of the
+    query DSL, search/README §"Search"). Spec (deliberately simpler than
+    Lucene's span iterator, chosen to be exactly reproducible in SQL):
+
+    for each occurrence p0 of terms[0], greedily chain forward — p1 = the
+    FIRST position of terms[1] strictly after p0, p2 = the first position
+    of terms[2] strictly after p1, … A chain that completes is a span of
+    width w = p_last − p0 − (m−1) (w = 0 ⇔ consecutive). Spans with
+    w ≤ slop contribute weight 1/(w+1); ptf is the weight sum and the doc
+    scores like a phrase:  (Σ_t idf(t)) · ptf / (ptf + k1·(1−b+b·dl/avgdl)).
+
+    ``in_order=false`` is intentionally unsupported: unordered span
+    enumeration is iterator-order-defined in Lucene and has no clean
+    declarative twin. Requires IndexConfig(store_positions=True)."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    qterms = [t for q in terms for t in tokenize_text(q)]
+    if len(qterms) < 2:
+        return []
+    uniq = sorted(set(qterms))
+    per_term = _fetch_positional(r, uniq)
+    if per_term is None or any(t not in per_term for t in qterms):
+        return []
+    doc_len, doc_ids = r.doc_arrays()
+    cand = per_term[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
+    if cand.size == 0:
+        return []
+    idf_sum = sum(r.idf(len(per_term[t][0])) for t in qterms)
+
+    # Same shifted-flat-array trick as phrase_topk: per-candidate positions
+    # shifted by doc_rank·BIG keep the concatenation globally sorted, so the
+    # whole greedy chain is ONE searchsorted per query term — a neighbor
+    # from an adjacent doc lands ≥ BIG away and can never pass the slop
+    # gate. A +inf sentinel absorbs chains that run off the end.
+    max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
+    big = np.int64(2 * (max_pos + len(qterms)) + slop + 2)
+    base_pos, base_rank, _ = _gather_cand_positions(per_term, qterms[0], cand)
+    if base_pos.size == 0:
+        return []
+    cur = base_pos + base_rank * big
+    base_sh = cur
+    sentinel = np.int64(np.iinfo(np.int64).max // 2)
+    shifted_cache: dict[str, np.ndarray] = {}
+    for t in qterms[1:]:
+        if t not in shifted_cache:
+            tpos, trank, _ = _gather_cand_positions(per_term, t, cand)
+            shifted_cache[t] = np.append(tpos + trank * big, sentinel)
+        tp = shifted_cache[t]
+        # strictly-after: side='right' lands on the first element > cur.
+        # A chain already parked on the sentinel would index past the end —
+        # clip back onto the sentinel slot (width stays ≫ slop).
+        cur = tp[np.minimum(np.searchsorted(tp, cur, side="right"), tp.size - 1)]
+    width = cur - base_sh - np.int64(len(qterms) - 1)
+    ok = width <= slop  # incomplete chains hit the sentinel ⇒ width ≫ slop
+    if not ok.any():
+        return []
+    w = 1.0 / (width[ok].astype(np.float64) + 1.0)
+    ptf = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(ptf, base_rank[ok], w)  # in-occurrence-order, like phrase_topk
+    hit = ptf > 0.0
+    idxs = cand[hit]
+    pt = ptf[hit]
+    dl = doc_len[idxs]
+    scores = idf_sum * pt / (pt + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))
+    return _select_topk(scores, doc_ids[idxs], k)
+
+
+def span_first_topk(
+    reader: IndexReader,
+    term: str,
+    end: int,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``span_first``: match docs whose ``term`` occurs within the first
+    ``end`` token positions (0-based: position < end), tf = the count of
+    such early occurrences, scored with the ordinary BM25 term formula.
+    Requires IndexConfig(store_positions=True)."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    toks = tokenize_text(term)
+    if len(toks) != 1:
+        raise ValueError("span_first takes a single-term clause")
+    t = toks[0]
+    per_term = _fetch_positional(r, [t])
+    if per_term is None or t not in per_term:
+        return []
+    docs, counts, flat = per_term[t]
+    # per-posting early-occurrence count: positions are flat in posting
+    # order, so one reduceat over (pos < end) gives tf_early per doc
+    early = (flat < end).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nz = counts > 0
+    tf_early = np.zeros(docs.size, dtype=np.int64)
+    if nz.any():
+        segsum = np.add.reduceat(early, starts[nz])
+        tf_early[nz] = segsum
+    mask = tf_early > 0
+    if live is not None:
+        mask &= live[docs]
+    idxs = docs[mask]
+    if idxs.size == 0:
+        return []
+    idf = r.idf(len(docs))
+    tf = tf_early[mask].astype(np.float64)
+    dl = reader.doc_arrays()[0][idxs]
+    scores = idf * tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))
+    return _select_topk(scores, reader.doc_arrays()[1][idxs], k)
+
+
 def _raise_no_positions():
     raise ValueError(
         "phrase queries need a positional index — build with "

@@ -705,3 +705,125 @@ def test_replicate_tables_topo_multi_table(spark, tmp_path):
                    "kind": "inline", "parent": "a", "field": "inlined"}},
             str(tmp_path / "idx3"), cfg,
         )
+
+
+def test_span_near_matches_python_reference(spark, tmp_path):
+    """span_near_topk (ordered greedy-chain spec) vs an independent pure-
+    Python implementation, across slops and clause lengths; plus the
+    invariant that a 2-term span_near at slop=0 IS the exact phrase query."""
+    import math
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import IndexReader, phrase_topk, span_near_topk
+
+    c = generate_corpus(400)
+    out = str(tmp_path / "spidx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, store_positions=True))
+    rd = IndexReader(spark, out)
+
+    toks = {doc_id_of(r.repo, r.path): tokenize_text(r.content) for r in c.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def canon(results):
+        return [(d, round(s, 9)) for d, s in results]
+
+    def py_span(terms, slop, k):
+        q = [t for w in terms for t in tokenize_text(w)]
+        df = {t: sum(1 for tk in toks.values() if t in set(tk)) for t in set(q)}
+        if any(df[t] == 0 for t in q):
+            return []
+        idf_sum = sum(math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in q)
+        hits = []
+        for d, tk in toks.items():
+            pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(q)}
+            import bisect
+            ptf = 0.0
+            for p0 in pos[q[0]]:
+                cur = p0
+                ok = True
+                for t in q[1:]:
+                    j = bisect.bisect_right(pos[t], cur)
+                    if j == len(pos[t]):
+                        ok = False
+                        break
+                    cur = pos[t][j]
+                if ok:
+                    w = cur - p0 - (len(q) - 1)
+                    if w <= slop:
+                        ptf += 1.0 / (w + 1)
+            if ptf:
+                dl = len(tk)
+                hits.append((d, idf_sum * ptf / (ptf + k1 * (1 - b + b * dl / avgdl))))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    cases = [
+        (["apache", "license"], 0),
+        (["apache", "license"], 2),
+        (["apache", "license", "version"], 0),
+        (["apache", "license", "version"], 3),
+        (["the", "apache", "license"], 4),
+        (["zzz", "license"], 3),          # absent first term
+    ]
+    matched_any = False
+    for terms, slop in cases:
+        got = canon(span_near_topk(rd, terms, 10, slop=slop))
+        want = canon(py_span(terms, slop, 10))
+        assert got == want, (terms, slop)
+        matched_any = matched_any or bool(got)
+    assert matched_any
+
+    # 2-term slop=0 degenerates to the exact phrase query bit-for-bit
+    got = canon(span_near_topk(rd, ["apache", "license"], 10, slop=0))
+    assert got == canon(phrase_topk(rd, "apache license", 10, slop=0))
+
+
+def test_span_first_matches_python_reference(spark, tmp_path):
+    """span_first_topk: early-position gate (pos < end), tf = early count,
+    plain BM25 term scoring — vs a pure-Python oracle."""
+    import math
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import IndexReader, span_first_topk
+
+    c = generate_corpus(300)
+    out = str(tmp_path / "sfidx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, store_positions=True))
+    rd = IndexReader(spark, out)
+
+    toks = {doc_id_of(r.repo, r.path): tokenize_text(r.content) for r in c.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def py_first(term, end, k):
+        df = sum(1 for tk in toks.values() if term in set(tk))
+        if df == 0:
+            return []
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        hits = []
+        for d, tk in toks.items():
+            tf = sum(1 for p, x in enumerate(tk) if x == term and p < end)
+            if tf:
+                dl = len(tk)
+                hits.append((d, idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    matched_any = False
+    for term, end in [("apache", 3), ("license", 8), ("def", 1), ("zzz", 5)]:
+        got = [(d, round(s, 9)) for d, s in span_first_topk(rd, term, end, 10)]
+        want = [(d, round(s, 9)) for d, s in py_first(term, end, 10)]
+        assert got == want, (term, end)
+        matched_any = matched_any or bool(got)
+    assert matched_any
