@@ -329,3 +329,136 @@ def pii_redact_customers(spark, sf_dir):
         F.regexp_replace("c_name", "[0-9]{4,}", "[ID]").alias("name_redacted"),
         F.md5("c_name").substr(1, 12).alias("pseudonym"),
     ).orderBy("c_custkey")
+
+
+# --- corpus-level duplicate-chunk fraction (RefinedWeb-style) ------------
+# The document-level "fraction of the text living in chunks that appear
+# verbatim elsewhere in the corpus" filter: tokens are cut into
+# NON-OVERLAPPING windows of DUP_CHUNK_TOKENS, each chunk is counted
+# corpus-wide, and a doc reports how much of it is duplicated material.
+# Exactly one wide shuffle (groupBy chunk) + one equi-join back — the
+# shape that survives 100 TB (chunk keys are high-cardinality, skew-free;
+# no pairwise comparisons anywhere). Complements dedup_* (whole-doc /
+# near-dup) and text_repetition_2gram (WITHIN-doc repetition): this one
+# measures CROSS-doc verbatim reuse below whole-doc granularity.
+DUP_CHUNK_TOKENS = 4
+
+_DUP_CHUNK_SQL = f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+ch AS (SELECT doc_id,
+              array_to_string(
+                a[(i - 1) * {DUP_CHUNK_TOKENS} + 1 : (i - 1) * {DUP_CHUNK_TOKENS} + {DUP_CHUNK_TOKENS}],
+                ' ') AS chunk
+       FROM arr, unnest(generate_series(1, len(a) // {DUP_CHUNK_TOKENS})) AS t(i)),
+g AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY chunk)
+SELECT ch.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN g.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       (1000000 * sum(CASE WHEN g.cnt >= 2 THEN 1 ELSE 0 END)) // count(*)
+         AS dup_frac_micro
+FROM ch JOIN g USING (chunk)
+GROUP BY ch.doc_id
+"""
+
+
+@register("text_dup_chunk_fraction", _DUP_CHUNK_SQL)
+def text_dup_chunk_fraction(spark, sf_dir):
+    C = DUP_CHUNK_TOKENS
+    d = load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("a"))
+    # Spark sequence(1, 0) is DESCENDING — gate short docs to an empty
+    # chunk list instead (docs with < C tokens emit no chunks, like the
+    # DuckDB generate_series twin)
+    idxs = F.when(
+        F.size("a") >= C, F.sequence(F.lit(1), (F.size("a") / C).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = arr.select(
+        "doc_id",
+        F.explode(idxs).alias("i"),
+        F.col("a"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("a", (F.col("i") - 1) * C + 1, C), " ").alias("chunk"),
+    )
+    g = ch.groupBy("chunk").agg(F.count("*").alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+    return (
+        ch.join(g, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.expr("(1000000 * sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)) DIV count(*)").alias("dup_frac_micro"),
+        )
+    )
+
+
+# --- corpus bigram LM scoring (CCNet-style quality signal) ---------------
+# Train an add-one-smoothed bigram language model ON the corpus itself and
+# score every doc by its average per-bigram negative log-likelihood — the
+# classic "perplexity vs the corpus LM" filter (CCNet buckets docs by LM
+# score; docs that look nothing like the collection score high). Spec kept
+# bit-reproducible: p(w2|w1) = (c12 + 1) / (c1 + V) with c1 = prefix
+# occurrences and V = distinct corpus tokens; each bigram's NLL is floored
+# to integer MICRO-NATS before aggregation, so the per-doc sums are exact
+# integer arithmetic (float summation order never matters) in both
+# engines. Plan shape: one explode, two groupBy shuffles (bigram model +
+# prefix counts), two equi-joins back — no driver-side model, scales to
+# any corpus the shuffle fits.
+_BIGRAM_NLL_SQL = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+       FROM arr, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+m AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+pf AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+sc AS (SELECT bi.doc_id,
+              CAST(floor(-ln((m.c12 + 1.0) / (pf.c1 + v.v)) * 1000000) AS BIGINT)
+                AS nll
+       FROM bi JOIN m USING (w1, w2) JOIN pf USING (w1) CROSS JOIN v)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(nll) AS BIGINT) AS sum_nll_micro,
+       CAST(sum(nll) AS BIGINT) // count(*) AS avg_nll_micro
+FROM sc GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm_nll", _BIGRAM_NLL_SQL)
+def text_bigram_lm_nll(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("a"))
+    # docs with < 2 tokens emit no bigrams (generate_series(1, 0) is empty
+    # in the twin; Spark's sequence would turn DESCENDING — filter instead)
+    bi = (
+        arr.where(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i - 1] AS w1, a[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    m = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pf = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = int(
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.countDistinct("term"))
+        .collect()[0][0]
+    )
+    sc = bi.join(m, ["w1", "w2"]).join(pf, "w1").select(
+        "doc_id",
+        F.floor(-F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(v))) * 1000000)
+        .cast("long")
+        .alias("nll"),
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll").alias("sum_nll_micro"),
+        F.expr("sum(nll) DIV count(*)").alias("avg_nll_micro"),
+    )

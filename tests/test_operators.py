@@ -306,3 +306,71 @@ def test_terms_set_min_match_bounds(spark):
     assert 0 < len(mid) < len(or_scores)
     for d, s in mid:
         assert s == pytest.approx(or_scores[d])
+
+
+def test_dup_chunk_fraction_semantics(spark, tmp_path, registry):
+    """Hand-built corpus: a chunk shared verbatim by two docs is flagged in
+    BOTH; a doc of unique tokens reports zero; short docs emit no row."""
+    import os
+
+    rows = [
+        (1, "a b c d x1 y1 z1 w1", "en", "s", 0),   # chunk1 'a b c d' shared
+        (2, "a b c d p1 q1 r1 s1", "en", "s", 0),   # with doc 1
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "s", 0),  # all unique
+        (4, "t1 t2", "en", "s", 0),                  # < 4 tokens: no chunks
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    fn, _ = registry["text_dup_chunk_fraction"]
+    out = {r["doc_id"]: r.asDict() for r in fn(spark, sf).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["dup_frac_micro"] == 500000
+    assert out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_dup_chunks"] == 0 and out[3]["dup_frac_micro"] == 0
+    assert 4 not in out
+
+
+def test_bigram_lm_nll_semantics(spark, tmp_path, registry):
+    """Hand-built corpus vs a direct python add-one bigram LM: exact
+    micro-nat agreement, and a doc made of corpus-frequent bigrams scores a
+    LOWER avg NLL than one of rare transitions."""
+    import math
+    import os
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the rug",
+        3: "the cat sat on the mat",
+        4: "zebra quark vortex nebula",   # rare transitions
+    }
+    rows = [(d, t, "en", "s", 0) for d, t in texts.items()]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    bigr = [(a, b) for tk in toks.values() for a, b in zip(tk, tk[1:])]
+    from collections import Counter
+    c12 = Counter(bigr)
+    c1 = Counter(a for a, _ in bigr)
+    V = len({w for tk in toks.values() for w in tk})
+
+    def py_doc(d):
+        nlls = [
+            math.floor(-math.log((c12[(a, b)] + 1.0) / (c1[a] + V)) * 1e6)
+            for a, b in zip(toks[d], toks[d][1:])
+        ]
+        return sum(nlls), sum(nlls) // len(nlls)
+
+    fn, _ = registry["text_bigram_lm_nll"]
+    out = {r["doc_id"]: r.asDict() for r in fn(spark, sf).collect()}
+    for d in texts:
+        s, avg = py_doc(d)
+        assert out[d]["sum_nll_micro"] == s, d
+        assert out[d]["avg_nll_micro"] == avg, d
+    assert out[1]["avg_nll_micro"] < out[4]["avg_nll_micro"]
