@@ -1541,3 +1541,60 @@ def ft_terms_set_top10(spark, sf_dir):
     return spark.createDataFrame(
         [(d, round(s, 6)) for d, s in hits], "doc_id long, score double"
     )
+
+
+# --- ES percolate: reverse search ----------------------------------------
+# The percolator indexes QUERIES and matches incoming DOCUMENTS against
+# them (ES percolate query; the reference's ES side ships whatever queries
+# users register). Spec: each registered query is a conjunctive term set —
+# a doc percolates a query iff it contains EVERY term. Spark shape: the
+# (tiny) query table broadcasts into one equi-join against the distinct
+# (doc, term) set, then a per-(query, doc) counting gate — never a scan
+# per query, so 10k registered queries cost the same single pass at 100 TB
+# as these five.
+PERCOLATE_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("customer", "order")),
+    (3, ("spark",)),
+    (4, ("scan", "filter", "batch")),
+    (5, ("zzz",)),  # never matches: absent from the corpus
+)
+
+
+def _percolate_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in PERCOLATE_QUERIES for t in terms
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+n AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+tok AS (SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+m AS (SELECT q.query_id, tok.doc_id, count(*) AS hit
+      FROM q JOIN tok USING (term) GROUP BY q.query_id, tok.doc_id)
+SELECT m.query_id, m.doc_id
+FROM m JOIN n USING (query_id) WHERE m.hit = n.nt
+"""
+
+
+@register("percolate_matches", _percolate_sql())
+def percolate_matches(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in PERCOLATE_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+    n = q.groupBy("query_id").agg(F.count("*").alias("nt"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    m = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("hit"))
+    )
+    return (
+        m.join(F.broadcast(n), "query_id")
+        .where(F.col("hit") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )

@@ -493,3 +493,136 @@ def ann_ivf_persisted_top10(spark, sf_dir):
     )
     out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# --- hybrid lexical + vector retrieval with RRF fusion -------------------
+# Elasticsearch 8 hybrid search: a BM25 leg and a kNN leg retrieved
+# independently, fused by Reciprocal Rank Fusion (the ES `rrf` retriever):
+# score(d) = Σ_legs 1/(RRF_K + rank_leg(d)). The synthetic corpus aligns
+# vec_id 1:1 with doc_id, so the two legs share a doc universe. Rank
+# exactness across engines: each leg ranks on its ROUNDED leg score
+# (round-6 BM25 / round-5 cosine — the same rounding the standalone ft_*
+# and ann_* twins already prove hash-equal) with id tiebreak, and the
+# fused sum is two identically-computed doubles added in a fixed order —
+# bit-reproducible without any float-ordering hazard. Scale shape: each
+# leg is a top-N (the index path / IVF path at size); fusion joins two
+# 50-row sets — negligible.
+from search_replica_spark import B, K1  # noqa: E402  (BM25 constants)
+
+HYBRID_TERMS = ("hash", "join")
+RRF_K, LEG_N = 60, 50
+
+_HYBRID_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('{HYBRID_TERMS[0]}', '{HYBRID_TERMS[1]}') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE term IN ('{HYBRID_TERMS[0]}', '{HYBRID_TERMS[1]}') GROUP BY term),
+contrib AS (SELECT tf.doc_id,
+                   ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+            FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats),
+lex AS (SELECT doc_id, round(sum(c), 6) AS s FROM contrib GROUP BY doc_id),
+lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS r
+         FROM lex ORDER BY r LIMIT {LEG_N}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sim AS (SELECT e.vec_id,
+               round(
+                 list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / ( sqrt(list_sum(list_transform(e.embedding,
+                                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.qe,
+                                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
+                 5) AS sim
+        FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}),
+vecr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS r
+         FROM sim ORDER BY r LIMIT {LEG_N}),
+f AS (SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + l.r), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.r), 0.0) AS rrf,
+             l.r AS lex_rank, v.r AS vec_rank
+      FROM lexr l FULL OUTER JOIN vecr v ON v.vec_id = l.doc_id)
+SELECT doc_id, round(rrf, 9) AS rrf_score, lex_rank, vec_rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_rrf_top10", _HYBRID_SQL)
+def hybrid_rrf_top10(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t0, t1 = HYBRID_TERMS
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"]
+    qt = tok.where(F.col("term").isin(t0, t1))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+            ).alias("c"),
+        )
+    )
+    lex = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("s"))
+    # rank inside the already-cut top-N so the global window only ever sees
+    # LEG_N rows (at scale the leg itself comes from the index / IVF path)
+    lex_top = lex.orderBy(F.col("s").desc(), F.col("doc_id")).limit(LEG_N)
+    wl = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    lexr = lex_top.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
+    sim = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("emb"), F.col("qemb"))
+                / (
+                    F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                ),
+                5,
+            ).alias("sim"),
+        )
+    )
+    vec_top = sim.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(LEG_N)
+    wv = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    vecr = vec_top.select(
+        F.col("vec_id"), F.row_number().over(wv).cast("long").alias("vec_rank")
+    )
+
+    f = lexr.join(vecr, lexr["doc_id"] == vecr["vec_id"], "full_outer").select(
+        F.coalesce(lexr["doc_id"], vecr["vec_id"]).alias("doc_id"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "lex_rank",
+        "vec_rank",
+    )
+    return (
+        f.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", F.round("rrf", 9).alias("rrf_score"), "lex_rank", "vec_rank"
+        )
+    )

@@ -374,3 +374,52 @@ def test_bigram_lm_nll_semantics(spark, tmp_path, registry):
         assert out[d]["sum_nll_micro"] == s, d
         assert out[d]["avg_nll_micro"] == avg, d
     assert out[1]["avg_nll_micro"] < out[4]["avg_nll_micro"]
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, registry):
+    """RRF output: ranks are 1-based within each leg, the fused score is
+    exactly 1/(K+lex)+1/(K+vec) for dual-leg docs, and at least one doc in
+    the top-10 carries both ranks (the fusion actually fuses)."""
+    from search_replica_spark.operators.similarity import RRF_K
+
+    fn, _ = registry["hybrid_rrf_top10"]
+    rows = fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    both = [r for r in rows if r["lex_rank"] is not None and r["vec_rank"] is not None]
+    assert both  # fusion found overlap between the legs
+    for r in rows:
+        want = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-9
+    # fused ordering is descending
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_percolate_conjunctive_semantics(spark, registry):
+    """Every emitted (query, doc) pair really contains ALL the query's
+    terms; the impossible query never fires; single-term queries match
+    exactly the docs containing the term."""
+    from pyspark.sql import functions as F
+
+    from search_replica_spark.operators import load
+    from search_replica_spark.operators.fulltext import PERCOLATE_QUERIES
+
+    fn, _ = registry["percolate_matches"]
+    out = fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert 5 not in by_q  # 'zzz' matches nothing
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    qmap = dict(PERCOLATE_QUERIES)
+    for qid, matched in by_q.items():
+        for d in matched:
+            assert set(qmap[qid]) <= docs[d], (qid, d)
+    # completeness for the single-term query
+    spark_docs = {d for d, tk in docs.items() if "spark" in tk}
+    assert by_q[3] == spark_docs
