@@ -122,6 +122,26 @@ CHECKS = {
         "avoid": ["CartesianProduct"],
         "why": "routed fetch over a routing-partitioned doc store: the bucket predicate PARTITION-PRUNES the scan to one directory (the one-shard GET the reference's ?routing= gives ES), and the key filter pushes into that partition's row groups",
     },
+    "text_bigram_lm_nll": {
+        "want": [],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "why": "corpus bigram-LM scoring (r5): the model is two groupBy shuffles joined back by equi-key; V is a collected scalar literal, so NO cross join ever reaches the plan — the whole score is equi-join + aggregate, the shape that survives any corpus the shuffle fits",
+    },
+    "text_dup_chunk_fraction": {
+        "want": [],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        "why": "duplicate-chunk fraction (r5): corpus-wide chunk counts via ONE high-cardinality groupBy + equi-join back — no window over the corpus, no pairwise anything",
+    },
+    "hybrid_rrf_top10": {
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct"],
+        "why": "hybrid RRF (r5): each leg is cut to top-N by a per-partition heap (TakeOrderedAndProject) BEFORE the rank window, so the unpartitioned window only ever sees LEG_N rows; the only nested-loop is the broadcast of the 1-row query vector",
+    },
+    "percolate_matches": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "why": "percolate (r5): the registered-query table BROADCASTS into one equi-join with the distinct (doc, term) set — matching 10k queries costs the same single corpus pass as five",
+    },
 }
 
 
@@ -213,6 +233,13 @@ def main():
     plans["inline_resolve"] = plan_of(
         apply_inline_updates(spark, child, inl_idx, None, dry_run=True)
     )
+
+    plans["text_bigram_lm_nll"] = plan_of(reg["text_bigram_lm_nll"][0](spark, sf_dir))
+    plans["text_dup_chunk_fraction"] = plan_of(
+        reg["text_dup_chunk_fraction"][0](spark, sf_dir)
+    )
+    plans["hybrid_rrf_top10"] = plan_of(reg["hybrid_rrf_top10"][0](spark, sf_dir))
+    plans["percolate_matches"] = plan_of(reg["percolate_matches"][0](spark, sf_dir))
 
     plans["ann_pq_adc"] = plan_of(reg["ann_pq_adc_top10"][0](spark, sf_dir))
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
