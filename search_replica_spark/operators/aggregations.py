@@ -457,3 +457,111 @@ def agg_max_bucket_day(spark, sf_dir):
         .orderBy(F.col("value").desc(), F.col("key").asc())
         .limit(1)
     )
+
+
+# ES rare_terms aggregation: buckets whose doc_count is at or below a
+# threshold, ordered ASCENDING by count (the long tail the terms agg's
+# top-N misses). Run over corpus tokens — the field with a real long
+# tail here. One groupBy on the term, threshold filter above it; at scale
+# this is the same single shuffle as terms (ES itself needs a CuckooFilter
+# only because it streams — a batch engine just filters the aggregate).
+# Threshold is RELATIVE (≤ 10% of corpus docs) so the spec is
+# scale-invariant: the synthetic vocabulary is closed, so an absolute
+# max_doc_count (ES's knob) would flip between vacuous and all-matching
+# across scale factors.
+@register(
+    "agg_rare_terms_tokens",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+       n AS (SELECT count(*) AS total FROM documents)
+       SELECT term AS key, count(DISTINCT doc_id) AS doc_count
+       FROM tok CROSS JOIN n GROUP BY term, n.total
+       HAVING count(DISTINCT doc_id) <= n.total // 10
+       ORDER BY doc_count, key""",
+)
+def agg_rare_terms_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    total = d.count()
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        tok.groupBy(F.col("term").alias("key"))
+        .agg(F.countDistinct("doc_id").alias("doc_count"))
+        .where(F.col("doc_count") <= total // 10)
+        .orderBy("doc_count", "key")
+    )
+
+
+# ES multi_terms aggregation: buckets keyed by a COMPOSITE of fields
+# ({"multi_terms": {"terms": [{"field": "lang"}, {"field": "source"}]}}),
+# ES tie-break (doc_count desc, then each key ascending).
+@register(
+    "agg_multi_terms_lang_source",
+    """SELECT lang, source, count(*) AS doc_count,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang, source
+       ORDER BY doc_count DESC, lang, source LIMIT 10""",
+)
+def agg_multi_terms_lang_source(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("doc_count"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy(F.col("doc_count").desc(), "lang", "source")
+        .limit(10)
+    )
+
+
+# ES bucket_selector + bucket_sort pipeline aggs: histogram buckets are
+# FILTERED by a metric predicate (bucket_selector ≈ HAVING) then SORTED by
+# a metric with a size cut (bucket_sort ≈ ORDER BY … LIMIT). Metric kept
+# integer (sum) so the value-hash is float-free.
+@register(
+    "agg_bucket_selector_sort",
+    """WITH h AS (
+         SELECT (n_chars // 100) * 100 AS bucket,
+                count(*) AS doc_count,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1)
+       SELECT bucket, doc_count, sum_chars FROM h
+       WHERE doc_count >= 20
+       ORDER BY sum_chars DESC, bucket LIMIT 3""",
+)
+def agg_bucket_selector_sort(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    h = d.groupBy((F.expr("n_chars DIV 100") * 100).alias("bucket")).agg(
+        F.count("*").alias("doc_count"), F.sum("n_chars").alias("sum_chars")
+    )
+    return (
+        h.where(F.col("doc_count") >= 20)
+        .orderBy(F.col("sum_chars").desc(), "bucket")
+        .limit(3)
+    )
+
+
+# ES serial_diff pipeline agg with lag=7: value minus the value 7 buckets
+# earlier in the date-histogram — the de-seasonalized week-over-week
+# signal ({"serial_diff": {"buckets_path": "the_sum", "lag": 7}}).
+@register(
+    "agg_serial_diff_week",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT bucket_start, doc_count,
+              doc_count - lag(doc_count, 7) OVER (ORDER BY bucket_start)
+                AS serial_diff_7
+       FROM h ORDER BY bucket_start""",
+)
+def agg_serial_diff_week(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    w = Window.orderBy("bucket_start")
+    return h.select(
+        "bucket_start",
+        "doc_count",
+        (F.col("doc_count") - F.lag("doc_count", 7).over(w)).alias("serial_diff_7"),
+    ).orderBy("bucket_start")

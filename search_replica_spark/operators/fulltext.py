@@ -1598,3 +1598,110 @@ def percolate_matches(spark, sf_dir):
         .where(F.col("hit") == F.col("nt"))
         .select("query_id", "doc_id")
     )
+
+
+# B5z: ES phrase suggester — whole-phrase spelling correction: per-word
+# candidates come from the index DICTIONARY within edit distance ≤ 2 (the
+# term suggester's generator), and whole-phrase candidates are ranked by
+# the corpus bigram LM (add-one smoothing, same model spec as
+# text_bigram_lm_nll) plus an edit-cost penalty. All ranking arithmetic in
+# integer micro-nats (floored before any sum) so the twin is bit-exact.
+# Scale shape: candidate sets are tiny (edit-distance ball around each
+# word) and BROADCAST against the LM count tables — the corpus is scanned
+# once for counts, never per candidate.
+PHRASE_SUGGEST_INPUT = ("srot", "lne")  # ~"sort line": 3 x 2 candidates
+_PS_W1, _PS_W2 = PHRASE_SUGGEST_INPUT
+
+_PHRASE_SUGGEST_SQL = f"""
+WITH tok AS ({_TOK}),
+vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM vocab),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bi AS (SELECT a[i] AS w1, a[i + 1] AS w2
+       FROM arr, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+bim AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+pf AS (SELECT w1, count(*) AS c1p FROM bi GROUP BY w1),
+c1 AS (SELECT term, cnt, levenshtein(term, '{_PS_W1}') AS d1 FROM vocab
+       WHERE levenshtein(term, '{_PS_W1}') <= 2),
+c2 AS (SELECT term, levenshtein(term, '{_PS_W2}') AS d2 FROM vocab
+       WHERE levenshtein(term, '{_PS_W2}') <= 2),
+cand AS (SELECT c1.term AS s1, c2.term AS s2, c1.d1, c2.d2, c1.cnt AS cnt1
+         FROM c1 CROSS JOIN c2),
+scored AS (
+  SELECT cand.s1, cand.s2, cand.d1 + cand.d2 AS edits,
+         CAST(floor(-ln((cand.cnt1 + 1.0) / (tot.t + tot.v)) * 1000000) AS BIGINT)
+         + CAST(floor(-ln((COALESCE(bim.c12, 0) + 1.0)
+                          / (COALESCE(pf.c1p, 0) + tot.v)) * 1000000) AS BIGINT)
+         + 1000000 * (cand.d1 + cand.d2) AS total_micro
+  FROM cand CROSS JOIN tot
+  LEFT JOIN bim ON bim.w1 = cand.s1 AND bim.w2 = cand.s2
+  LEFT JOIN pf ON pf.w1 = cand.s1)
+SELECT s1, s2, edits, total_micro
+FROM scored ORDER BY total_micro, s1, s2 LIMIT 5
+"""
+
+
+@register("ft_suggest_phrase", _PHRASE_SUGGEST_SQL)
+def ft_suggest_phrase(spark, sf_dir):
+    idx = _index_dir_for(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    trow = vocab.agg(
+        F.sum("cnt").alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    t, v = int(trow["t"]), int(trow["v"])
+    arr = d.select(F.split("text", " ").alias("a"))
+    bi = (
+        arr.where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i - 1] AS w1, a[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bim = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pf = bi.groupBy("w1").agg(F.count("*").alias("c1p"))
+    # candidate generation from the index dictionary (the engine artifact),
+    # occurrence counts joined from the corpus token table
+    dic = spark.read.parquet(os.path.join(idx, "dict")).select("term")
+    c1 = (
+        dic.select("term", F.levenshtein("term", F.lit(_PS_W1)).alias("d1"))
+        .filter(F.col("d1") <= 2)
+        .join(vocab, "term")
+        .select(F.col("term").alias("s1"), "d1", F.col("cnt").alias("cnt1"))
+    )
+    c2 = (
+        dic.select("term", F.levenshtein("term", F.lit(_PS_W2)).alias("d2"))
+        .filter(F.col("d2") <= 2)
+        .select(F.col("term").alias("s2"), "d2")
+    )
+    cand = F.broadcast(c1).crossJoin(F.broadcast(c2))
+    scored = (
+        cand.join(
+            bim, (F.col("s1") == F.col("w1")) & (F.col("s2") == F.col("w2")), "left"
+        )
+        .drop("w1", "w2")
+        .join(pf.withColumnRenamed("w1", "s1"), "s1", "left")
+        .select(
+            "s1",
+            "s2",
+            (F.col("d1") + F.col("d2")).alias("edits"),
+            (
+                F.floor(-F.log((F.col("cnt1") + F.lit(1.0)) / F.lit(float(t + v))) * 1000000).cast("long")
+                + F.floor(
+                    -F.log(
+                        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("c1p"), F.lit(0)) + F.lit(v))
+                    )
+                    * 1000000
+                ).cast("long")
+                + F.lit(1000000) * (F.col("d1") + F.col("d2"))
+            ).alias("total_micro"),
+        )
+    )
+    return scored.orderBy("total_micro", "s1", "s2").limit(5)
