@@ -565,3 +565,105 @@ def agg_serial_diff_week(spark, sf_dir):
         "doc_count",
         (F.col("doc_count") - F.lag("doc_count", 7).over(w)).alias("serial_diff_7"),
     ).orderBy("bucket_start")
+
+
+# ES adjacency_matrix aggregation: named filters, one bucket per filter
+# AND per intersecting PAIR ({"adjacency_matrix": {"filters": {...}}} —
+# ES names intersections "a&b"). Filters here are term-presence predicates
+# over the token set; the whole matrix is ONE pass: per-doc filter flags,
+# then an aggregate per bucket key — no per-pair scans.
+_ADJ_FILTERS = (("has_hash", "hash"), ("has_join", "join"), ("has_spark", "spark"))
+
+
+def _adjacency_sql() -> str:
+    flags = ",\n       ".join(
+        f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS {n}"
+        for n, t in _ADJ_FILTERS
+    )
+    singles = [
+        f"SELECT '{n}' AS key, CAST(sum({n}) AS BIGINT) AS doc_count FROM flags"
+        for n, _t in _ADJ_FILTERS
+    ]
+    pairs = [
+        f"SELECT '{a}&{b}' AS key, CAST(sum(CASE WHEN {a} = 1 AND {b} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count FROM flags"
+        for i, (a, _x) in enumerate(_ADJ_FILTERS)
+        for b, _y in [f for f in _ADJ_FILTERS[i + 1:]]
+    ]
+    union = "\nUNION ALL\n".join(singles + pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+flags AS (SELECT doc_id,
+       {flags}
+          FROM tok GROUP BY doc_id)
+SELECT key, doc_count FROM ({union}) WHERE doc_count > 0 ORDER BY key
+"""
+
+
+@register("agg_adjacency_matrix", _adjacency_sql())
+def agg_adjacency_matrix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    flags = tok.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(n)
+            for n, t in _ADJ_FILTERS
+        ]
+    )
+    aggs = [F.sum(n).cast("long").alias(n) for n, _t in _ADJ_FILTERS]
+    aggs += [
+        F.sum(F.when((F.col(a) == 1) & (F.col(b) == 1), 1).otherwise(0))
+        .cast("long")
+        .alias(f"{a}&{b}")
+        for i, (a, _x) in enumerate(_ADJ_FILTERS)
+        for b, _y in _ADJ_FILTERS[i + 1:]
+    ]
+    wide = flags.agg(*aggs)
+    names = [c for c in wide.columns]
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(names),
+                ", ".join(f"'{n}', `{n}`" for n in names),
+            )
+        ).alias("key", "doc_count")
+    )
+    return stacked.where(F.col("doc_count") > 0).orderBy("key")
+
+
+# ES diversified_sampler aggregation: a deterministic sample capped at
+# max_docs_per_value per diversity field (lang), feeding a sub-agg. ES
+# samples by shard order; the reproducible spec here takes each lang's
+# LOWEST doc_ids (rank over a window partitioned by lang) — same dedup-
+# the-dominant-value behavior, exactly twinnable. The sub-agg (avg via
+# integer micro) runs over the diversified sample only.
+_DIV_MAX_PER_LANG = 20
+
+
+@register(
+    "agg_diversified_sampler_stats",
+    f"""WITH r AS (SELECT doc_id, lang, n_chars,
+                          row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                            AS rn
+                   FROM documents)
+        SELECT count(*) AS sample_size,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               (1000000 * CAST(sum(n_chars) AS BIGINT)) // count(*)
+                 AS avg_chars_micro
+        FROM r WHERE rn <= {_DIV_MAX_PER_LANG}""",
+)
+def agg_diversified_sampler_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    r = d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+    return (
+        r.where(F.col("rn") <= _DIV_MAX_PER_LANG)
+        .agg(
+            F.count("*").alias("sample_size"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr("(1000000 * CAST(sum(n_chars) AS BIGINT)) DIV count(*)").alias(
+                "avg_chars_micro"
+            ),
+        )
+    )
