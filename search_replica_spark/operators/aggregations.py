@@ -667,3 +667,105 @@ def agg_diversified_sampler_stats(spark, sf_dir):
             ),
         )
     )
+
+
+# ES top_metrics aggregation: per bucket, the metric value carried by the
+# doc that wins the sort ({"top_metrics": {"metrics": {"field": "n_chars"},
+# "sort": {"doc_id": "desc"}}}) — one max_by/arg_max per bucket, a single
+# partial-aggregable shuffle (cheaper than top_hits when only the metric
+# is wanted).
+@register(
+    "agg_top_metrics_by_lang",
+    """SELECT lang AS key,
+              arg_max(n_chars, doc_id) AS top_n_chars,
+              max(doc_id) AS top_sort
+       FROM documents GROUP BY lang""",
+)
+def agg_top_metrics_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("lang").alias("key")).agg(
+        F.expr("max_by(n_chars, doc_id)").alias("top_n_chars"),
+        F.max("doc_id").alias("top_sort"),
+    )
+
+
+# ES median_absolute_deviation aggregation over n_chars per lang. Exact
+# spec: MAD = median(|x − median(x)|); medians are linear-interpolated
+# (Spark `percentile` / DuckDB quantile_cont — both exact). Integer
+# n_chars makes median granularity 0.5 and the inner |x − med| granularity
+# 0.5, so the outer median has granularity 0.25: ×4 scaling emits an
+# exact BIGINT (no float hash hazard).
+@register(
+    "agg_mad_by_lang",
+    """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS m
+                    FROM documents GROUP BY lang)
+       SELECT d.lang AS key,
+              CAST(4 * quantile_cont(abs(d.n_chars - med.m), 0.5) AS BIGINT)
+                AS mad_x4
+       FROM documents d JOIN med USING (lang)
+       GROUP BY d.lang""",
+)
+def agg_mad_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.expr("CAST(4 * percentile(abs(n_chars - m), 0.5) AS BIGINT)").alias(
+                "mad_x4"
+            )
+        )
+    )
+
+
+# ES string_stats aggregation over the lang field: count, min/max/avg
+# length, and Shannon CHARACTER entropy. Entropy terms are floored to
+# integer micro-nats per distinct character before the sum, so the value
+# is exact integer arithmetic in both engines (same pattern as the
+# bigram-LM scorer).
+@register(
+    "agg_string_stats_lang",
+    """WITH ch AS (SELECT unnest(string_split(lang, '')) AS c FROM documents),
+       hist AS (SELECT c, count(*) AS cnt FROM ch GROUP BY c),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM hist),
+       ent AS (SELECT CAST(sum(CAST(floor(-(hist.cnt * 1.0 / tot.t)
+                                           * ln(hist.cnt * 1.0 / tot.t)
+                                           * 1000000) AS BIGINT)) AS BIGINT)
+                 AS entropy_micro
+               FROM hist CROSS JOIN tot)
+       SELECT count(*) AS cnt,
+              min(length(lang)) AS min_len,
+              max(length(lang)) AS max_len,
+              (1000000 * CAST(sum(length(lang)) AS BIGINT)) // count(*)
+                AS avg_len_micro,
+              (SELECT entropy_micro FROM ent) AS entropy_micro
+       FROM documents""",
+)
+def agg_string_stats_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ch = d.select(F.explode(F.split("lang", "")).alias("c")).where(F.col("c") != "")
+    hist = ch.groupBy("c").agg(F.count("*").alias("cnt"))
+    t = int(hist.agg(F.sum("cnt")).collect()[0][0])
+    ent = int(
+        hist.select(
+            F.floor(
+                -(F.col("cnt") / F.lit(float(t)))
+                * F.log(F.col("cnt") / F.lit(float(t)))
+                * 1000000
+            )
+            .cast("long")
+            .alias("e")
+        )
+        .agg(F.sum("e"))
+        .collect()[0][0]
+    )
+    return d.agg(
+        F.count("*").alias("cnt"),
+        F.min(F.length("lang")).alias("min_len"),
+        F.max(F.length("lang")).alias("max_len"),
+        F.expr("(1000000 * CAST(sum(length(lang)) AS BIGINT)) DIV count(*)").alias(
+            "avg_len_micro"
+        ),
+        F.lit(ent).alias("entropy_micro"),
+    )

@@ -626,3 +626,42 @@ def hybrid_rrf_top10(spark, sf_dir):
             "doc_id", F.round("rrf", 9).alias("rrf_score"), "lex_rank", "vec_rank"
         )
     )
+
+
+# ES 8 filtered kNN: {"knn": {..., "filter": {"terms": {"label": [...]}}}}
+# — the metadata predicate applies BEFORE the similarity ranking
+# (pre-filter semantics, like ES/FAISS-with-IDSelector), so top-k is
+# exact over the allowed subset. On the IVF-partitioned store this
+# predicate is also the partition key, so the scan prunes to the allowed
+# label directories — filter + probe pruning compose.
+KNN_FILTER_LABELS = (1, 3)
+
+_KNN_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
+         5) AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label IN {KNN_FILTER_LABELS}
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+@register("ann_filtered_top10", _KNN_FILTERED_SQL)
+def ann_filtered_top10(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
+    allowed = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.col("label").isin(*KNN_FILTER_LABELS))
+    )
+    joined = allowed.crossJoin(F.broadcast(q))
+    sim = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+    )
+    out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
