@@ -769,3 +769,202 @@ def agg_string_stats_lang(spark, sf_dir):
         ),
         F.lit(ent).alias("entropy_micro"),
     )
+
+# ES extended_stats aggregation ({"extended_stats": {"field": "n_chars"}}):
+# stats plus sum_of_squares and variance. All outputs are BIGINT: variance
+# is emitted in integer micro units via the quotient-remainder pattern
+# (never 1e6 * a raw sum, which wraps in Spark while DuckDB promotes to
+# HUGEINT), composed as E[x^2]_micro - mean_micro^2/1e6 with identical
+# floor order in both engines. std_deviation is omitted by spec: sqrt is
+# the one factor that cannot be made exact-integer cross-engine.
+_MEAN_MICRO = (
+    "(sum(n_chars) {d} count(*)) * 1000000"
+    " + ((sum(n_chars) % count(*)) * 1000000) {d} count(*)"
+)
+_EX2_MICRO = (
+    "(sum(n_chars * n_chars) {d} count(*)) * 1000000"
+    " + ((sum(n_chars * n_chars) % count(*)) * 1000000) {d} count(*)"
+)
+
+
+@register(
+    "agg_extended_stats_by_lang",
+    f"""SELECT lang AS key, count(*) AS cnt,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
+              CAST(({_EX2_MICRO.format(d='//')})
+                   - (({_MEAN_MICRO.format(d='//')})
+                      * ({_MEAN_MICRO.format(d='//')})) // 1000000
+                   AS BIGINT) AS variance_micro
+       FROM documents GROUP BY lang""",
+)
+def agg_extended_stats_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("CAST(sum(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.expr("CAST(sum(n_chars * n_chars) AS BIGINT)").alias("sum_sq"),
+        F.expr(
+            f"CAST(({_EX2_MICRO.format(d='DIV')})"
+            f" - (({_MEAN_MICRO.format(d='DIV')})"
+            f" * ({_MEAN_MICRO.format(d='DIV')})) DIV 1000000 AS BIGINT)"
+        ).alias("variance_micro"),
+    )
+
+
+# ES boxplot aggregation ({"boxplot": {"field": "n_chars"}}): min, max and
+# the three quartiles. Linear-interpolated quartiles over integers have
+# granularity 1/4 (fractional position is a multiple of 0.25), so x4
+# scaling emits an exact BIGINT — the same trick as agg_mad_by_lang.
+@register(
+    "agg_boxplot_by_lang",
+    """SELECT lang AS key,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              CAST(4 * quantile_cont(n_chars, 0.25) AS BIGINT) AS q1_x4,
+              CAST(4 * quantile_cont(n_chars, 0.50) AS BIGINT) AS q2_x4,
+              CAST(4 * quantile_cont(n_chars, 0.75) AS BIGINT) AS q3_x4
+       FROM documents GROUP BY lang""",
+)
+def agg_boxplot_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.col("lang").alias("key")).agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("CAST(4 * percentile(n_chars, 0.25D) AS BIGINT)").alias("q1_x4"),
+        F.expr("CAST(4 * percentile(n_chars, 0.50D) AS BIGINT)").alias("q2_x4"),
+        F.expr("CAST(4 * percentile(n_chars, 0.75D) AS BIGINT)").alias("q3_x4"),
+    )
+
+
+# ES matrix_stats aggregation over (n_chars, token count): the exact
+# per-bucket second-moment sums a distributed engine actually shuffles
+# (count, sum_x, sum_y, sum_xx, sum_yy, sum_xy — all exact BIGINT; any
+# mean/variance/covariance/correlation is a driver-side O(buckets)
+# arithmetic step over them), plus covariance in integer micro units with
+# the same floor-order-matched composition as extended_stats. One
+# partial-aggregable shuffle; moments merge associatively at 100 TB.
+_MS_COV = (
+    "((sum(x * y) {d} count(*)) * 1000000"
+    " + ((sum(x * y) % count(*)) * 1000000) {d} count(*))"
+    " - ( ((sum(x) {d} count(*)) * 1000000"
+    "      + ((sum(x) % count(*)) * 1000000) {d} count(*))"
+    "   * ((sum(y) {d} count(*)) * 1000000"
+    "      + ((sum(y) % count(*)) * 1000000) {d} count(*)) ) {d} 1000000"
+)
+
+
+@register(
+    "agg_matrix_stats_moments",
+    f"""WITH xy AS (SELECT lang, n_chars AS x,
+                           CAST(length(string_split(text, ' ')) AS BIGINT) AS y
+                    FROM documents)
+       SELECT lang AS key, count(*) AS cnt,
+              CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+              CAST(sum(x * x) AS BIGINT) AS sum_xx,
+              CAST(sum(y * y) AS BIGINT) AS sum_yy,
+              CAST(sum(x * y) AS BIGINT) AS sum_xy,
+              CAST({_MS_COV.format(d='//')} AS BIGINT) AS cov_micro
+       FROM xy GROUP BY lang""",
+)
+def agg_matrix_stats_moments(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    xy = d.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    return xy.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sum_x"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sum_y"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sum_xx"),
+        F.expr("CAST(sum(y * y) AS BIGINT)").alias("sum_yy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sum_xy"),
+        F.expr(f"CAST({_MS_COV.format(d='DIV')} AS BIGINT)").alias("cov_micro"),
+    )
+
+
+# ES random_sampler aggregation ({"random_sampler": {"probability":
+# 3/16}}): aggregate over a deterministic sample and report the
+# probability-corrected estimate. The "random" stream is the first hex
+# digit of md5(doc_id) — identical in both engines, shuffle-free to
+# evaluate, and stable across runs (ES seeds its sampler the same way).
+# Estimate emitted in integer micro-docs ((cnt * 16e6) DIV 3).
+@register(
+    "agg_random_sampler_stats",
+    """WITH s AS (SELECT n_chars FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2'))
+       SELECT count(*) AS sampled_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST((count(*) * 16000000) // 3 AS BIGINT) AS est_doc_count_micro
+       FROM s""",
+)
+def agg_random_sampler_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    s = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    )
+    return s.agg(
+        F.count("*").alias("sampled_docs"),
+        F.expr("CAST(sum(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.expr("CAST((count(*) * 16000000) DIV 3 AS BIGINT)").alias(
+            "est_doc_count_micro"
+        ),
+    )
+
+
+# ES stats_bucket sibling pipeline aggregation ({"stats_bucket":
+# {"buckets_path": "langs>chars"}}): stats over the per-lang sum(n_chars)
+# bucket values — subsumes avg_bucket/min_bucket/max_bucket/sum_bucket.
+# Two tiny cascaded aggregations; the second runs over O(buckets) rows.
+@register(
+    "agg_stats_bucket_chars",
+    """WITH b AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS v
+                  FROM documents GROUP BY lang)
+       SELECT count(*) AS n_buckets, min(v) AS min_bucket, max(v) AS max_bucket,
+              CAST(sum(v) AS BIGINT) AS sum_buckets,
+              CAST((sum(v) // count(*)) * 1000000
+                   + ((sum(v) % count(*)) * 1000000) // count(*)
+                   AS BIGINT) AS avg_bucket_micro
+       FROM b""",
+)
+def agg_stats_bucket_chars(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(F.expr("CAST(sum(n_chars) AS BIGINT)").alias("v"))
+    return b.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("v").alias("min_bucket"),
+        F.max("v").alias("max_bucket"),
+        F.expr("CAST(sum(v) AS BIGINT)").alias("sum_buckets"),
+        F.expr(
+            "CAST((sum(v) DIV count(*)) * 1000000"
+            " + ((sum(v) % count(*)) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("avg_bucket_micro"),
+    )
+
+
+# ES bucket_script pipeline aggregation: a per-bucket script over sibling
+# metrics — here each lang bucket's share of total docs
+# ("params.count / params.total"), in integer micro units. The total is a
+# 1-row broadcast joined back to the buckets (same shape as
+# significant_terms' background join — no second scan of the fact table).
+@register(
+    "agg_bucket_script_share",
+    """WITH b AS (SELECT lang, count(*) AS doc_count FROM documents GROUP BY lang),
+       t AS (SELECT CAST(sum(doc_count) AS BIGINT) AS tot FROM b)
+       SELECT b.lang AS key, b.doc_count,
+              CAST((b.doc_count * 1000000) // t.tot AS BIGINT) AS share_micro
+       FROM b CROSS JOIN t""",
+)
+def agg_bucket_script_share(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(F.count("*").alias("doc_count"))
+    t = b.agg(F.expr("CAST(sum(doc_count) AS BIGINT)").alias("tot"))
+    return b.crossJoin(F.broadcast(t)).select(
+        F.col("lang").alias("key"),
+        "doc_count",
+        F.expr("CAST((doc_count * 1000000) DIV tot AS BIGINT)").alias("share_micro"),
+    )
