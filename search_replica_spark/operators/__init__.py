@@ -35,6 +35,7 @@ def all_registered() -> dict[str, tuple[SparkFn, str | None]]:
         dedup,
         doc_transform,
         fulltext,
+        geo,
         multimodal,
         sampling,
         similarity,

@@ -1705,3 +1705,60 @@ def ft_suggest_phrase(spark, sf_dir):
         )
     )
     return scored.orderBy("total_micro", "s1", "s2").limit(5)
+
+
+# ES completion suggester — prefix-to-term autocomplete served from the
+# term dictionary (Lucene: an FST; here: the row-group-pruned range seek
+# over the term-sorted dict parquet), ranked weight (=df) desc, term asc.
+_COMPLETION_PREFIX = "s"
+
+
+@register(
+    "ft_suggest_completion",
+    f"""WITH dict AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM ({_TOK}) GROUP BY term)
+        SELECT term, df AS weight FROM dict
+        WHERE term LIKE '{_COMPLETION_PREFIX}%'
+        ORDER BY weight DESC, term LIMIT 5""",
+)
+def ft_suggest_completion(spark, sf_dir):
+    from search_replica_spark.query.bm25 import completion_suggest
+
+    idx = _index_dir_for(spark, sf_dir)
+    pairs = completion_suggest(_OrigIdReader(spark, idx), _COMPLETION_PREFIX, size=5)
+    return spark.createDataFrame(pairs, "term string, weight long")
+
+
+# ES terms-lookup query: the terms set comes from ANOTHER document's
+# stored _source (GET + analyze), then runs as a constant-score terms
+# query. The lookup doc is the one with the smallest source id (a fixed,
+# engine-independent choice). max_terms=3 exercises the selectivity cap
+# (the 3 rarest lookup terms, df asc / term asc) — WITHOUT it every doc
+# matches through the shared common vocabulary and the check is vacuous.
+@register(
+    "ft_terms_lookup",
+    f"""WITH lut AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                     FROM documents
+                     WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+        tok AS ({_TOK}),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        sel AS (SELECT lut.term FROM lut JOIN df USING (term)
+                ORDER BY df.df, lut.term LIMIT 3)
+        SELECT DISTINCT tok.doc_id FROM tok JOIN sel USING (term)""",
+)
+def ft_terms_lookup(spark, sf_dir):
+    from search_replica_spark.query.bm25 import terms_lookup
+
+    idx = _index_dir_for(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    orig = int(d.agg(F.min("doc_id")).collect()[0][0])
+    # resolve the lookup doc's ENGINE id via its indexed path (harness path
+    # convention "doc_<source id>"); real callers already hold the _id
+    eng = (
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .filter(F.col("path") == f"doc_{orig}")
+        .select("doc_id")
+        .collect()[0][0]
+    )
+    ids = terms_lookup(_OrigIdReader(spark, idx), spark, idx, int(eng), max_terms=3)
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")

@@ -1,0 +1,106 @@
+"""ES geo query/aggregation family over an integer grid (SURVEY §2B, the
+search surfaces the reference delegates to Elasticsearch).
+
+The synthetic tables carry no geo columns, so the grid coordinates are a
+DETERMINISTIC projection of the event id space (x = event_id % 360,
+y = (event_id DIV 7) % 180 — coprime strides so x and y decorrelate); the
+operators treat them as opaque planar grid coordinates. The grid keeps
+every operator exact-integer cross-engine: ES's own geotile_grid is
+integer (Mercator tile) arithmetic, and bounding-box containment is pure
+comparison. True great-circle geo_distance needs trig whose last-bit
+rounding differs between JVM and DuckDB libm — squared planar distance
+(monotone in true distance on the grid) is the bit-stable spec here.
+
+Scale shape: the box filter and the tile bucketing are codegen'd row
+expressions (filter pushes to the scan, one partial-aggregable shuffle on
+the tile key); distance top-k is a TakeOrdered over a derived column —
+no shuffle at all. All hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_replica_spark.operators import load, register
+
+# One derivation, two engines (DuckDB // == Spark DIV on BIGINT).
+_GRID_SQL = "SELECT event_id, event_type, event_id % 360 AS x, (event_id // 7) % 180 AS y FROM events"
+
+
+def _grid(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 360).alias("x"),
+        F.expr("(event_id DIV 7) % 180").alias("y"),
+    )
+
+
+# ES geo_bounding_box query + terms agg: {"geo_bounding_box": {"location":
+# {...}}} feeding {"terms": {"field": "event_type"}} — containment is pure
+# integer comparison, pushed below the aggregation into the scan.
+@register(
+    "geo_bounding_box_counts",
+    f"""WITH g AS ({_GRID_SQL})
+        SELECT event_type AS key, count(*) AS doc_count FROM g
+        WHERE x BETWEEN 100 AND 199 AND y BETWEEN 40 AND 89
+        GROUP BY event_type ORDER BY doc_count DESC, key""",
+)
+def geo_bounding_box_counts(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    return (
+        g.filter(F.col("x").between(100, 199) & F.col("y").between(40, 89))
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key"))
+    )
+
+
+# ES geo_distance sort ({"sort": [{"_geo_distance": {...}}]}): the 10
+# events nearest a fixed point, by exact squared planar distance (BIGINT),
+# ES tie-break (distance asc, id asc).
+@register(
+    "geo_distance_top10",
+    f"""WITH g AS ({_GRID_SQL})
+        SELECT event_id,
+               CAST((x - 180) * (x - 180) + (y - 90) * (y - 90) AS BIGINT)
+                 AS dist_sq
+        FROM g ORDER BY dist_sq, event_id LIMIT 10""",
+)
+def geo_distance_top10(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    return (
+        g.select(
+            "event_id",
+            F.expr(
+                "CAST((x - 180) * (x - 180) + (y - 90) * (y - 90) AS BIGINT)"
+            ).alias("dist_sq"),
+        )
+        .orderBy("dist_sq", "event_id")
+        .limit(10)
+    )
+
+
+# ES geotile_grid aggregation ({"geotile_grid": {"field": "location",
+# "precision": ...}}): bucket by 30x30 grid tile, top 10 tiles by count —
+# the exact integer tile arithmetic ES itself uses, on our grid.
+@register(
+    "geo_tile_grid_top10",
+    f"""WITH g AS ({_GRID_SQL})
+        SELECT CAST(x // 30 AS BIGINT) AS tile_x, CAST(y // 30 AS BIGINT) AS tile_y,
+               count(*) AS doc_count
+        FROM g GROUP BY tile_x, tile_y
+        ORDER BY doc_count DESC, tile_x, tile_y LIMIT 10""",
+)
+def geo_tile_grid_top10(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    return (
+        g.groupBy(
+            F.expr("CAST(x DIV 30 AS BIGINT)").alias("tile_x"),
+            F.expr("CAST(y DIV 30 AS BIGINT)").alias("tile_y"),
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), "tile_x", "tile_y")
+        .limit(10)
+    )

@@ -1797,6 +1797,75 @@ def exists_match(
     return _expansion_docs(reader, terms, live)[: k if k is not None else None]
 
 
+def completion_suggest(
+    reader: IndexReader,
+    prefix: str,
+    size: int = 5,
+) -> list[tuple[str, int]]:
+    """ES completion suggester ({"suggest": {"c": {"prefix": ...,
+    "completion": {"field": ...}}}}): prefix-matched dictionary entries
+    ranked by weight — here document frequency, ES's default when no
+    explicit weight is indexed — desc, then term asc (the completion
+    tie-break). Lucene serves this from an FST; the columnar analogue is
+    the same row-group-pruned range seek ``expand_prefix`` uses over the
+    term-sorted dict parquet, except the weight column rides along so no
+    second lookup is needed. Returns (term, weight) pairs."""
+    p = prefix.lower()
+    q = (
+        reader.spark.read.parquet(os.path.join(reader.index_dir, "dict"))
+        .filter(prefix_range_cond(p))
+        .filter(F.col("term").startswith(p))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(size)
+    )
+    return [(r["term"], int(r["df"])) for r in q.collect()]
+
+
+def terms_lookup(
+    reader: IndexReader,
+    spark: SparkSession,
+    index_dir: str,
+    lookup_doc_id: int,
+    field: str = "content",
+    k: int | None = None,
+    live: np.ndarray | None = None,
+    max_terms: int | None = None,
+) -> list[int]:
+    """ES terms-lookup query ({"terms": {"content": {"index": ..., "id":
+    ..., "path": "content"}}}): the terms list is fetched from ANOTHER
+    document's stored ``_source`` (one pushed-down GET through
+    ``get_docs`` — requires a ``store_source=True`` index, exactly like
+    ES requires the lookup field in ``_source``), analyzed with the same
+    analyzer as the index, then executed as a constant-score terms query
+    (one multi-term posting fetch, doc_id order). The lookup doc itself
+    matches, as in ES. Scale shape: O(1) point GET + the same bounded
+    expansion fetch every constant-score query uses.
+
+    ``max_terms`` is the analogue of ES's ``index.max_terms_count``
+    safeguard (ES hard-errors past 65536 lookup terms); instead of
+    erroring, an over-long terms list is capped to the ``max_terms`` MOST
+    SELECTIVE terms (dictionary df asc, term asc — a deliberate deviation
+    from ES's rejection, chosen so capped lookups stay useful: the rare
+    terms are the ones that carry the lookup's meaning)."""
+    from search_replica_spark.streaming.incremental import get_docs
+
+    rows = get_docs(spark, index_dir, [int(lookup_doc_id)]).select(field).collect()
+    if not rows or rows[0][0] is None:
+        return []
+    terms = sorted(set(tokenize_text(rows[0][0])))
+    if max_terms is not None and len(terms) > max_terms:
+        dfs = (
+            reader.spark.read.parquet(os.path.join(reader.index_dir, "dict"))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        ranked = sorted(((int(r["df"]), r["term"]) for r in dfs))
+        terms = sorted(t for _, t in ranked[:max_terms])
+    return _expansion_docs(reader, terms, live)[: k if k is not None else None]
+
+
 def explain_score(
     reader: IndexReader,
     query: str,

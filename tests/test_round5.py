@@ -827,3 +827,77 @@ def test_span_first_matches_python_reference(spark, tmp_path):
         assert got == want, (term, end)
         matched_any = matched_any or bool(got)
     assert matched_any
+
+
+def test_completion_suggest_ranks_dict_prefix(spark, tmp_path):
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import IndexReader, completion_suggest
+
+    c = generate_corpus(200)
+    out = str(tmp_path / "cidx")
+    build_index(spark, spark.createDataFrame(c), out, IndexConfig(shuffle_partitions=4))
+    rd = IndexReader(spark, out)
+
+    dic = spark.read.parquet(out + "/dict").select("term", "df").collect()
+    for prefix in ("s", "de", "li"):
+        got = completion_suggest(rd, prefix, size=5)
+        want = sorted(
+            ((r["term"], int(r["df"])) for r in dic if r["term"].startswith(prefix)),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got == want, prefix
+        assert all(t.startswith(prefix) for t, _ in got)
+    assert completion_suggest(rd, "zzzzzz") == []
+
+
+def test_terms_lookup_matches_and_caps(spark, tmp_path):
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import IndexReader, terms_lookup
+
+    c = generate_corpus(150)
+    out = str(tmp_path / "tlidx")
+    build_index(
+        spark,
+        spark.createDataFrame(c),
+        out,
+        IndexConfig(shuffle_partitions=4, store_source=True),
+    )
+    rd = IndexReader(spark, out)
+    row = c.iloc[0]
+    lid = doc_id_of(row.repo, row.path)
+
+    full = terms_lookup(rd, spark, out, lid)
+    # the lookup doc shares its own tokens, so it must match itself
+    assert lid in full
+    # python oracle: docs sharing ANY analyzed token with the lookup doc
+    lut = set(tokenize_text(row.content))
+    want = sorted(
+        doc_id_of(r.repo, r.path)
+        for r in c.itertuples()
+        if lut & set(tokenize_text(r.content))
+    )
+    assert full == want
+
+    capped = terms_lookup(rd, spark, out, lid, max_terms=3)
+    assert set(capped) <= set(full)
+    # cap keeps the 3 RAREST terms (df asc, term asc) — oracle the selection
+    df = {}
+    for r in c.itertuples():
+        for t in set(tokenize_text(r.content)):
+            df[t] = df.get(t, 0) + 1
+    rare3 = [t for _, t in sorted((df[t], t) for t in lut if t in df)[:3]]
+    want_capped = sorted(
+        doc_id_of(r.repo, r.path)
+        for r in c.itertuples()
+        if set(rare3) & set(tokenize_text(r.content))
+    )
+    assert capped == want_capped
+
+    # missing lookup doc -> empty, like ES document_missing
+    assert terms_lookup(rd, spark, out, 999999999, max_terms=3) == []
