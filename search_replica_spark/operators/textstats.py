@@ -462,3 +462,52 @@ def text_bigram_lm_nll(spark, sf_dir):
         F.sum("nll").alias("sum_nll_micro"),
         F.expr("sum(nll) DIV count(*)").alias("avg_nll_micro"),
     )
+
+
+# LLM-pipeline chunking: split each document into fixed-size sliding token
+# windows (size 8, stride 4 — 50% overlap), the unit a training/RAG
+# pipeline actually embeds and packs. Pure JVM expressions: one tokenize
+# (split), one sequence() of window starts, one explode — no Python, no
+# shuffle (chunk rows stay in their document's partition), so at 100 TB
+# this is a map-only stage whose output feeds pack_sequences / embedding
+# directly. Emits (doc_id, chunk_id, n_tokens, chunk_text); short tails
+# (< 2 tokens past a full window) are kept iff they start new content —
+# i.e. a window starts at every stride boundary < n_tokens.
+CHUNK_SIZE = 8
+CHUNK_STRIDE = 4
+
+
+@register(
+    "text_chunk_sliding",
+    f"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        st AS (SELECT doc_id, toks,
+                      generate_series(1, greatest(1, len(toks)), {CHUNK_STRIDE}) AS starts
+               FROM tok),
+        ex AS (SELECT doc_id, toks, unnest(starts) AS s FROM st)
+        SELECT doc_id,
+               CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(least({CHUNK_SIZE}, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(toks[s : least(s + {CHUNK_SIZE} - 1, len(toks))], ' ')
+                 AS chunk_text
+        FROM ex""",
+)
+def text_chunk_sliding(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("toks"))
+    ex = tok.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(1, greatest(1, size(toks)), {CHUNK_STRIDE})")
+        ).alias("s"),
+    )
+    return ex.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias("chunk_id"),
+        F.expr(f"CAST(least({CHUNK_SIZE}, size(toks) - s + 1) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            f"array_join(slice(toks, s, least({CHUNK_SIZE}, size(toks) - s + 1)), ' ')"
+        ).alias("chunk_text"),
+    )

@@ -142,6 +142,21 @@ CHECKS = {
         "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "why": "percolate (r5): the registered-query table BROADCASTS into one equi-join with the distinct (doc, term) set — matching 10k queries costs the same single corpus pass as five",
     },
+    "text_chunk_sliding": {
+        "want": ["Generate"],
+        "avoid": ["Exchange", "CartesianProduct", "Window"],
+        "why": "LLM chunking (r5): tokenize + window-start sequence + explode is a MAP-ONLY stage — zero Exchange in the plan, so chunk rows stream straight from the document scan into downstream packing/embedding at any corpus size",
+    },
+    "geo_distance_top10": {
+        "want": ["TakeOrderedAndProject"],
+        "avoid": ["Exchange", "CartesianProduct"],
+        "why": "geo_distance sort (r5): nearest-k over a derived distance column is a per-partition heap + k-row driver merge (TakeOrderedAndProject), never a global sort shuffle",
+    },
+    "agg_bucket_script_share": {
+        "want": ["BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "bucket_script (r5): the sibling-total is a 1-ROW broadcast riding a nested-loop join over O(buckets) rows — constant work; the fact table is scanned exactly once (by the bucket aggregation below)",
+    },
 }
 
 
@@ -240,6 +255,12 @@ def main():
     )
     plans["hybrid_rrf_top10"] = plan_of(reg["hybrid_rrf_top10"][0](spark, sf_dir))
     plans["percolate_matches"] = plan_of(reg["percolate_matches"][0](spark, sf_dir))
+
+    plans["text_chunk_sliding"] = plan_of(reg["text_chunk_sliding"][0](spark, sf_dir))
+    plans["geo_distance_top10"] = plan_of(reg["geo_distance_top10"][0](spark, sf_dir))
+    plans["agg_bucket_script_share"] = plan_of(
+        reg["agg_bucket_script_share"][0](spark, sf_dir)
+    )
 
     plans["ann_pq_adc"] = plan_of(reg["ann_pq_adc_top10"][0](spark, sf_dir))
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
