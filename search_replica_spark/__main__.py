@@ -148,7 +148,41 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--snap-dir", required=True)
     rs.add_argument("--index-dir", required=True)
 
+    al = sub.add_parser(
+        "alias",
+        help="ES index aliases: zero-downtime reindex swap (atomic "
+        "aliases.json in the base dir); query/get/metrics/serve resolve "
+        "aliases automatically; no Spark needed",
+    )
+    al.add_argument("action", choices=["set", "rm", "ls"])
+    al.add_argument("--base-dir", required=True, help="directory holding the indexes")
+    al.add_argument("--name", help="alias name (set/rm)")
+    al.add_argument("--target", help="index dir the alias points at (set)")
+
     args = p.parse_args(argv)
+    if args.cmd == "alias":  # pure file metadata — no Spark session
+        from search_replica_spark.index.alias import aliases, delete_alias, set_alias
+
+        if args.action == "set":
+            if not args.name or not args.target:
+                p.error("alias set requires --name and --target")
+            prev = set_alias(args.base_dir, args.name, args.target)
+            print(json.dumps({"alias": args.name, "target": args.target, "previous": prev}))
+        elif args.action == "rm":
+            if not args.name:
+                p.error("alias rm requires --name")
+            print(json.dumps({"alias": args.name, "removed": delete_alias(args.base_dir, args.name)}))
+        else:
+            print(json.dumps(aliases(args.base_dir)))
+        return 0
+
+    # every command that READS an existing index accepts an alias for it
+    # (build/restore create their target, so their paths stay literal)
+    if args.cmd in ("query", "get", "metrics", "serve", "update", "snapshot"):
+        from search_replica_spark.index.alias import resolve_index
+
+        attr = "index" if args.cmd == "query" else "index_dir"
+        setattr(args, attr, resolve_index(getattr(args, attr)))
     if args.cmd == "snapshot":
         from search_replica_spark.snapshot import snapshot_index
 

@@ -968,3 +968,33 @@ def agg_bucket_script_share(spark, sf_dir):
         "doc_count",
         F.expr("CAST((doc_count * 1000000) DIV tot AS BIGINT)").alias("share_micro"),
     )
+
+
+# ES nested + reverse_nested aggregations: bucket over NESTED docs (order
+# items, histogram on quantity band), each bucket reporting both the
+# nested doc_count (items) and the reverse_nested parent count (distinct
+# orders). The Spark side goes through the ACTUAL assembled array column
+# (collect_list → explode — the nested doc store a P11-inlined index
+# holds, same modeling as b7_nested_array_query), then one
+# partial-aggregable groupBy; count(DISTINCT parent) IS reverse_nested.
+@register(
+    "agg_nested_reverse_orders",
+    """SELECT CAST(l_quantity AS BIGINT) // 10 AS qband,
+              count(*) AS item_count,
+              count(DISTINCT l_orderkey) AS order_count
+       FROM lineitem GROUP BY qband ORDER BY qband""",
+)
+def agg_nested_reverse_orders(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_quantity")).alias("items")
+    )
+    ex = nested.select("l_orderkey", F.explode("items").alias("it"))
+    return (
+        ex.groupBy(F.expr("CAST(it.l_quantity AS BIGINT) DIV 10").alias("qband"))
+        .agg(
+            F.count("*").alias("item_count"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+        )
+        .orderBy("qband")
+    )

@@ -901,3 +901,67 @@ def test_terms_lookup_matches_and_caps(spark, tmp_path):
 
     # missing lookup doc -> empty, like ES document_missing
     assert terms_lookup(rd, spark, out, 999999999, max_terms=3) == []
+
+
+def test_alias_zero_downtime_swap(spark, tmp_path, capsys):
+    from search_replica_spark.__main__ import main
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.alias import (
+        aliases,
+        delete_alias,
+        resolve_index,
+        set_alias,
+    )
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+
+    base = tmp_path / "indexes"
+    base.mkdir()
+    v1 = str(base / "products_v1")
+    v2 = str(base / "products_v2")
+    build_index(
+        spark,
+        spark.createDataFrame(generate_corpus(80)),
+        v1,
+        IndexConfig(shuffle_partitions=2),
+    )
+    build_index(
+        spark,
+        spark.createDataFrame(generate_corpus(140)),
+        v2,
+        IndexConfig(shuffle_partitions=2),
+    )
+
+    # create, read back, swap — each step atomic
+    assert set_alias(str(base), "products", v1) is None
+    alias_path = str(base / "products")
+    assert resolve_index(alias_path) == v1
+    assert set_alias(str(base), "products", v2) == v1  # the reindex swap
+    assert resolve_index(alias_path) == v2
+    assert aliases(str(base)) == {"products": v2}
+
+    # a real index dir passes through untouched
+    assert resolve_index(v1) == v1
+
+    # queries through the alias see the NEW index after the swap
+    r_alias = IndexReader(spark, resolve_index(alias_path))
+    r_v2 = IndexReader(spark, v2)
+    q = "apache license"
+    assert TermAtATimeScorer(r_alias).score(q, 5) == TermAtATimeScorer(r_v2).score(q, 5)
+
+    # CLI surface: set / ls / rm + alias-resolved metrics
+    assert main(["alias", "set", "--base-dir", str(base), "--name", "p2", "--target", v1]) == 0
+    assert main(["alias", "ls", "--base-dir", str(base)]) == 0
+    assert main(["metrics", "--index-dir", alias_path]) == 0
+    assert main(["alias", "rm", "--base-dir", str(base), "--name", "p2"]) == 0
+    capsys.readouterr()
+
+    # guard rails: aliasing a non-index fails; dangling resolution fails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        set_alias(str(base), "bad", str(tmp_path / "nowhere"))
+    assert delete_alias(str(base), "products")
+    with _pytest.raises(FileNotFoundError):
+        resolve_index(alias_path)
