@@ -154,23 +154,33 @@ def main():
     queries["bm25_p50_tata_pinned"] = round(lat_pin_t[len(lat_pin_t) // 2], 4)
     queries["bm25_p50_wand_pinned"] = round(lat_pin_w[len(lat_pin_w) // 2], 4)
 
-    # sustained serving throughput on the pinned node: sequential QPS and
-    # 4-way concurrent QPS (a query node serves many clients; NumPy scoring
-    # releases the GIL in its heavy ops, so concurrency should add real
-    # throughput, not just queueing)
-    import concurrent.futures as _cf
-
+    # sustained serving throughput on the pinned node: sequential QPS, then
+    # 4 FORKED worker processes each scoring its own slice over the
+    # copy-on-write-inherited pinned arrays — the process-per-shard shape a
+    # real serving node runs (threads measure ~0.8x here: per-query NumPy
+    # work at this corpus size is too small to escape the GIL)
     _pool_qs = (list(zip(qset["query_text"], qset["k"])) * 5)[:100]
     t = time.time()
     for qtext, k in _pool_qs:
         scorer.score(qtext, int(k))
     _seq_sec = time.time() - t
     queries["bm25_qps_pinned_c1"] = round(len(_pool_qs) / max(_seq_sec, 1e-9), 1)
-    with _cf.ThreadPoolExecutor(max_workers=4) as _ex:
-        t = time.time()
-        list(_ex.map(lambda qk: scorer.score(qk[0], int(qk[1])), _pool_qs * 2))
-        _con_sec = time.time() - t
-    queries["bm25_qps_pinned_c4"] = round(2 * len(_pool_qs) / max(_con_sec, 1e-9), 1)
+    _NPROC, _PER = 4, 50
+    t = time.time()
+    _pids = []
+    for _i in range(_NPROC):
+        _pid = os.fork()
+        if _pid == 0:  # child: score, then _exit (never touch the JVM)
+            try:
+                for qtext, k in (_pool_qs * 2)[_i * _PER : (_i + 1) * _PER]:
+                    scorer.score(qtext, int(k))
+            finally:
+                os._exit(0)
+        _pids.append(_pid)
+    for _pid in _pids:
+        os.waitpid(_pid, 0)
+    _par_sec = time.time() - t
+    queries["bm25_qps_pinned_p4"] = round(_NPROC * _PER / max(_par_sec, 1e-9), 1)
 
     # --- 2b. multi-generation serving: 4 generations over the same corpus,
     # pinned; p50 must stay within ~1.5x of the single-generation index ---
