@@ -104,3 +104,34 @@ def geo_tile_grid_top10(spark, sf_dir):
         .orderBy(F.col("doc_count").desc(), "tile_x", "tile_y")
         .limit(10)
     )
+
+
+# ES geo_centroid aggregation ({"geo_centroid": {"field": "location"}})
+# per event_type bucket: the centroid as exact integer micro-coordinates
+# (quotient-remainder composition — no float mean enters either engine).
+# One partial-aggregable shuffle: sums and counts merge associatively.
+@register(
+    "geo_centroid_by_type",
+    f"""WITH g AS ({_GRID_SQL})
+        SELECT event_type AS key, count(*) AS doc_count,
+               CAST((sum(x) // count(*)) * 1000000
+                    + ((sum(x) % count(*)) * 1000000) // count(*) AS BIGINT)
+                 AS cx_micro,
+               CAST((sum(y) // count(*)) * 1000000
+                    + ((sum(y) % count(*)) * 1000000) // count(*) AS BIGINT)
+                 AS cy_micro
+        FROM g GROUP BY event_type""",
+)
+def geo_centroid_by_type(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    return g.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("doc_count"),
+        F.expr(
+            "CAST((sum(x) DIV count(*)) * 1000000"
+            " + ((sum(x) % count(*)) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("cx_micro"),
+        F.expr(
+            "CAST((sum(y) DIV count(*)) * 1000000"
+            " + ((sum(y) % count(*)) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("cy_micro"),
+    )

@@ -203,3 +203,50 @@ def pack_sequences_by_lang(spark, sf_dir):
     return ds.mapInPandas(
         fn, schema="doc_id long, lang string, n_tokens long, pack_id long"
     )
+
+
+# Training-data source mixing by TEMPERATURE rebalancing (the multilingual
+# pretraining scheme: sampling weight ∝ n^α with α=0.5, so large sources
+# are down-weighted and small ones up-weighted without exploding their
+# epoch count). Per-source quota = TARGET * floor(sqrt(n_src)) / Σ — the
+# sqrt of an exact BIGINT count is IEEE-correctly-rounded in both engines,
+# so floor(sqrt(n)) is deterministic cross-engine; quota arithmetic is
+# pure integer. Selection within a source is the same md5-hash-order
+# window as stratified sampling: the window partitions by source, so at
+# 100 TB each source ranks only its own slice, and the quota table is a
+# broadcast. TARGET docs total (up to floor rounding).
+MIX_TARGET = 200
+
+
+@register(
+    "sample_temperature_mix",
+    f"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM cnt),
+        tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts FROM w),
+        q AS (SELECT w.source, CAST(({MIX_TARGET} * w.s) // t.ts AS BIGINT) AS quota
+              FROM w CROSS JOIN tot t),
+        rk AS (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS rk
+               FROM documents)
+        SELECT rk.source, rk.doc_id
+        FROM rk JOIN q USING (source) WHERE rk.rk <= q.quota""",
+)
+def sample_temperature_mix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    w = cnt.select("source", F.expr("CAST(floor(sqrt(n)) AS BIGINT)").alias("s"))
+    tot = w.agg(F.expr("CAST(sum(s) AS BIGINT)").alias("ts"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"CAST(({MIX_TARGET} * s) DIV ts AS BIGINT)").alias("quota")
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    rk = d.select("source", "doc_id", F.row_number().over(win).alias("rk"))
+    return (
+        rk.join(F.broadcast(q), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id")
+    )
