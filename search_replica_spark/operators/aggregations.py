@@ -998,3 +998,31 @@ def agg_nested_reverse_orders(spark, sf_dir):
         )
         .orderBy("qband")
     )
+
+
+# ES percentile_ranks aggregation ({"percentile_ranks": {"field":
+# "n_chars", "values": [100, 200, 400]}}): for each given value, the
+# percentage of docs at or below it. rank_micro = (1e6 * count(x <= v))
+# DIV count(*) — pure integer, one scan with three conditional counts
+# (no per-value subquery).
+@register(
+    "agg_percentile_ranks",
+    """SELECT lang AS key,
+              (1000000 * CAST(sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END) AS BIGINT))
+                // count(*) AS rank_100_micro,
+              (1000000 * CAST(sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS BIGINT))
+                // count(*) AS rank_200_micro,
+              (1000000 * CAST(sum(CASE WHEN n_chars <= 400 THEN 1 ELSE 0 END) AS BIGINT))
+                // count(*) AS rank_400_micro
+       FROM documents GROUP BY lang""",
+)
+def agg_percentile_ranks(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    cols = [
+        F.expr(
+            f"(1000000 * CAST(sum(CASE WHEN n_chars <= {v} THEN 1 ELSE 0 END) AS BIGINT))"
+            f" DIV count(*)"
+        ).alias(f"rank_{v}_micro")
+        for v in (100, 200, 400)
+    ]
+    return d.groupBy(F.col("lang").alias("key")).agg(*cols)

@@ -1762,3 +1762,55 @@ def ft_terms_lookup(spark, sf_dir):
     )
     ids = terms_lookup(_OrigIdReader(spark, idx), spark, idx, int(eng), max_terms=3)
     return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+# ES simple_query_string — the user-facing mini query language, compiled
+# to OR-of-AND-groups over the engine's primitives (phrase / term /
+# prefix / negation). The fixed harness query exercises a phrase group
+# OR'd with a (term AND NOT term) group; the twin scores each group with
+# the already-proven phrase and BM25 CTEs and sums matching groups (two
+# addends — float addition is commutative, so cross-engine order is
+# irrelevant).
+SQS_QUERY = '"table hash" | spark -join'
+
+_SQS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+phdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         WHERE term IN ('table', 'hash') GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (stats.n - phdf.df + 0.5) / (phdf.df + 0.5))) AS v
+           FROM phdf CROSS JOIN stats),
+ph AS (SELECT a.doc_id, count(*) AS ptf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id),
+g1 AS (SELECT ph.doc_id,
+              idfsum.v * ph.ptf
+                / (ph.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+       FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum),
+sdf AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'spark'),
+stf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'spark' GROUP BY doc_id),
+g2 AS (SELECT stf.doc_id,
+              ln(1 + (stats.n - sdf.df + 0.5) / (sdf.df + 0.5))
+                * stf.tf / (stf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+       FROM stf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN sdf
+       WHERE stf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'join')),
+u AS (SELECT doc_id, sum(s) AS score
+      FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM u
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register("ft_simple_query_string", _SQS_SQL)
+def ft_simple_query_string(spark, sf_dir):
+    from search_replica_spark.query.bm25 import simple_query_string
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = simple_query_string(
+        _OrigIdReader(spark, idx), SQS_QUERY, k=10, default_operator="and"
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -135,3 +135,24 @@ def geo_centroid_by_type(spark, sf_dir):
             " + ((sum(y) % count(*)) * 1000000) DIV count(*) AS BIGINT)"
         ).alias("cy_micro"),
     )
+
+
+# ES geo_bounds aggregation ({"geo_bounds": {"field": "location"}}) per
+# event_type: the tight bounding box of each bucket's points — four
+# min/max aggregates, partial-aggregable, all exact integers on the grid.
+@register(
+    "geo_bounds_by_type",
+    f"""WITH g AS ({_GRID_SQL})
+        SELECT event_type AS key,
+               min(x) AS left_x, max(x) AS right_x,
+               min(y) AS bottom_y, max(y) AS top_y
+        FROM g GROUP BY event_type""",
+)
+def geo_bounds_by_type(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    return g.groupBy(F.col("event_type").alias("key")).agg(
+        F.min("x").alias("left_x"),
+        F.max("x").alias("right_x"),
+        F.min("y").alias("bottom_y"),
+        F.max("y").alias("top_y"),
+    )

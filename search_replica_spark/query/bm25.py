@@ -1797,6 +1797,113 @@ def exists_match(
     return _expansion_docs(reader, terms, live)[: k if k is not None else None]
 
 
+_SQS_LEX = None  # compiled lazily (module imports re only here)
+
+
+def parse_simple_query_string(
+    query: str, default_operator: str = "or"
+) -> list[list[tuple[str, str, int, bool]]]:
+    """Parse ES ``simple_query_string`` syntax into OR-of-AND-groups.
+
+    Supported flags (the ES defaults minus fuzziness): whitespace-joined
+    clauses (joined by ``default_operator``), ``+`` (AND, binds tighter),
+    ``|`` (OR), ``-`` (NOT, prefix on a clause), ``"..."`` phrases with an
+    optional ``~N`` slop suffix, and trailing-``*`` prefix clauses. Like
+    ES's SimpleQueryParser the grammar never errors: anything
+    unparseable is just a term.
+
+    Returns groups: ``[[(kind, text, slop, negated), ...], ...]`` — the
+    query matches a doc if ANY group matches (every non-negated atom
+    present, no negated atom), kind in {"term", "phrase", "prefix"}."""
+    import re as _re
+
+    global _SQS_LEX
+    if _SQS_LEX is None:
+        _SQS_LEX = _re.compile(r'-?"[^"]*"(?:~\d+)?|\||\+|\S+')
+    groups: list[list[tuple[str, str, int, bool]]] = [[]]
+    join = "start"
+    for tok in _SQS_LEX.findall(query):
+        if tok == "|":
+            join = "or"
+            continue
+        if tok == "+":
+            join = "and"
+            continue
+        negated = tok.startswith("-") and len(tok) > 1
+        if negated:
+            tok = tok[1:]
+        slop = 0
+        if tok.startswith('"'):
+            body, _, suffix = tok[1:].rpartition('"')
+            kind, text = "phrase", body
+            if suffix.startswith("~"):
+                slop = int(suffix[1:])
+        elif tok.endswith("*") and len(tok) > 1:
+            kind, text = "prefix", tok[:-1]
+        else:
+            kind, text = "term", tok
+        if not text:
+            continue
+        eff = default_operator if join == "start" else join
+        if groups[-1] and eff != "and":
+            groups.append([])
+        groups[-1].append((kind, text, slop, negated))
+        join = "start"
+    return [g for g in groups if g]
+
+
+def simple_query_string(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES simple_query_string query — the user-facing mini query language
+    (``"table hash" | spark -delrel``), compiled onto this engine's
+    primitives: term atoms score BM25 (`bool_topk` machinery), phrase
+    atoms score Lucene PhraseQuery semantics (`phrase_topk` — positional
+    index required), prefix atoms are constant-score 1.0 (Lucene
+    ConstantScore(PrefixQuery), as in ES). A doc's score is the sum of
+    every matching OR-group's score, where a group matches iff all its
+    non-negated atoms match and no negated atom does, and the group's
+    score is the sum of its atoms' scores — exactly the BooleanQuery ES
+    compiles this syntax to. Scale shape: every atom is one bounded
+    posting/dictionary fetch; the composition handles O(matching docs)
+    per atom — the same class as every scorer here, merged in plain
+    dicts (the serving-node glue layer, not a Spark job)."""
+    if live is None:
+        live = getattr(reader, "_live", None)
+    groups = parse_simple_query_string(query, default_operator)
+    if not groups:
+        return []
+    n_docs = reader.doc_arrays()[1].size
+    totals: dict[int, float] = {}
+
+    def atom_scores(kind: str, text: str, slop: int) -> dict[int, float]:
+        if kind == "phrase":
+            return dict(phrase_topk(reader, text, k=n_docs, slop=slop, live=live))
+        if kind == "prefix":
+            return {d: 1.0 for d in prefix_match(reader, text, live=live)}
+        return dict(bool_topk(reader, must=[text], k=n_docs, live=live))
+
+    for group in groups:
+        pos = [a for a in group if not a[3]]
+        neg = [a for a in group if a[3]]
+        if not pos:
+            continue  # ES: a purely negative group cannot match on its own
+        parts = [atom_scores(kind, text, slop) for kind, text, slop, _ in pos]
+        matched = set(parts[0])
+        for p in parts[1:]:
+            matched &= set(p)
+        for kind, text, slop, _ in neg:
+            matched -= set(atom_scores(kind, text, slop))
+        for d in matched:
+            totals[d] = totals.get(d, 0.0) + sum(p[d] for p in parts)
+    ranked = sorted(totals.items(), key=lambda t: (-t[1], t[0]))
+    return ranked[:k]
+
+
 def completion_suggest(
     reader: IndexReader,
     prefix: str,

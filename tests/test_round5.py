@@ -965,3 +965,68 @@ def test_alias_zero_downtime_swap(spark, tmp_path, capsys):
     assert delete_alias(str(base), "products")
     with _pytest.raises(FileNotFoundError):
         resolve_index(alias_path)
+
+
+def test_simple_query_string_parser():
+    from search_replica_spark.query.bm25 import parse_simple_query_string as p
+
+    assert p('"table hash" | spark -join', "and") == [
+        [("phrase", "table hash", 0, False)],
+        [("term", "spark", 0, False), ("term", "join", 0, True)],
+    ]
+    # default OR: bare terms are separate groups; + binds the next atom in
+    assert p("a b +c") == [
+        [("term", "a", 0, False)],
+        [("term", "b", 0, False), ("term", "c", 0, False)],
+    ]
+    # default AND: everything one group
+    assert p("a b c", "and") == [
+        [("term", "a", 0, False), ("term", "b", 0, False), ("term", "c", 0, False)]
+    ]
+    assert p('ver* -"x y"~2') == [
+        [("prefix", "ver", 0, False)],
+        [("phrase", "x y", 2, True)],
+    ]
+    assert p("") == []
+    assert p("| + |") == []
+
+
+def test_simple_query_string_matches_primitives(spark, tmp_path):
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import (
+        IndexReader,
+        bool_topk,
+        phrase_topk,
+        prefix_match,
+        simple_query_string,
+    )
+
+    c = generate_corpus(250)
+    out = str(tmp_path / "sqsidx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, store_positions=True))
+    rd = IndexReader(spark, out)
+    n = rd.doc_arrays()[1].size
+
+    # single term == bool must
+    assert simple_query_string(rd, "license", 5) == bool_topk(rd, must=["license"], k=5)
+    # single phrase == phrase_topk
+    got = simple_query_string(rd, '"apache license"', 5)
+    assert got == phrase_topk(rd, "apache license", 5)
+    # single prefix == constant-score prefix match (doc_id order at equal score)
+    ids = prefix_match(rd, "lic")
+    assert simple_query_string(rd, "lic*", 5) == [(d, 1.0) for d in sorted(ids)[:5]]
+    # OR of two terms: score(doc) = sum of its matching groups
+    t1 = dict(bool_topk(rd, must=["apache"], k=n))
+    t2 = dict(bool_topk(rd, must=["license"], k=n))
+    want = {}
+    for d in set(t1) | set(t2):
+        want[d] = t1.get(d, 0.0) + t2.get(d, 0.0)
+    got = simple_query_string(rd, "apache | license", k=n)
+    assert dict(got) == want
+    # negation removes docs from the group it belongs to
+    got_neg = dict(simple_query_string(rd, "apache -license", k=n, default_operator="and"))
+    want_neg = {d: s for d, s in t1.items() if d not in t2}
+    assert got_neg == want_neg
