@@ -511,3 +511,41 @@ def text_chunk_sliding(spark, sf_dir):
             f"array_join(slice(toks, s, least({CHUNK_SIZE}, size(toks) - s + 1)), ' ')"
         ).alias("chunk_text"),
     )
+
+
+# WIMBD-style corpus analytics: the most common word trigrams corpus-wide
+# ("what's in my big data" — the first question asked of any new training
+# corpus). One explode over per-doc trigram positions + one count groupBy:
+# the same two-shuffle shape as every corpus-wide count here, partial
+# aggregation first, so the hot trigrams never concentrate raw rows.
+# sequence(1, n) is DESCENDING when n < 1 — guarded (see shingle ops).
+@register(
+    "text_top_trigrams",
+    """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       tri AS (SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+               FROM tok, unnest(CASE WHEN len(toks) >= 3
+                                     THEN generate_series(1, len(toks) - 2)
+                                     ELSE [] END) AS u(i))
+       SELECT tg, count(*) AS n FROM tri
+       GROUP BY tg ORDER BY n DESC, tg LIMIT 10""",
+)
+def text_top_trigrams(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.split("text", " ").alias("toks"))
+    tri = tok.select(
+        F.explode(
+            F.expr("IF(size(toks) >= 3, sequence(1, size(toks) - 2), array())")
+        ).alias("i"),
+        "toks",
+    ).select(
+        F.expr(
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+            " element_at(toks, i + 2))"
+        ).alias("tg")
+    )
+    return (
+        tri.groupBy("tg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tg")
+        .limit(10)
+    )
