@@ -1030,3 +1030,55 @@ def test_simple_query_string_matches_primitives(spark, tmp_path):
     got_neg = dict(simple_query_string(rd, "apache -license", k=n, default_operator="and"))
     want_neg = {d: s for d, s in t1.items() if d not in t2}
     assert got_neg == want_neg
+
+
+def test_simple_query_string_parser_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_replica_spark.query.bm25 import parse_simple_query_string
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=60), st.sampled_from(["or", "and"]))
+    def check(q, op):
+        groups = parse_simple_query_string(q, op)
+        # structural invariants: no empty groups, well-formed atoms
+        for g in groups:
+            assert g
+            for kind, text, slop, negated in g:
+                assert kind in ("term", "phrase", "prefix")
+                assert isinstance(text, str) and text != ""
+                assert isinstance(slop, int) and slop >= 0
+                assert isinstance(negated, bool)
+
+    check()
+
+
+def test_chunking_reconstructs_without_overlap(spark):
+    # stride == size (no overlap) must reassemble every document exactly:
+    # the invariant that proves no token is dropped or duplicated
+    from search_replica_spark.operators import REGISTRY
+    from search_replica_spark.operators import textstats as ts
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn = REGISTRY["text_chunk_sliding"][0]
+    old_size, old_stride = ts.CHUNK_SIZE, ts.CHUNK_STRIDE
+    ts.CHUNK_SIZE = ts.CHUNK_STRIDE = 8
+    try:
+        chunks = fn(spark, sf_dir).collect()
+    finally:
+        ts.CHUNK_SIZE, ts.CHUNK_STRIDE = old_size, old_stride
+    import collections
+
+    by_doc = collections.defaultdict(dict)
+    for r in chunks:
+        by_doc[r.doc_id][r.chunk_id] = r.chunk_text
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(sf_dir + "/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for did, parts in by_doc.items():
+        assert sorted(parts) == list(range(len(parts)))  # contiguous ids
+        rebuilt = " ".join(parts[i] for i in range(len(parts)))
+        assert rebuilt == docs[did], did
