@@ -60,11 +60,31 @@ _DRIVER_SAMPLED_R1_R4 = frozenset({
 })
 
 
+# Registered this round's final session — front-loaded ahead of the other
+# never-sampled entries so the newest surfaces get driver rows first (there
+# are more never-sampled entries than the driver's 50-row sample).
+_NEWEST = (
+    "ft_simple_query_string", "ft_suggest_completion", "ft_terms_lookup",
+    "agg_extended_stats_by_lang", "agg_boxplot_by_lang",
+    "agg_matrix_stats_moments", "agg_random_sampler_stats",
+    "agg_stats_bucket_chars", "agg_bucket_script_share",
+    "agg_nested_reverse_orders", "agg_percentile_ranks",
+    "agg_top_metrics_by_lang", "agg_mad_by_lang", "agg_string_stats_lang",
+    "geo_bounding_box_counts", "geo_distance_top10", "geo_tile_grid_top10",
+    "geo_centroid_by_type", "geo_bounds_by_type",
+    "ann_filtered_top10", "text_chunk_sliding", "text_top_trigrams",
+    "sample_temperature_mix",
+)
+
+
 def _rotated() -> dict[str, tuple]:
     from search_replica_spark.operators import all_registered
 
     reg = all_registered()
-    order = [n for n in reg if n not in _DRIVER_SAMPLED_R1_R4]
+    order = [n for n in _NEWEST if n in reg]
+    order += [
+        n for n in reg if n not in _DRIVER_SAMPLED_R1_R4 and n not in set(order)
+    ]
     order += [n for n in reg if n in _DRIVER_SAMPLED_R1_R4]
     return {n: reg[n] for n in order}
 
