@@ -171,15 +171,22 @@ def main():
     for _i in range(_NPROC):
         _pid = os.fork()
         if _pid == 0:  # child: score, then _exit (never touch the JVM)
+            _rc = 0
             try:
                 for qtext, k in (_pool_qs * 2)[_i * _PER : (_i + 1) * _PER]:
                     scorer.score(qtext, int(k))
-            finally:
-                os._exit(0)
+            except BaseException:
+                _rc = 1  # a dead child must NOT record as instant success
+            os._exit(_rc)
         _pids.append(_pid)
+    _fail = 0
     for _pid in _pids:
-        os.waitpid(_pid, 0)
+        _, _status = os.waitpid(_pid, 0)
+        if os.waitstatus_to_exitcode(_status) != 0:
+            _fail += 1
     _par_sec = time.time() - t
+    if _fail:
+        raise RuntimeError(f"{_fail}/{_NPROC} forked QPS workers failed")
     queries["bm25_qps_pinned_p4"] = round(_NPROC * _PER / max(_par_sec, 1e-9), 1)
 
     # --- 2b. multi-generation serving: 4 generations over the same corpus,

@@ -176,13 +176,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(aliases(args.base_dir)))
         return 0
 
-    # every command that READS an existing index accepts an alias for it
-    # (build/restore create their target, so their paths stay literal)
+    # every command that OPERATES ON an existing index accepts an alias for
+    # it (build/restore create their target, so their paths stay literal);
+    # commands that may legitimately create a new index resolve an alias if
+    # one matches and otherwise keep the literal path
     if args.cmd in ("query", "get", "metrics", "serve", "update", "snapshot"):
         from search_replica_spark.index.alias import resolve_index
 
         attr = "index" if args.cmd == "query" else "index_dir"
         setattr(args, attr, resolve_index(getattr(args, attr)))
+    elif args.cmd in ("ingest", "stream", "compact", "replicate"):
+        from search_replica_spark.index.alias import resolve_index_or_literal
+
+        args.index_dir = resolve_index_or_literal(args.index_dir)
     if args.cmd == "snapshot":
         from search_replica_spark.snapshot import snapshot_index
 

@@ -17,11 +17,28 @@ metadata — cheap enough for a cron'd rebuild-and-swap loop.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 
 REGISTRY = "aliases.json"
+
+
+@contextmanager
+def _writer_lock(base_dir: str):
+    """Serialize read-modify-write of the registry: two concurrent cron'd
+    rebuild-and-swap loops (the stated use case) must not lose each
+    other's updates. os.replace keeps each WRITE atomic for readers; this
+    flock keeps the read+write pair atomic for writers."""
+    fd = os.open(os.path.join(base_dir, ".aliases.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _registry_path(base_dir: str) -> str:
@@ -66,20 +83,22 @@ def set_alias(base_dir: str, alias: str, index_dir: str) -> str | None:
         raise ValueError(f"not an index (no stats.json/generations.json): {index_dir}")
     if os.sep in alias or alias in (".", ".."):
         raise ValueError(f"invalid alias name: {alias!r}")
-    reg = aliases(base_dir)
-    prev = reg.get(alias)
-    reg[alias] = index_dir
-    _write(base_dir, reg)
+    with _writer_lock(base_dir):
+        reg = aliases(base_dir)
+        prev = reg.get(alias)
+        reg[alias] = index_dir
+        _write(base_dir, reg)
     return prev
 
 
 def delete_alias(base_dir: str, alias: str) -> bool:
     """Remove ``alias``; True if it existed."""
-    reg = aliases(base_dir)
-    if alias not in reg:
-        return False
-    del reg[alias]
-    _write(base_dir, reg)
+    with _writer_lock(base_dir):
+        reg = aliases(base_dir)
+        if alias not in reg:
+            return False
+        del reg[alias]
+        _write(base_dir, reg)
     return True
 
 
@@ -99,3 +118,16 @@ def resolve_index(path: str) -> str:
     if not _looks_like_index(target):
         raise FileNotFoundError(f"alias {name!r} points at a missing index: {target}")
     return target
+
+
+def resolve_index_or_literal(path: str) -> str:
+    """Alias resolution for commands that may CREATE their target (ingest,
+    stream, compact, replicate): a registered alias resolves to its index,
+    anything else — including a not-yet-existing directory — passes
+    through literally. Without this, ``ingest --index-dir <alias>`` would
+    silently build a brand-new index in a literal directory named like
+    the alias while queries keep serving the alias target."""
+    try:
+        return resolve_index(path)
+    except FileNotFoundError:
+        return path

@@ -737,8 +737,9 @@ def agg_mad_by_lang(spark, sf_dir):
        SELECT count(*) AS cnt,
               min(length(lang)) AS min_len,
               max(length(lang)) AS max_len,
-              (1000000 * CAST(sum(length(lang)) AS BIGINT)) // count(*)
-                AS avg_len_micro,
+              CAST((sum(length(lang)) // count(*)) * 1000000
+                   + ((sum(length(lang)) % count(*)) * 1000000) // count(*)
+                   AS BIGINT) AS avg_len_micro,
               (SELECT entropy_micro FROM ent) AS entropy_micro
        FROM documents""",
 )
@@ -764,9 +765,10 @@ def agg_string_stats_lang(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.min(F.length("lang")).alias("min_len"),
         F.max(F.length("lang")).alias("max_len"),
-        F.expr("(1000000 * CAST(sum(length(lang)) AS BIGINT)) DIV count(*)").alias(
-            "avg_len_micro"
-        ),
+        F.expr(
+            "CAST((sum(length(lang)) DIV count(*)) * 1000000"
+            " + ((sum(length(lang)) % count(*)) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("avg_len_micro"),
         F.lit(ent).alias("entropy_micro"),
     )
 
@@ -774,12 +776,15 @@ def agg_string_stats_lang(spark, sf_dir):
 # stats plus sum_of_squares and variance. All outputs are BIGINT: variance
 # is emitted in integer micro units via the quotient-remainder pattern
 # (never 1e6 * a raw sum, which wraps in Spark while DuckDB promotes to
-# HUGEINT), composed as E[x^2]_micro - mean_micro^2/1e6 with identical
-# floor order in both engines. std_deviation is omitted by spec: sqrt is
-# the one factor that cannot be made exact-integer cross-engine.
-_MEAN_MICRO = (
-    "(sum(n_chars) {d} count(*)) * 1000000"
-    " + ((sum(n_chars) % count(*)) * 1000000) {d} count(*)"
+# HUGEINT), composed as E[x^2]_micro - mean_milli^2 with identical floor
+# order in both engines. The mean rides at MILLI scale so its square (=
+# micro units) stays far inside BIGINT — a micro-scale mean would wrap
+# Spark's non-ANSI multiply once the bucket mean passes ~3e3, milli is
+# safe to ~3e6. std_deviation is omitted by spec: sqrt is the one factor
+# that cannot be made exact-integer cross-engine.
+_MEAN_MILLI = (
+    "(sum(n_chars) {d} count(*)) * 1000"
+    " + ((sum(n_chars) % count(*)) * 1000) {d} count(*)"
 )
 _EX2_MICRO = (
     "(sum(n_chars * n_chars) {d} count(*)) * 1000000"
@@ -794,8 +799,8 @@ _EX2_MICRO = (
               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
               CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
               CAST(({_EX2_MICRO.format(d='//')})
-                   - (({_MEAN_MICRO.format(d='//')})
-                      * ({_MEAN_MICRO.format(d='//')})) // 1000000
+                   - (({_MEAN_MILLI.format(d='//')})
+                      * ({_MEAN_MILLI.format(d='//')}))
                    AS BIGINT) AS variance_micro
        FROM documents GROUP BY lang""",
 )
@@ -809,8 +814,8 @@ def agg_extended_stats_by_lang(spark, sf_dir):
         F.expr("CAST(sum(n_chars * n_chars) AS BIGINT)").alias("sum_sq"),
         F.expr(
             f"CAST(({_EX2_MICRO.format(d='DIV')})"
-            f" - (({_MEAN_MICRO.format(d='DIV')})"
-            f" * ({_MEAN_MICRO.format(d='DIV')})) DIV 1000000 AS BIGINT)"
+            f" - (({_MEAN_MILLI.format(d='DIV')})"
+            f" * ({_MEAN_MILLI.format(d='DIV')})) AS BIGINT)"
         ).alias("variance_micro"),
     )
 
@@ -846,13 +851,17 @@ def agg_boxplot_by_lang(spark, sf_dir):
 # arithmetic step over them), plus covariance in integer micro units with
 # the same floor-order-matched composition as extended_stats. One
 # partial-aggregable shuffle; moments merge associatively at 100 TB.
+# covariance_micro = E[xy]_micro - mean_x_milli * mean_y_milli: the means
+# ride at MILLI scale so their product (= micro units) cannot wrap
+# Spark's non-ANSI BIGINT multiply (micro-scale means would overflow once
+# mean_x * mean_y passes ~9.2e6)
 _MS_COV = (
     "((sum(x * y) {d} count(*)) * 1000000"
     " + ((sum(x * y) % count(*)) * 1000000) {d} count(*))"
-    " - ( ((sum(x) {d} count(*)) * 1000000"
-    "      + ((sum(x) % count(*)) * 1000000) {d} count(*))"
-    "   * ((sum(y) {d} count(*)) * 1000000"
-    "      + ((sum(y) % count(*)) * 1000000) {d} count(*)) ) {d} 1000000"
+    " - ( ((sum(x) {d} count(*)) * 1000"
+    "      + ((sum(x) % count(*)) * 1000) {d} count(*))"
+    "   * ((sum(y) {d} count(*)) * 1000"
+    "      + ((sum(y) % count(*)) * 1000) {d} count(*)) )"
 )
 
 

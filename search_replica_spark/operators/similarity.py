@@ -29,9 +29,12 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-_COSINE_SQL = f"""
+def _cosine_topk_sql(select_extra: str = "", where_extra: str = "") -> str:
+    """One cosine-top-10 twin, parameterized — the plain and filtered kNN
+    entries must never drift apart on the similarity expression."""
+    return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-SELECT e.vec_id,
+SELECT e.vec_id,{select_extra}
        round(
          list_sum(list_transform(list_zip(e.embedding, q.qe),
                                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -39,21 +42,33 @@ SELECT e.vec_id,
            * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
          5) AS sim
 FROM embeddings e, q
-WHERE e.vec_id <> {QUERY_VEC_ID}
+WHERE e.vec_id <> {QUERY_VEC_ID}{where_extra}
 ORDER BY sim DESC, e.vec_id LIMIT 10
 """
 
 
-@register("ann_cosine_top10", _COSINE_SQL)
-def ann_cosine_top10(spark, sf_dir):
+def _cosine_topk_spark(spark, sf_dir, extra_cols=(), flt=None):
+    """Spark half of the shared cosine-top-10 shape: broadcast the 1-row
+    query vector, exact cosine over the (optionally pre-filtered) rest."""
     e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
-    joined = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    base = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    if flt is not None:
+        base = base.filter(flt)
+    joined = base.crossJoin(F.broadcast(q))
     sim = _dot(F.col("emb"), F.col("qemb")) / (
         F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
     )
-    out = joined.select("vec_id", F.round(sim, 5).alias("sim"))
+    out = joined.select("vec_id", *extra_cols, F.round(sim, 5).alias("sim"))
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+_COSINE_SQL = _cosine_topk_sql()
+
+
+@register("ann_cosine_top10", _COSINE_SQL)
+def ann_cosine_top10(spark, sf_dir):
+    return _cosine_topk_spark(spark, sf_dir)
 
 
 # IVF-style bucketed ANN. Centroids per label, probe the 2 nearest, exact
@@ -636,32 +651,18 @@ def hybrid_rrf_top10(spark, sf_dir):
 # label directories — filter + probe pruning compose.
 KNN_FILTER_LABELS = (1, 3)
 
-_KNN_FILTERED_SQL = f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-SELECT e.vec_id, e.label,
-       round(
-         list_sum(list_transform(list_zip(e.embedding, q.qe),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ),
-         5) AS sim
-FROM embeddings e, q
-WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label IN {KNN_FILTER_LABELS}
-ORDER BY sim DESC, e.vec_id LIMIT 10
-"""
 
-
-@register("ann_filtered_top10", _KNN_FILTERED_SQL)
+@register(
+    "ann_filtered_top10",
+    _cosine_topk_sql(
+        select_extra=" e.label,",
+        where_extra=f" AND e.label IN {KNN_FILTER_LABELS}",
+    ),
+)
 def ann_filtered_top10(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").withColumn("emb", _as_double(F.col("embedding")))
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qemb"))
-    allowed = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .filter(F.col("label").isin(*KNN_FILTER_LABELS))
+    return _cosine_topk_spark(
+        spark,
+        sf_dir,
+        extra_cols=("label",),
+        flt=F.col("label").isin(*KNN_FILTER_LABELS),
     )
-    joined = allowed.crossJoin(F.broadcast(q))
-    sim = _dot(F.col("emb"), F.col("qemb")) / (
-        F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-    )
-    out = joined.select("vec_id", "label", F.round(sim, 5).alias("sim"))
-    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)

@@ -1833,11 +1833,14 @@ def parse_simple_query_string(
         if negated:
             tok = tok[1:]
         slop = 0
-        if tok.startswith('"'):
+        if tok.startswith('"') and '"' in tok[1:]:
             body, _, suffix = tok[1:].rpartition('"')
             kind, text = "phrase", body
             if suffix.startswith("~"):
                 slop = int(suffix[1:])
+        elif tok.startswith('"'):
+            # unclosed quote: degrade to a term (the never-error contract)
+            kind, text = "term", tok[1:]
         elif tok.endswith("*") and len(tok) > 1:
             kind, text = "prefix", tok[:-1]
         else:
@@ -1868,10 +1871,14 @@ def simple_query_string(
     every matching OR-group's score, where a group matches iff all its
     non-negated atoms match and no negated atom does, and the group's
     score is the sum of its atoms' scores — exactly the BooleanQuery ES
-    compiles this syntax to. Scale shape: every atom is one bounded
-    posting/dictionary fetch; the composition handles O(matching docs)
-    per atom — the same class as every scorer here, merged in plain
-    dicts (the serving-node glue layer, not a Spark job)."""
+    compiles this syntax to. A group containing ONLY negated atoms is
+    hoisted to a query-level MUST_NOT (Lucene SimpleQueryParser:
+    ``foo -bar`` under the OR default is SHOULD(foo) + MUST_NOT(bar), not
+    "OR not-bar"); a query that is all negation matches nothing. Scale
+    shape: every atom is one bounded posting/dictionary fetch; the
+    composition handles O(matching docs) per atom — the same class as
+    every scorer here, merged in plain dicts (the serving-node glue
+    layer, not a Spark job)."""
     if live is None:
         live = getattr(reader, "_live", None)
     groups = parse_simple_query_string(query, default_operator)
@@ -1887,11 +1894,13 @@ def simple_query_string(
             return {d: 1.0 for d in prefix_match(reader, text, live=live)}
         return dict(bool_topk(reader, must=[text], k=n_docs, live=live))
 
+    global_neg: list[tuple[str, str, int, bool]] = []
     for group in groups:
         pos = [a for a in group if not a[3]]
         neg = [a for a in group if a[3]]
         if not pos:
-            continue  # ES: a purely negative group cannot match on its own
+            global_neg.extend(neg)  # query-level MUST_NOT
+            continue
         parts = [atom_scores(kind, text, slop) for kind, text, slop, _ in pos]
         matched = set(parts[0])
         for p in parts[1:]:
@@ -1900,6 +1909,9 @@ def simple_query_string(
             matched -= set(atom_scores(kind, text, slop))
         for d in matched:
             totals[d] = totals.get(d, 0.0) + sum(p[d] for p in parts)
+    for kind, text, slop, _ in global_neg:
+        for d in atom_scores(kind, text, slop):
+            totals.pop(d, None)
     ranked = sorted(totals.items(), key=lambda t: (-t[1], t[0]))
     return ranked[:k]
 
@@ -1914,19 +1926,18 @@ def completion_suggest(
     ranked by weight — here document frequency, ES's default when no
     explicit weight is indexed — desc, then term asc (the completion
     tie-break). Lucene serves this from an FST; the columnar analogue is
-    the same row-group-pruned range seek ``expand_prefix`` uses over the
-    term-sorted dict parquet, except the weight column rides along so no
-    second lookup is needed. Returns (term, weight) pairs."""
-    p = prefix.lower()
-    q = (
-        reader.spark.read.parquet(os.path.join(reader.index_dir, "dict"))
-        .filter(prefix_range_cond(p))
-        .filter(F.col("term").startswith(p))
-        .select("term", "df")
-        .orderBy(F.col("df").desc(), F.col("term"))
-        .limit(size)
-    )
-    return [(r["term"], int(r["df"])) for r in q.collect()]
+    the row-group-pruned range seek ``expand_prefix`` runs over the
+    term-sorted dict parquet — which a ``MultiGenReader`` overrides to
+    union its per-generation dictionaries, so generational indexes
+    complete too; weights are the generation-summed dictionary dfs
+    (``_global_dfs``, the same global-df convention the dfs phase of
+    sharded serving uses). Returns (term, weight) pairs."""
+    terms = reader.expand_prefix(prefix.lower(), max_expansions=None)
+    if not terms:
+        return []
+    dfs = _global_dfs(reader, terms)
+    ranked = sorted(dfs.items(), key=lambda t: (-t[1], t[0]))
+    return [(t, int(w)) for t, w in ranked[:size]]
 
 
 def terms_lookup(
@@ -1962,13 +1973,11 @@ def terms_lookup(
         return []
     terms = sorted(set(tokenize_text(rows[0][0])))
     if max_terms is not None and len(terms) > max_terms:
-        dfs = (
-            reader.spark.read.parquet(os.path.join(reader.index_dir, "dict"))
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        ranked = sorted(((int(r["df"]), r["term"]) for r in dfs))
+        # generation-aware dictionary dfs (a MultiGenReader has no
+        # top-level dict); unindexed terms (noindex/ignore_above mappings)
+        # match nothing, so they never compete for cap slots
+        dfs = _global_dfs(reader, terms)
+        ranked = sorted((df, t) for t, df in dfs.items())
         terms = sorted(t for _, t in ranked[:max_terms])
     return _expansion_docs(reader, terms, live)[: k if k is not None else None]
 
