@@ -1035,3 +1035,173 @@ def agg_percentile_ranks(spark, sf_dir):
         for v in (100, 200, 400)
     ]
     return d.groupBy(F.col("lang").alias("key")).agg(*cols)
+
+
+# ES auto_date_histogram: the engine PICKS the calendar interval — the
+# smallest rung of the day→week→month ladder whose bucket count fits the
+# target (ES's rounding ladder, target_buckets=10). Both engines derive
+# the choice from the data's day span (one O(1) min/max aggregate,
+# broadcast as a 1-row join — the same reduce-phase shape ES uses), so
+# the interval is part of the verified output. One groupBy on the chosen
+# truncation; calendar weeks are ISO Monday-start in Spark and DuckDB.
+_AUTO_DH_TARGET = 10
+
+
+@register(
+    "agg_auto_date_histogram",
+    f"""WITH bounds AS (
+          SELECT date_diff('day', date_trunc('day', min(ts)),
+                           date_trunc('day', max(ts))) + 1 AS nd
+          FROM events),
+        ch AS (SELECT CASE WHEN nd <= {_AUTO_DH_TARGET} THEN 'day'
+                           WHEN nd <= {7 * _AUTO_DH_TARGET} THEN 'week'
+                           ELSE 'month' END AS iv FROM bounds)
+        SELECT iv AS interval,
+               CAST(epoch(CASE WHEN iv = 'day'  THEN date_trunc('day', ts)
+                               WHEN iv = 'week' THEN date_trunc('week', ts)
+                               ELSE date_trunc('month', ts) END) AS BIGINT)
+                 AS bucket_start,
+               count(*) AS doc_count
+        FROM events CROSS JOIN ch GROUP BY 1, 2 ORDER BY bucket_start""",
+)
+def agg_auto_date_histogram(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    ch = e.agg(
+        F.expr(
+            "datediff(date_trunc('day', max(ts)), date_trunc('day', min(ts))) + 1"
+        ).alias("nd")
+    ).select(
+        F.expr(
+            f"CASE WHEN nd <= {_AUTO_DH_TARGET} THEN 'day'"
+            f" WHEN nd <= {7 * _AUTO_DH_TARGET} THEN 'week'"
+            " ELSE 'month' END"
+        ).alias("iv")
+    )
+    return (
+        e.crossJoin(F.broadcast(ch))
+        .groupBy(
+            F.col("iv").alias("interval"),
+            F.unix_timestamp(
+                F.expr(
+                    "CASE WHEN iv = 'day' THEN date_trunc('day', ts)"
+                    " WHEN iv = 'week' THEN date_trunc('week', ts)"
+                    " ELSE date_trunc('month', ts) END"
+                )
+            ).alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket_start")
+    )
+
+
+# ES date_range aggregation: explicit half-open [from, to) calendar
+# buckets, keyed the way ES keys them ("*-to" / "from-to" / "from-*").
+# One CASE groupBy — a single map-side-combining shuffle.
+_DR_LO, _DR_HI = "2024-01-10", "2024-01-20"
+
+
+@register(
+    "agg_date_range",
+    f"""SELECT CASE WHEN ts < TIMESTAMP '{_DR_LO}' THEN '*-{_DR_LO}'
+                    WHEN ts < TIMESTAMP '{_DR_HI}' THEN '{_DR_LO}-{_DR_HI}'
+                    ELSE '{_DR_HI}-*' END AS key,
+               count(*) AS doc_count,
+               CAST(min(event_id) AS BIGINT) AS min_event,
+               CAST(max(event_id) AS BIGINT) AS max_event
+        FROM events GROUP BY 1 ORDER BY key""",
+)
+def agg_date_range(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    key = F.expr(
+        f"CASE WHEN ts < TIMESTAMP '{_DR_LO}' THEN '*-{_DR_LO}'"
+        f" WHEN ts < TIMESTAMP '{_DR_HI}' THEN '{_DR_LO}-{_DR_HI}'"
+        f" ELSE '{_DR_HI}-*' END"
+    )
+    return (
+        e.groupBy(key.alias("key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min("event_id").cast("long").alias("min_event"),
+            F.max("event_id").cast("long").alias("max_event"),
+        )
+        .orderBy("key")
+    )
+
+
+# ES cumulative_cardinality pipeline agg: distinct users seen up to and
+# including each day bucket. Exact form: each user's FIRST day (one
+# groupBy on user), histogram of firsts, running sum stitched onto the
+# day histogram — counts every user once, which is precisely what the
+# cumulative cardinality is; the running window is post-aggregation and
+# O(buckets). ES computes this approximately from merged HLL sketches;
+# we spec the exact value so the oracle verifies bit-for-bit.
+@register(
+    "agg_cumulative_cardinality",
+    """WITH days AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1),
+       firsts AS (
+         SELECT user_id,
+                min(CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS bucket_start
+         FROM events GROUP BY user_id),
+       nu AS (SELECT bucket_start, count(*) AS new_users FROM firsts GROUP BY 1)
+       SELECT days.bucket_start, days.doc_count,
+              CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+              CAST(sum(coalesce(nu.new_users, 0))
+                   OVER (ORDER BY days.bucket_start) AS BIGINT)
+                AS cumulative_users
+       FROM days LEFT JOIN nu USING (bucket_start)
+       ORDER BY bucket_start""",
+)
+def agg_cumulative_cardinality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+    days = e.groupBy(day.alias("bucket_start")).agg(F.count("*").alias("doc_count"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("bucket_start"))
+    nu = firsts.groupBy("bucket_start").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(nu, "bucket_start", "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)).cast("long"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("bucket_start")
+    )
+
+
+# ES normalize pipeline agg (method=percent_of_sum): each day bucket's
+# doc_count as a share of the histogram total, in integer MICRO-PERCENT
+# (doc_count·100·1e6 // total — exact cross-engine; a float percentage
+# would hash-diverge). The total is a 1-row broadcast join, the same
+# shape as bucket_script; everything after the histogram is O(buckets).
+@register(
+    "agg_normalize_percent",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1),
+       t AS (SELECT sum(doc_count) AS total FROM h)
+       SELECT bucket_start, doc_count,
+              CAST((doc_count * 100000000) // total AS BIGINT)
+                AS percent_of_sum_micro
+       FROM h CROSS JOIN t ORDER BY bucket_start""",
+)
+def agg_normalize_percent(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    t = h.agg(F.sum("doc_count").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bucket_start",
+            "doc_count",
+            F.expr("CAST((doc_count * 100000000) DIV total AS BIGINT)").alias(
+                "percent_of_sum_micro"
+            ),
+        )
+        .orderBy("bucket_start")
+    )

@@ -1814,3 +1814,109 @@ def ft_simple_query_string(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5u: ES regexp query — anchored regex over dictionary terms (Lucene:
+# automaton ∩ term FST). The pattern's literal prefix drives the
+# row-group-pruned dict range seek; the regex itself runs INSIDE the scan.
+# Pattern stays in the RE2 ∩ Java ∩ Python common subset so all three
+# engines agree. 's.a.*' ⇒ {scan, small, spark} on this vocabulary.
+_REGEXP_PATTERN = "s.a.*"
+
+
+@register(
+    "ft_regexp_match",
+    f"""WITH tok AS ({_TOK}),
+        exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+                WHERE regexp_full_match(term, '{_REGEXP_PATTERN}')
+                ORDER BY term LIMIT 50))
+        SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM exp)""",
+)
+def ft_regexp_match(spark, sf_dir):
+    from search_replica_spark.query.bm25 import regexp_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    ids = regexp_match(_OrigIdReader(spark, idx), _REGEXP_PATTERN)
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5v: ES intervals query, all_of(ordered=false, max_gaps) — the unordered
+# complement of span_near: all terms inside SOME window with ≤ max_gaps
+# filler positions. Engine: posting-intersection candidates + k-way-merge
+# minimal cover per doc; twin: ∃ triple with width ≤ max_gaps + (k-1)
+# (min over one-position-per-term combinations ≡ the sliding-window
+# minimum). Constant-score filter context, doc_id order.
+_INTERVALS_TERMS = ("batch", "row", "scan")  # query order ≠ doc order: unordered
+_INTERVALS_MAX_GAPS = 3
+
+
+def _intervals_sql() -> str:
+    t0, t1, t2 = _INTERVALS_TERMS
+    width = _INTERVALS_MAX_GAPS + len(_INTERVALS_TERMS) - 1
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+a AS (SELECT doc_id, ord FROM tok WHERE term = '{t0}'),
+b AS (SELECT doc_id, ord FROM tok WHERE term = '{t1}'),
+c AS (SELECT doc_id, ord FROM tok WHERE term = '{t2}')
+SELECT DISTINCT a.doc_id
+FROM a JOIN b ON b.doc_id = a.doc_id JOIN c ON c.doc_id = a.doc_id
+WHERE greatest(a.ord, b.ord, c.ord) - least(a.ord, b.ord, c.ord) <= {width}
+"""
+
+
+@register("ft_intervals_unordered", _intervals_sql())
+def ft_intervals_unordered(spark, sf_dir):
+    from search_replica_spark.query.bm25 import intervals_match
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    ids = intervals_match(
+        _OrigIdReader(spark, idx),
+        " ".join(_INTERVALS_TERMS),
+        max_gaps=_INTERVALS_MAX_GAPS,
+    )
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+
+# B5w: ES rank_feature query with the saturation function — score =
+# S(x) = x / (x + pivot) over a per-doc numeric feature, here n_chars,
+# gated by a filter-context term match (the idiomatic bool{filter:term,
+# should:rank_feature} shape). Emitted in integer MICRO units
+# ((x·1e6) // (x+pivot)) so the value-hash is bit-stable cross-engine;
+# the engine answers the filter from the inverted index and joins the
+# feature column from the corpus parquet (ES reads it from doc values —
+# same column-store access pattern).
+_RANK_FEATURE_TERM = "spark"
+_RANK_FEATURE_PIVOT = 500
+
+
+@register(
+    "ft_rank_feature_top10",
+    f"""WITH tok AS ({_TOK}),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_RANK_FEATURE_TERM}')
+        SELECT d.doc_id,
+               CAST((d.n_chars * 1000000) // (d.n_chars + {_RANK_FEATURE_PIVOT})
+                    AS BIGINT) AS sat_micro
+        FROM documents d JOIN m USING (doc_id)
+        ORDER BY sat_micro DESC, d.doc_id LIMIT 10""",
+)
+def ft_rank_feature_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import constant_score_match
+
+    idx = _index_dir_for(spark, sf_dir)
+    hits = constant_score_match(_OrigIdReader(spark, idx), _RANK_FEATURE_TERM)
+    matched = spark.createDataFrame([(d,) for d, _s in hits], "doc_id long")
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(matched), "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((n_chars * 1000000) DIV (n_chars + {_RANK_FEATURE_PIVOT})"
+                " AS BIGINT)"
+            ).alias("sat_micro"),
+        )
+        .orderBy(F.col("sat_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

@@ -943,6 +943,82 @@ def span_first_topk(
     return _select_topk(scores, reader.doc_arrays()[1][idxs], k)
 
 
+def _min_cover_width(lists: list[np.ndarray]) -> int:
+    """Smallest ``max - min`` over one position drawn from each sorted
+    list — the classic k-way-merge minimal-cover sweep (advance the
+    minimum head, track the running max). O(total positions · log k)."""
+    idx = [0] * len(lists)
+    heads = [(int(arr[0]), j) for j, arr in enumerate(lists)]
+    heapq.heapify(heads)
+    cur_max = max(int(arr[0]) for arr in lists)
+    best = cur_max - heads[0][0]
+    while True:
+        mn, j = heapq.heappop(heads)
+        if cur_max - mn < best:
+            best = cur_max - mn
+        idx[j] += 1
+        if idx[j] >= lists[j].size:
+            return best
+        v = int(lists[j][idx[j]])
+        if v > cur_max:
+            cur_max = v
+        heapq.heappush(heads, (v, j))
+
+
+def intervals_match(
+    reader: IndexReader,
+    query: str,
+    max_gaps: int = 0,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES intervals query, ``all_of(ordered=false, max_gaps=g)``: docs
+    where ALL query terms co-occur inside some window with at most
+    ``max_gaps`` non-query positions between its ends — the unordered
+    complement of ``span_near_topk`` (which requires the chain in query
+    order). A window covering k terms at positions spanning ``w = max -
+    min`` has ``w + 1 - k`` gaps, so the match test is ``min-cover-width
+    + 1 - k <= max_gaps``; the minimal cover per doc comes from one
+    k-way-merge sweep over the candidate's position lists. Constant-score
+    membership (ES scores intervals by sloppy-tf; the filter context —
+    where intervals queries overwhelmingly run — is score-free), result
+    in doc_id order. Candidates are the docs containing EVERY term
+    (posting-list intersection), so the sweep touches O(df_rarest) docs —
+    the same cost class as the phrase scorers. Requires
+    IndexConfig(store_positions=True)."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    qterms = tokenize_text(query)
+    if not qterms:
+        return []
+    uniq_terms = sorted(set(qterms))
+    per_term = _fetch_positional(r, uniq_terms)
+    if per_term is None or any(t not in per_term for t in uniq_terms):
+        return []
+    cand = per_term[uniq_terms[0]][0]
+    for t in uniq_terms[1:]:
+        cand = cand[np.isin(cand, per_term[t][0], assume_unique=True)]
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
+    if cand.size == 0:
+        return []
+    gathered = {}
+    for t in uniq_terms:
+        pos, drank, cnts = _gather_cand_positions(per_term, t, cand)
+        ends = np.cumsum(cnts)
+        gathered[t] = (pos, ends - cnts, ends)
+    need = len(uniq_terms)
+    _, doc_ids = r.doc_arrays()
+    hits = []
+    for i in range(cand.size):
+        lists = [gathered[t][0][gathered[t][1][i] : gathered[t][2][i]] for t in uniq_terms]
+        if _min_cover_width(lists) + 1 - need <= max_gaps:
+            hits.append(int(doc_ids[cand[i]]))
+    hits.sort()
+    return hits[:k] if k is not None else hits
+
+
 def _raise_no_positions():
     raise ValueError(
         "phrase queries need a positional index — build with "
@@ -1179,6 +1255,75 @@ def wildcard_match(
     )
     cand = r.expand_prefix(fixed, None, extra_filter=F.col("term").like(like_pat))
     terms = [t for t in cand if rx.match(t)]
+    if max_expansions is not None:
+        terms = terms[:max_expansions]
+    out = _expansion_docs(r, terms, live)
+    return out[:k] if k is not None else out
+
+
+_REGEX_META = set(".?*+(){}[]|\\^$")
+
+
+def regexp_match(
+    reader: IndexReader,
+    pattern: str,
+    max_expansions: int | None = 50,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES regexp query (constant-score): docs containing any term the
+    anchored regex fully matches — Lucene compiles the pattern to an
+    automaton and intersects it with the term FST; the columnar analogue
+    extracts the pattern's LITERAL PREFIX (the chars before the first
+    regex metacharacter, exactly Lucene's ``CompiledAutomaton``
+    common-prefix optimisation) to drive the row-group-pruned dictionary
+    range seek, and pushes the full regex INSIDE that scan (Spark
+    ``rlike``), so the driver only receives matching terms. A pattern
+    with no literal prefix is refused — it cannot seek and would scan
+    the whole dictionary (same stance as ``wildcard_match``). The
+    driver-side ``re.fullmatch`` re-check keeps Python's engine
+    authoritative; stick to the RE2 ∩ Java ∩ Python common subset (no
+    lookarounds, no backrefs) when an external oracle must agree."""
+    import re as _re
+
+    r = reader
+    pat = pattern.lower()
+    fixed = ""
+    i = 0
+    while i < len(pat) and pat[i] not in _REGEX_META:
+        fixed += pat[i]
+        i += 1
+    # a quantifier after the last literal char applies TO that char —
+    # it is not part of the guaranteed prefix (Lucene does the same)
+    if i < len(pat) and pat[i] in "?*+{" and fixed:
+        fixed = fixed[:-1]
+    # a TOP-LEVEL alternation invalidates the prefix entirely: in
+    # "apache|zlib" the right branch never starts with "apache", so a
+    # range seek on it would silently drop matches. '|' inside (...) or
+    # [...] binds below the prefix and stays safe ("sca(n|le)").
+    depth = 0
+    skip = False
+    for j in range(i, len(pat)):
+        if skip:  # char escaped by a backslash: literal, no structure
+            skip = False
+            continue
+        ch = pat[j]
+        if ch == "\\":
+            skip = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            fixed = ""
+            break
+    if not fixed:
+        raise ValueError("pattern without a literal prefix would scan the dictionary")
+    rx = _re.compile(pat)
+    cand = r.expand_prefix(
+        fixed, None, extra_filter=F.col("term").rlike("^(?:" + pat + ")$")
+    )
+    terms = [t for t in cand if rx.fullmatch(t)]
     if max_expansions is not None:
         terms = terms[:max_expansions]
     out = _expansion_docs(r, terms, live)

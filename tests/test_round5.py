@@ -1082,3 +1082,99 @@ def test_chunking_reconstructs_without_overlap(spark):
         assert sorted(parts) == list(range(len(parts)))  # contiguous ids
         rebuilt = " ".join(parts[i] for i in range(len(parts)))
         assert rebuilt == docs[did], did
+
+
+def test_intervals_match_python_reference(spark, tmp_path):
+    """intervals_match (unordered all_of, max_gaps) vs an independent
+    brute-force oracle: min over ONE position per term of (max-min), match
+    iff width + 1 - k <= max_gaps. Also: an interval match is order-free
+    (terms reversed give the same doc set)."""
+    from itertools import product
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import IndexReader, intervals_match
+
+    c = generate_corpus(400)
+    out = str(tmp_path / "ividx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4, store_positions=True))
+    rd = IndexReader(spark, out)
+
+    toks = {doc_id_of(r.repo, r.path): tokenize_text(r.content) for r in c.itertuples()}
+
+    def py_intervals(terms, max_gaps):
+        need = sorted(set(terms))
+        hits = []
+        for d, tk in toks.items():
+            pos = {t: [i for i, x in enumerate(tk) if x == t] for t in need}
+            if any(not p for p in pos.values()):
+                continue
+            best = min(
+                max(combo) - min(combo)
+                for combo in product(*(pos[t] for t in need))
+            )
+            if best + 1 - len(need) <= max_gaps:
+                hits.append(d)
+        return sorted(hits)
+
+    matched_any = False
+    for terms, g in [
+        (["apache", "license"], 0),
+        (["apache", "license"], 3),
+        (["license", "apache"], 3),          # unordered: same as above
+        (["apache", "license", "version"], 0),
+        (["apache", "license", "version"], 4),
+        (["the", "license"], 2),
+        (["zzz", "license"], 5),             # absent term -> no matches
+    ]:
+        got = intervals_match(rd, " ".join(terms), max_gaps=g)
+        want = py_intervals(terms, g)
+        assert got == want, (terms, g)
+        matched_any = matched_any or bool(got)
+    assert matched_any
+    assert intervals_match(rd, "apache license", max_gaps=3) == intervals_match(
+        rd, "license apache", max_gaps=3
+    )
+
+
+def test_regexp_match_python_reference(spark, tmp_path):
+    """regexp_match vs a brute-force fullmatch scan over the vocabulary;
+    prefix-extraction edge cases: trailing quantifier peels the last
+    literal char, grouped alternation keeps the prefix, top-level
+    alternation / leading metachar are refused (dictionary-scan guard)."""
+    import re
+
+    import pytest
+
+    from search_replica_spark.analysis import tokenize_text
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.oracle import doc_id_of
+    from search_replica_spark.query.bm25 import IndexReader, regexp_match
+
+    c = generate_corpus(300)
+    out = str(tmp_path / "rxidx")
+    build_index(spark, spark.createDataFrame(c), out,
+                IndexConfig(shuffle_partitions=4))
+    rd = IndexReader(spark, out)
+
+    toks = {doc_id_of(r.repo, r.path): set(tokenize_text(r.content)) for r in c.itertuples()}
+
+    def py_regexp(pattern):
+        rx = re.compile(pattern)
+        return sorted(d for d, tk in toks.items() if any(rx.fullmatch(t) for t in tk))
+
+    matched_any = False
+    for pat in ["lic.*", "l.cense", "licen(se|ce)", "apach.?", "versions?", "ap.*e"]:
+        got = regexp_match(rd, pat, max_expansions=None)
+        want = py_regexp(pat)
+        assert got == want, pat
+        matched_any = matched_any or bool(got)
+    assert matched_any
+
+    for bad in ["apache|zlib", ".*icense", "[al]pache", "(a|b)pache"]:
+        with pytest.raises(ValueError):
+            regexp_match(rd, bad)
