@@ -157,6 +157,21 @@ CHECKS = {
         "avoid": ["CartesianProduct", "SortMergeJoin"],
         "why": "bucket_script (r5): the sibling-total is a 1-ROW broadcast riding a nested-loop join over O(buckets) rows — constant work; the fact table is scanned exactly once (by the bucket aggregation below)",
     },
+    "regexp_dict_seek": {
+        "want": ["GreaterThanOrEqual(term", "LessThan(term", "StringStartsWith(term"],
+        "avoid": ["CartesianProduct"],
+        "why": "regexp query (r5): the pattern's literal prefix becomes a pushed-down dictionary RANGE (>=, <, startswith all reach the parquet scan — row-group pruning on the term-sorted dict); the regex itself evaluates inside that scan, so the driver transfer is bounded by actual matches, never the dictionary",
+    },
+    "agg_auto_date_histogram": {
+        "want": ["BroadcastNestedLoopJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "auto_date_histogram (r5): the data-derived interval choice is a 1-ROW broadcast (O(1) min/max reduce) riding a nested-loop join — the fact scan happens once, under the bucket groupBy; no shuffle joins",
+    },
+    "ft_rank_feature_top10": {
+        "want": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "rank_feature (r5): the filter-context match set broadcasts against the feature column scan and top-k is a per-partition heap (TakeOrderedAndProject) — no global sort, no shuffle join",
+    },
 }
 
 
@@ -260,6 +275,19 @@ def main():
     plans["geo_distance_top10"] = plan_of(reg["geo_distance_top10"][0](spark, sf_dir))
     plans["agg_bucket_script_share"] = plan_of(
         reg["agg_bucket_script_share"][0](spark, sf_dir)
+    )
+
+    # r5: regexp dict seek — captured from the reader's own _dict_query
+    # builder with the pushed-inside regex, exactly what regexp_match runs
+    rd_plain = IndexReader(spark, idx)
+    plans["regexp_dict_seek"] = plan_of(
+        rd_plain._dict_query("s", F.col("term").rlike("^(?:s.a.*)$"))
+    )
+    plans["agg_auto_date_histogram"] = plan_of(
+        reg["agg_auto_date_histogram"][0](spark, sf_dir)
+    )
+    plans["ft_rank_feature_top10"] = plan_of(
+        reg["ft_rank_feature_top10"][0](spark, sf_dir)
     )
 
     plans["ann_pq_adc"] = plan_of(reg["ann_pq_adc_top10"][0](spark, sf_dir))

@@ -267,6 +267,16 @@ class IndexReader:
         fuzzy/wildcard pass their edit-distance/LIKE predicate here so the
         driver only ever receives actual candidates, not the whole
         single-character prefix slice."""
+        q = self._dict_query(prefix, extra_filter).select("term").orderBy("term")
+        if max_expansions is not None:
+            q = q.limit(max_expansions)
+        return [row["term"] for row in q.collect()]
+
+    def _dict_query(self, prefix: str, extra_filter=None):
+        """The dictionary range-seek DataFrame expand_prefix collects from
+        (kept separate so the plan audit exercises the reader's OWN query
+        builder): range predicate + startswith pushed into the term-sorted
+        dict parquet, caller predicate evaluated inside the same scan."""
         q = (
             self.spark.read.parquet(os.path.join(self.index_dir, "dict"))
             .filter(prefix_range_cond(prefix))
@@ -274,10 +284,7 @@ class IndexReader:
         )
         if extra_filter is not None:
             q = q.filter(extra_filter)
-        q = q.select("term").orderBy("term")
-        if max_expansions is not None:
-            q = q.limit(max_expansions)
-        return [row["term"] for row in q.collect()]
+        return q
 
     def fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, "pd.DataFrame"]]:
         """term → (doc_idx, tf, block_group) decoded, concatenated,
