@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--strategy", choices=["tata", "wand", "spark"], default="tata")
+    q.add_argument(
+        "--dsl", action="store_true",
+        help="treat --q as an ES Query-DSL request JSON (the body a "
+        "reference user POSTs to /_search today) and execute it verbatim; "
+        "@path reads the JSON from a file",
+    )
 
     c = sub.add_parser("compact", help="merge incremental generations from a snapshot")
     c.add_argument("--index-dir", required=True)
@@ -239,6 +245,32 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         import os
+
+        if args.dsl:
+            # the ES switch-over path: run the user's /_search body as-is
+            from search_replica_spark.query.dsl import execute_dsl
+
+            body = args.q
+            if body.startswith("@"):
+                with open(body[1:]) as f:
+                    body = f.read()
+            if os.path.exists(os.path.join(args.index, "generations.json")):
+                from search_replica_spark.streaming.incremental import MultiGenReader
+
+                rd = MultiGenReader(spark, args.index)
+            else:
+                rd = IndexReader(spark, args.index)
+            ih: dict = {}
+            hits = execute_dsl(rd, json.loads(body), k=args.k, inner_hits=ih)
+            out = [{"doc_id": d, "score": s} for d, s in hits]
+            if ih:
+                for h in out:
+                    if h["doc_id"] in ih:
+                        h["inner_hits"] = [
+                            {"doc_id": c, "score": cs} for c, cs in ih[h["doc_id"]]
+                        ]
+            print(json.dumps(out))
+            return 0
 
         if os.path.exists(os.path.join(args.index, "generations.json")):
             # generational index: same three strategies over the generations

@@ -1920,3 +1920,196 @@ def ft_rank_feature_top10(spark, sf_dir):
         .orderBy(F.col("sat_micro").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# B5x: ES distance_feature query on a date field — score = boost ·
+# pivot / (pivot + |field − origin|), the recency-boost primitive (newer
+# events score toward 1, the pivot sets the half-life). Origin is the
+# corpus max(ts) (ES's "now"-anchored idiom), derived as a 1-row
+# broadcast; pivot = 7 days. Emitted in integer MICRO units
+# ((pivot·1e6) // (pivot + Δsec)) so the hash is bit-stable.
+_DF_PIVOT_SEC = 7 * 24 * 3600
+
+
+@register(
+    "ft_distance_feature_top10",
+    f"""WITH o AS (SELECT CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                     AS origin FROM events)
+        SELECT event_id,
+               CAST((CAST({_DF_PIVOT_SEC} AS BIGINT) * 1000000)
+                    // ({_DF_PIVOT_SEC}
+                        + abs(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                              - o.origin))
+                    AS BIGINT) AS recency_micro
+        FROM events CROSS JOIN o
+        ORDER BY recency_micro DESC, event_id LIMIT 10""",
+)
+def ft_distance_feature_top10(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    o = e.agg(F.unix_timestamp(F.max("ts")).alias("origin"))
+    return (
+        e.crossJoin(F.broadcast(o))
+        .select(
+            "event_id",
+            F.expr(
+                f"CAST((CAST({_DF_PIVOT_SEC} AS BIGINT) * 1000000)"
+                f" DIV ({_DF_PIVOT_SEC} + abs(unix_timestamp(ts) - origin))"
+                " AS BIGINT)"
+            ).alias("recency_micro"),
+        )
+        .orderBy(F.col("recency_micro").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
+
+
+# B5dsl: the ES Query-DSL executor (query/dsl.py) run END-TO-END — a
+# reference user's bool request JSON answered by the engine, against the
+# same bool-composition oracle as ft_bm25_bool_top10. Proves the DSL
+# walker's must/should/must_not composition is bit-identical to the
+# direct primitive path.
+@register("dsl_bool_query_top10", _bool_sql(10))
+def dsl_bool_query_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    q = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "should": [{"match": {"content": "join"}},
+                           {"match": {"content": "window"}}],
+                "must_not": [{"match": {"content": "hash"}}],
+            }
+        }
+    }
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5dm: ES dis_max through the DSL — score = best clause + tie_breaker ×
+# the rest, the multi-field "pick the best field" combiner.
+_DIS_MAX_SQL = f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (SELECT tf.doc_id,
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+m AS (SELECT doc_id, max(c) AS mx, sum(c) AS sm FROM per GROUP BY doc_id)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score FROM m
+ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id LIMIT 10
+"""
+
+
+@register("dsl_dis_max_top10", _DIS_MAX_SQL)
+def dsl_dis_max_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    q = {"dis_max": {"tie_breaker": 0.3,
+                     "queries": [{"match": {"content": "spark"}},
+                                 {"match": {"content": "window"}}]}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B6dsl: the reference demo's OWN request (demo/README.md:41 curl
+# --data-raw, parsed verbatim) over a parent/child JOIN-FIELD index built
+# from customer (immaparent) + orders (immachild, join_parent=o_custkey).
+# has_child resolves child→parent from the join_parent posting lists (ES
+# global-ordinals analogue — one pruned dict range seek + one multi-term
+# fetch); score_mode none scores 0, so ES order is doc_id asc.
+_PC_CHILD_BASE = 10**9
+
+
+def _pc_index_dir_for(spark, sf_dir) -> str:
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ssr_harness_pcidx_{tag}_v1"
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        c = load(spark, sf_dir, "customer").select(
+            F.lit("pc").alias("repo"),
+            F.concat(F.lit("doc_"), F.col("c_custkey")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.lit("en").alias("lang"),
+            F.lower(F.col("c_mktsegment")).alias("content"),
+            F.lit("immaparent").alias("join_name"),
+            F.lit(None).cast("string").alias("join_parent"),
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.lit("pc").alias("repo"),
+            F.concat(F.lit("doc_"), (F.col("o_orderkey") + F.lit(_PC_CHILD_BASE))).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("order "), F.lower(F.col("o_orderstatus"))).alias("content"),
+            F.lit("immachild").alias("join_name"),
+            F.col("o_custkey").cast("string").alias("join_parent"),
+        )
+        build_index(
+            spark, c.unionByName(o), out,
+            IndexConfig(
+                shuffle_partitions=8,
+                input_columns=("repo", "path", "commit", "lang", "content",
+                               "join_name", "join_parent"),
+                field_analyzers=(("content", "text"),
+                                 ("join_name", "keyword"),
+                                 ("join_parent", "keyword")),
+            ),
+        )
+    return out
+
+
+_DEMO_REQUEST = (
+    '{"query":{"bool": {"should": [ { "has_child": { "type": "immachild", '
+    '"inner_hits": { "_source": true }, "query": { "match_all": {} }, '
+    '"min_children": 1 } } ] } } }'
+)
+
+
+@register(
+    "dsl_has_child_demo_top10",
+    """SELECT c_custkey AS doc_id, CAST(0 AS BIGINT) AS score_micro
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY doc_id LIMIT 10""",
+)
+def dsl_has_child_demo_top10(spark, sf_dir):
+    import json as _json
+
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _pc_index_dir_for(spark, sf_dir)
+    hits = execute_dsl(_OrigIdReader(spark, idx), _json.loads(_DEMO_REQUEST), k=10)
+    rows = [(d, int(s)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score_micro long")
+
+
+# B6dsl2: has_child with a REAL inner query + min_children — b6c's count
+# semantics ("parents with >= 3 children matching the filter") answered
+# from the index alone, no parent table scan.
+@register(
+    "dsl_has_child_filtered_top10",
+    """SELECT c_custkey AS doc_id, CAST(0 AS BIGINT) AS score_micro
+       FROM customer c
+       WHERE (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND lower(o.o_orderstatus) = 'f') >= 3
+       ORDER BY doc_id LIMIT 10""",
+)
+def dsl_has_child_filtered_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _pc_index_dir_for(spark, sf_dir)
+    q = {"has_child": {"type": "immachild", "min_children": 3,
+                       "query": {"term": {"content": {"value": "f"}}}}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, int(s)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score_micro long")

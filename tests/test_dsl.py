@@ -1,0 +1,273 @@
+"""ES Query-DSL executor (query/dsl.py): composition must equal the
+verified primitives, and the reference demo's own request must run
+VERBATIM (demo/README.md:18-42 — bool/should/has_child/min_children/
+inner_hits over a parent-child join-field index)."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dsl_index(spark, tmp_path_factory):
+    """Positional plain index over the deterministic corpus + its reader."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import IndexReader
+
+    out = str(tmp_path_factory.mktemp("dslidx"))
+    build_index(
+        spark,
+        spark.createDataFrame(generate_corpus(250)),
+        out,
+        IndexConfig(shuffle_partitions=4, store_positions=True),
+    )
+    return IndexReader(spark, out)
+
+
+def test_dsl_leaves_match_primitives(dsl_index):
+    from search_replica_spark.query.bm25 import bool_topk, phrase_topk, prefix_match
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+
+    # match (default OR) == bool/should; operator:and == bool/must
+    assert execute_dsl(rd, {"match": {"content": "license"}}, k=5) == bool_topk(
+        rd, should=["license"], k=5
+    )
+    assert execute_dsl(
+        rd, {"match": {"content": {"query": "apache license", "operator": "and"}}}, k=5
+    ) == bool_topk(rd, must=["apache license"], k=5)
+    # the {"query": ...} request wrapper is unwrapped
+    assert execute_dsl(rd, {"query": {"match": {"content": "license"}}}, k=5) == bool_topk(
+        rd, should=["license"], k=5
+    )
+    # match_phrase == phrase_topk
+    assert execute_dsl(rd, {"match_phrase": {"content": "apache license"}}, k=5) == (
+        phrase_topk(rd, "apache license", 5)
+    )
+    # prefix == constant-score expansion, doc_id order at equal score
+    ids = prefix_match(rd, "lic")
+    assert execute_dsl(rd, {"prefix": {"content": {"value": "lic"}}}, k=5) == [
+        (d, 1.0) for d in sorted(ids)[:5]
+    ]
+    # ids query returns exactly the existing requested docs at const score
+    _dl, doc_ids = rd.doc_arrays()
+    want = sorted([int(doc_ids[0]), int(doc_ids[7])])
+    got = execute_dsl(rd, {"ids": {"values": want + [10**17]}}, k=10)
+    assert got == [(d, 1.0) for d in want]
+    # unsupported kind fails loudly, never silently matches nothing
+    with pytest.raises(ValueError):
+        execute_dsl(rd, {"knn_totally_new": {}}, k=5)
+    assert n > 0
+
+
+def test_dsl_bool_composition(dsl_index):
+    from search_replica_spark.query.bm25 import bool_topk
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    q = {
+        "bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "should": [{"match": {"content": "join"}}, {"match": {"content": "window"}}],
+            "must_not": [{"match": {"content": "hash"}}],
+        }
+    }
+    # must gates, should adds, must_not excludes — same doc set and scores
+    # as the harness-verified bool_topk (float sums may associate in a
+    # different order; compare at 1e-9)
+    want = dict(bool_topk(rd, must=["spark"], should=["join", "window"],
+                          must_not=["hash"], k=n))
+    got = dict(execute_dsl(rd, q, k=n))
+    assert set(got) == set(want)
+    assert all(abs(got[d] - want[d]) < 1e-9 for d in got)
+
+    # pure filter context scores 0 and intersects
+    t1 = {d for d, _ in execute_dsl(rd, {"match": {"content": "spark"}}, k=n)}
+    t2 = {d for d, _ in execute_dsl(rd, {"match": {"content": "join"}}, k=n)}
+    fq = {"bool": {"filter": [{"term": {"content": {"value": "spark"}}},
+                              {"term": {"content": {"value": "join"}}}]}}
+    got_f = execute_dsl(rd, fq, k=n)
+    assert {d for d, _ in got_f} == (t1 & t2)
+    assert all(s == 0.0 for _, s in got_f)
+
+    # minimum_should_match on a pure-should bool
+    msm2 = {
+        "bool": {
+            "should": [{"match": {"content": "spark"}},
+                       {"match": {"content": "join"}},
+                       {"match": {"content": "window"}}],
+            "minimum_should_match": 2,
+        }
+    }
+    t3 = {d for d, _ in execute_dsl(rd, {"match": {"content": "window"}}, k=n)}
+    want_set = {d for d in t1 | t2 | t3
+                if (d in t1) + (d in t2) + (d in t3) >= 2}
+    assert {d for d, _ in execute_dsl(rd, msm2, k=n)} == want_set
+
+
+def test_dsl_compound_scoring(dsl_index):
+    from search_replica_spark.query.dsl import execute_dsl, _score_map
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    a = _score_map(rd, {"match": {"content": "spark"}}, None)
+    b = _score_map(rd, {"match": {"content": "join"}}, None)
+
+    # dis_max: best + tie_breaker * rest
+    got = dict(execute_dsl(
+        rd,
+        {"dis_max": {"tie_breaker": 0.3,
+                     "queries": [{"match": {"content": "spark"}},
+                                 {"match": {"content": "join"}}]}},
+        k=n,
+    ))
+    for d in set(a) | set(b):
+        vals = [m[d] for m in (a, b) if d in m]
+        assert abs(got[d] - (max(vals) + 0.3 * (sum(vals) - max(vals)))) < 1e-12
+
+    # constant_score: boost for every filter match
+    got = execute_dsl(
+        rd, {"constant_score": {"filter": {"match": {"content": "spark"}}, "boost": 2.5}}, k=n
+    )
+    assert {d for d, _ in got} == set(a) and all(s == 2.5 for _, s in got)
+
+    # boosting: negative matches keep rank but score * negative_boost
+    got = dict(execute_dsl(
+        rd,
+        {"boosting": {"positive": {"match": {"content": "spark"}},
+                      "negative": {"match": {"content": "join"}},
+                      "negative_boost": 0.5}},
+        k=n,
+    ))
+    for d, s in a.items():
+        assert got[d] == (s * 0.5 if d in b else s)
+
+
+@pytest.fixture(scope="module")
+def pc_index(spark, tmp_path_factory):
+    """Parent/child join-field index (demo/mapping.json contract): parents
+    = 4 authors, children = posts pointing at their parent via join_parent.
+    Parent 101 has 3 posts, 102 has 1, 103 has none; child 99001 is the
+    only post whose body says 'hello'."""
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.operators.fulltext import _OrigIdReader
+
+    rows = [
+        # (id, content, join_name, join_parent)
+        (101, "author alpha writes", "immaparent", None),
+        (102, "author beta writes", "immaparent", None),
+        (103, "author gamma silent", "immaparent", None),
+        (99001, "post hello world", "immachild", "101"),
+        (99002, "post spark engine", "immachild", "101"),
+        (99003, "post join window", "immachild", "101"),
+        (99004, "post hello again wait no just world", "immachild", "102"),
+    ]
+    df = spark.createDataFrame(
+        [("pc", f"doc_{i}", "0" * 40, "en", c, jn, jp) for i, c, jn, jp in rows],
+        "repo string, path string, commit string, lang string, "
+        "content string, join_name string, join_parent string",
+    )
+    out = str(tmp_path_factory.mktemp("pcidx"))
+    build_index(
+        spark, df, out,
+        IndexConfig(
+            shuffle_partitions=4,
+            input_columns=(
+                "repo", "path", "commit", "lang", "content",
+                "join_name", "join_parent",
+            ),
+            field_analyzers=(
+                ("content", "text"),
+                ("join_name", "keyword"),
+                ("join_parent", "keyword"),
+            ),
+        ),
+    )
+    return _OrigIdReader(spark, out)
+
+
+# the reference demo's own request body, byte-for-byte the curl --data-raw
+# of demo/README.md:41
+_DEMO_BODY = (
+    '{"query":{"bool": {"should": [ { "has_child": { "type": "immachild", '
+    '"inner_hits": { "_source": true }, "query": { "match_all": {} }, '
+    '"min_children": 1 } } ] } } }'
+)
+
+
+def test_dsl_demo_query_verbatim(pc_index):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    ih = {}
+    hits = execute_dsl(pc_index, json.loads(_DEMO_BODY), k=10, inner_hits=ih)
+    # every parent with >= 1 child, ES order (score 0 tie → doc_id asc);
+    # childless 103 and the child docs themselves are absent
+    assert hits == [(101, 0.0), (102, 0.0)]
+    # inner_hits: top-3 matching children per parent (id asc at equal score)
+    assert {p: [c for c, _s in v] for p, v in ih.items()} == {
+        101: [99001, 99002, 99003], 102: [99004]
+    }
+
+
+def test_dsl_has_child_modes(pc_index):
+    from search_replica_spark.query.dsl import _score_map, execute_dsl
+
+    rd = pc_index
+    # min_children drops parents below the count threshold
+    got = execute_dsl(
+        rd,
+        {"has_child": {"type": "immachild", "query": {"match_all": {}},
+                       "min_children": 2}},
+        k=10,
+    )
+    assert got == [(101, 0.0)]
+    # inner query restricts which children count
+    got = execute_dsl(
+        rd, {"has_child": {"type": "immachild",
+                           "query": {"match": {"content": "hello"}}}}, k=10
+    )
+    assert [d for d, _ in got] == [101, 102]
+    # score_mode sum == sum of matching child scores per parent
+    child = _score_map(rd, {"match": {"content": "hello"}}, None)
+    got = dict(execute_dsl(
+        rd, {"has_child": {"type": "immachild", "score_mode": "sum",
+                           "query": {"match": {"content": "hello"}}}}, k=10
+    ))
+    assert abs(got[101] - child[99001]) < 1e-12
+    assert abs(got[102] - child[99004]) < 1e-12
+    # the type gate is real: no doc carries join_name 'nosuch'
+    assert execute_dsl(
+        rd, {"has_child": {"type": "nosuch", "query": {"match_all": {}}}}, k=10
+    ) == []
+
+
+def test_dsl_has_parent_and_parent_id(pc_index):
+    from search_replica_spark.query.dsl import _score_map, execute_dsl
+
+    rd = pc_index
+    # has_parent: children whose parent matches; default score 0
+    got = execute_dsl(
+        rd,
+        {"has_parent": {"parent_type": "immaparent",
+                        "query": {"match": {"content": "alpha"}}}},
+        k=10,
+    )
+    assert got == [(99001, 0.0), (99002, 0.0), (99003, 0.0)]
+    # score=true carries the parent's score down to each child
+    pscore = _score_map(rd, {"match": {"content": "alpha"}}, None)[101]
+    got = dict(execute_dsl(
+        rd,
+        {"has_parent": {"parent_type": "immaparent", "score": True,
+                        "query": {"match": {"content": "alpha"}}}},
+        k=10,
+    ))
+    assert all(abs(s - pscore) < 1e-12 for s in got.values())
+    # parent_id: the children of one parent, const score
+    got = execute_dsl(rd, {"parent_id": {"type": "immachild", "id": 102}}, k=10)
+    assert got == [(99004, 1.0)]
