@@ -855,10 +855,7 @@ ORDER BY s DESC, doc_id LIMIT {limit}
 
 @register("ft_more_like_this_top10", _mlt_sql(10))
 def ft_more_like_this_top10(spark, sf_dir):
-    import math
-
-    from search_replica_spark.analysis import tokenize_text
-    from search_replica_spark.query.bm25 import TermAtATimeScorer
+    from search_replica_spark.query.bm25 import more_like_this_topk
 
     idx = _index_dir_for(spark, sf_dir)
     rd = _OrigIdReader(spark, idx)
@@ -871,22 +868,10 @@ def ft_more_like_this_top10(spark, sf_dir):
         .select("content")
         .collect()[0][0]
     )
-    tf: dict[str, int] = {}
-    for t in tokenize_text(content):
-        tf[t] = tf.get(t, 0) + 1
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in spark.read.parquet(os.path.join(idx, "dict"))
-        .filter(F.col("term").isin(list(tf)))
-        .collect()
-    }
-    scored = sorted(
-        ((tf[t] * rd.idf(dfs[t]), t) for t in tf if t in dfs),
-        key=lambda x: (-x[0], x[1]),
+    hits = more_like_this_topk(
+        rd, content, k=10, max_query_terms=MLT_MAX_TERMS, exclude={src_id}
     )
-    terms = [t for _s, t in scored[:MLT_MAX_TERMS]]
-    hits = TermAtATimeScorer(rd).score(terms=terms, k=11)
-    rows = [(d, round(s, 6)) for d, s in hits if d != src_id][:10]
+    rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
@@ -2113,3 +2098,77 @@ def dsl_has_child_filtered_top10(spark, sf_dir):
     hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
     rows = [(d, int(s)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score_micro long")
+
+
+# B5dsl3: more_like_this through the DSL by {"_id": ...} — reads the like
+# document's STORED _source, selects MLT_MAX_TERMS interesting terms
+# (tf·idf desc, term asc) and excludes the source from the hits (ES's
+# default). Same oracle as the direct-primitive entry.
+@register("dsl_mlt_top10", _mlt_sql(10))
+def dsl_mlt_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    src_id = int(load(spark, sf_dir, "documents").agg(F.min("doc_id")).collect()[0][0])
+    q = {"more_like_this": {"like": {"_id": src_id}, "max_query_terms": MLT_MAX_TERMS}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5dsl4: ES pinned query — the listed ids rank ABOVE every organic hit,
+# in the given order (whether or not they match the organic query);
+# organic hits follow in score order. Output is the RANK (deterministic
+# integers), the quantity the pinned query actually defines.
+@register(
+    "dsl_pinned_top10",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term = 'spark' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+pins AS (SELECT max(doc_id) AS a, min(doc_id) AS b FROM documents),
+u AS (
+  SELECT a AS doc_id, 0 AS grp, 1 AS po, 0.0 AS negs FROM pins
+  UNION ALL SELECT b, 0, 2, 0.0 FROM pins
+  UNION ALL SELECT sc.doc_id, 1, 0, -sc.s FROM sc, pins
+             WHERE sc.doc_id NOT IN (pins.a, pins.b)
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY grp, po, negs, doc_id) AS BIGINT) AS rank
+FROM u ORDER BY rank LIMIT 10""",
+)
+def dsl_pinned_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    ends = load(spark, sf_dir, "documents").agg(
+        F.max("doc_id").alias("a"), F.min("doc_id").alias("b")
+    ).collect()[0]
+    q = {"pinned": {"ids": [int(ends["a"]), int(ends["b"])],
+                    "organic": {"match": {"content": "spark"}}}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, i + 1) for i, (d, _s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, rank long")
+
+
+# B5dsl5: function_score(field_value_factor ln1p, multiply) through the
+# DSL — same oracle as the direct function_score_topk entry.
+@register("dsl_function_score_top10", _FSCORE_SQL)
+def dsl_function_score_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    q = {"function_score": {"query": {"match": {"content": " ".join(BM25_QUERY_TERMS)}},
+                            "field_value_factor": {"field": "doc_len",
+                                                   "modifier": "ln1p"},
+                            "boost_mode": "multiply"}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

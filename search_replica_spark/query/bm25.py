@@ -2397,6 +2397,47 @@ def function_score_topk(
     return [(int(ds[i]), float(final[i])) for i in top]
 
 
+def more_like_this_topk(
+    reader: IndexReader,
+    like_text: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    exclude: tuple[int, ...] | set[int] = (),
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES more_like_this over free text (or a stored document's content —
+    the caller fetches it, get_docs-style): select the ``max_query_terms``
+    most interesting terms by tf·idf (score desc, term asc — ES's own
+    selection heuristic with the tie-break pinned) and run them as a
+    bool/should TATA query, dropping ``exclude`` (the like-document
+    itself, ES's default) from the hits.
+
+    df for selection comes from each candidate term's posting length —
+    identical to the dictionary df (postings carry one entry per doc) and,
+    on generational indexes, to Lucene's stats-count-tombstones-until-
+    merge semantics — so selection costs ONE pushed-down multi-term fetch,
+    no dictionary scan."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    tf: dict[str, int] = {}
+    for t in tokenize_text(like_text):
+        tf[t] = tf.get(t, 0) + 1
+    if not tf:
+        return []
+    postings = r.fetch_postings(sorted(tf))
+    scored = sorted(
+        ((tf[t] * r.idf(len(postings[t][0])), t) for t in tf if t in postings),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _s, t in scored[:max_query_terms]]
+    if not terms:
+        return []
+    ex = {int(e) for e in exclude}
+    hits = TermAtATimeScorer(r).score(terms=terms, k=k + len(ex), live=live)
+    return [(d, s) for d, s in hits if d not in ex][:k]
+
+
 def count_match(
     reader: IndexReader,
     query: str,

@@ -19,7 +19,8 @@ Supported kinds: match, match_phrase, match_phrase_prefix, term, terms,
 ids, range, prefix, fuzzy, wildcard, regexp, exists, match_all,
 simple_query_string, span_near, intervals (all_of), bool,
 constant_score, dis_max, boosting, terms_set, has_child, has_parent,
-parent_id.  Reference parity: the full surface demo/README.md's queries
+parent_id, more_like_this, pinned, wrapper, function_score
+(field_value_factor).  Reference parity: the full surface demo/README.md's queries
 draw from — including the demo's own canonical request
 (bool/should/has_child/min_children/inner_hits, demo/README.md:18-42)
 verbatim — minus aggregations (those live in operators/aggregations.py
@@ -284,6 +285,78 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
             )
         )
 
+    if kind == "more_like_this":
+        fields = body.get("fields", [DEFAULT_FIELD])
+        if list(fields) != [DEFAULT_FIELD]:
+            _text_field(fields[0] if fields else "", kind)
+        likes = body["like"]
+        if isinstance(likes, (str, dict)):
+            likes = [likes]
+        texts, exclude = [], set()
+        for like in likes:
+            if isinstance(like, str):
+                texts.append(like)
+            else:  # {"_id": ...}: like an indexed doc — ES excludes it
+                lid = int(like["_id"])
+                exclude.add(lid)
+                texts.append(_stored_content(reader, lid))
+        return dict(
+            Q.more_like_this_topk(
+                reader, " ".join(texts), k=n,
+                max_query_terms=int(body.get("max_query_terms", 25)),
+                exclude=() if body.get("include", False) else exclude,
+                live=live,
+            )
+        )
+
+    if kind == "pinned":
+        organic = _score_map(reader, body["organic"], live, ih)
+        pins = [int(i) for i in body["ids"]]
+        # ES pinned: the listed docs rank ABOVE every organic hit, in the
+        # given order (they need not match the organic query — but must
+        # exist and be live)
+        _, doc_ids = reader.doc_arrays()
+        slots = np.flatnonzero(
+            np.isin(doc_ids, np.fromiter(pins, dtype=np.int64))
+        ) if pins else np.array([], dtype=np.int64)
+        if live is not None:
+            slots = slots[live[slots]]
+        alive = {int(d) for d in doc_ids[slots]}
+        out = dict(organic)
+        top = max(out.values(), default=0.0)
+        for rank, pid in enumerate(pins):
+            if pid in alive:
+                out[pid] = top + (len(pins) - rank)
+        return out
+
+    if kind == "wrapper":  # base64-encoded query, recursed verbatim
+        import base64
+        import json as _json
+
+        return _score_map(
+            reader, _json.loads(base64.b64decode(body["query"])), live, ih
+        )
+
+    if kind == "function_score":
+        fvf = body.get("field_value_factor")
+        if (
+            not isinstance(fvf, dict)
+            or str(fvf.get("modifier", "ln1p")).lower() != "ln1p"
+            or str(body.get("boost_mode", "multiply")).lower() != "multiply"
+        ):
+            raise ValueError(
+                "function_score supports field_value_factor with modifier "
+                "ln1p and boost_mode multiply (the engine's "
+                "function_score_topk form)"
+            )
+        inner = _score_map(reader, body["query"], live, ih)
+        dl, doc_ids = reader.doc_arrays()
+        order = np.argsort(doc_ids, kind="stable")
+        sids = doc_ids[order]
+        ds = np.fromiter(inner, dtype=np.int64, count=len(inner))
+        factor = np.log1p(dl[order[np.searchsorted(sids, ds)]])
+        return {int(d): inner[int(d)] * float(f) for d, f in zip(ds, factor)}
+
     if kind == "has_child":
         return _has_child_map(reader, body, live, ih)
 
@@ -428,3 +501,39 @@ def _has_child_map(reader, body: dict, live, ih=None) -> dict[int, float]:
         if ih_body is not None and ih is not None:
             ih[parent] = sorted(hits, key=lambda h: (-h[1], h[0]))[:ih_size]
     return out
+
+
+def _stored_content(reader, doc_id: int) -> str:
+    """The analyzed text of one stored document (more_like_this by _id):
+    a pushed-down point GET through the docs store — requires a
+    ``store_source=True`` build, exactly like ES requires ``_source`` for
+    MLT by id.  The id is resolved in the READER's id space (doc_arrays)
+    to its slot, so readers that remap ids still fetch the right row;
+    generational readers GET through source_view (last-wins) instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+        from search_replica_spark.streaming.incremental import get_docs
+
+        rows = (
+            get_docs(reader.spark, reader.index_dir, [int(doc_id)])
+            .select(DEFAULT_FIELD)
+            .collect()
+        )
+    else:
+        _dl, ids = reader.doc_arrays()
+        slots = np.flatnonzero(ids == int(doc_id))
+        rows = (
+            reader.spark.read.parquet(os.path.join(reader.index_dir, "docs"))
+            .filter(F.col("doc_idx") == int(slots[0]))
+            .select(DEFAULT_FIELD)
+            .collect()
+        ) if slots.size else []
+    if not rows or rows[0][0] is None:
+        raise ValueError(
+            f"more_like_this: no stored _source for _id {doc_id} "
+            "(MLT by id needs a store_source=True build)"
+        )
+    return rows[0][0]

@@ -21,7 +21,7 @@ def dsl_index(spark, tmp_path_factory):
         spark,
         spark.createDataFrame(generate_corpus(250)),
         out,
-        IndexConfig(shuffle_partitions=4, store_positions=True),
+        IndexConfig(shuffle_partitions=4, store_positions=True, store_source=True),
     )
     return IndexReader(spark, out)
 
@@ -271,3 +271,62 @@ def test_dsl_has_parent_and_parent_id(pc_index):
     # parent_id: the children of one parent, const score
     got = execute_dsl(rd, {"parent_id": {"type": "immachild", "id": 102}}, k=10)
     assert got == [(99004, 1.0)]
+
+
+def test_dsl_mlt_pinned_wrapper_function_score(dsl_index):
+    import base64
+
+    from search_replica_spark.query.bm25 import (
+        function_score_topk,
+        more_like_this_topk,
+    )
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    _dl, doc_ids = rd.doc_arrays()
+    src = int(doc_ids.min())
+
+    # more_like_this by free text == the primitive
+    got = execute_dsl(
+        rd, {"more_like_this": {"like": "apache license version", "max_query_terms": 5}}, k=8
+    )
+    assert got == more_like_this_topk(rd, "apache license version", k=8, max_query_terms=5)
+
+    # by {"_id": ...}: reads the stored _source and EXCLUDES the source doc
+    got = execute_dsl(rd, {"more_like_this": {"like": {"_id": src}}}, k=10)
+    assert got and all(d != src for d, _s in got)
+    # include=true keeps it (the source is its own best match)
+    got_inc = execute_dsl(
+        rd, {"more_like_this": {"like": {"_id": src}, "include": True}}, k=10
+    )
+    assert got_inc[0][0] == src
+
+    # pinned: listed ids first IN ORDER (even non-matching ones), organic after
+    organic = execute_dsl(rd, {"match": {"content": "license"}}, k=n)
+    organic_ids = [d for d, _s in organic]
+    pin = [int(doc_ids.max()), int(doc_ids.min())]
+    assert pin[0] not in organic_ids[:2] and pin[1] not in organic_ids[:2]
+    got = execute_dsl(
+        rd, {"pinned": {"ids": pin, "organic": {"match": {"content": "license"}}}}, k=5
+    )
+    assert [d for d, _s in got] == pin + [d for d in organic_ids if d not in pin][:3]
+    # a pin that doesn't exist is dropped, not invented
+    got = execute_dsl(
+        rd, {"pinned": {"ids": [10**17], "organic": {"match": {"content": "license"}}}}, k=3
+    )
+    assert [d for d, _s in got] == organic_ids[:3]
+
+    # wrapper: base64 body decodes and runs verbatim
+    b64 = base64.b64encode(b'{"match": {"content": "license"}}').decode()
+    assert execute_dsl(rd, {"wrapper": {"query": b64}}, k=5) == organic[:5]
+
+    # function_score(field_value_factor ln1p, multiply) == the primitive
+    got = execute_dsl(
+        rd,
+        {"function_score": {"query": {"match": {"content": "license"}},
+                            "field_value_factor": {"field": "doc_len",
+                                                   "modifier": "ln1p"}}},
+        k=7,
+    )
+    assert got == function_score_topk(rd, "license", 7)
