@@ -1205,3 +1205,115 @@ def agg_normalize_percent(spark, sf_dir):
         )
         .orderBy("bucket_start")
     )
+
+
+# ES percentiles_bucket sibling pipeline agg: percentiles OVER the bucket
+# values of another agg ({"percentiles_bucket": {"buckets_path":
+# "days>_count"}}). Values are the day-histogram doc_counts; quartiles at
+# 1/4 granularity are emitted ×4 (exact BIGINT — the boxplot pattern), so
+# the hash gate sees integers, never interpolated floats.
+@register(
+    "agg_percentiles_bucket_day",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT CAST(4 * quantile_cont(doc_count, 0.25) AS BIGINT) AS p25_x4,
+              CAST(4 * quantile_cont(doc_count, 0.50) AS BIGINT) AS p50_x4,
+              CAST(4 * quantile_cont(doc_count, 0.75) AS BIGINT) AS p75_x4
+       FROM h""",
+)
+def agg_percentiles_bucket_day(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    return h.agg(
+        F.expr("CAST(4 * percentile(doc_count, 0.25) AS BIGINT)").alias("p25_x4"),
+        F.expr("CAST(4 * percentile(doc_count, 0.50) AS BIGINT)").alias("p50_x4"),
+        F.expr("CAST(4 * percentile(doc_count, 0.75) AS BIGINT)").alias("p75_x4"),
+    )
+
+
+# ES rate aggregation: a bucket's count re-scaled to a smaller calendar
+# unit ({"rate": {"unit": "day"}} inside a WEEK date_histogram) — emitted
+# in integer micro-events-per-day so the twin is bit-stable.
+@register(
+    "agg_rate_per_day",
+    """SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_start,
+              count(*) AS doc_count,
+              CAST((count(*) * 1000000) // 7 AS BIGINT) AS rate_per_day_micro
+       FROM events GROUP BY 1 ORDER BY week_start""",
+)
+def agg_rate_per_day(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_start")
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.expr("CAST((count(*) * 1000000) DIV 7 AS BIGINT)").alias(
+                "rate_per_day_micro"
+            ),
+        )
+        .orderBy("week_start")
+    )
+
+
+# ES variable_width_histogram: buckets that ADAPT to the data rather than
+# a fixed interval. ES clusters greedily (shard-local, order-sensitive —
+# unreproducible by design); the deterministic batch form is the
+# EQUAL-FREQUENCY histogram: ntile(4) over the value order (tie-broken by
+# doc_id), each bucket reporting min/max/count. Same one-shuffle cost as
+# a fixed histogram; the quantile boundaries are what the adaptive
+# clusters converge to on smooth data.
+@register(
+    "agg_variable_width_histogram",
+    """WITH t AS (
+         SELECT n_chars,
+                ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+         FROM documents)
+       SELECT bucket, min(n_chars) AS lo, max(n_chars) AS hi,
+              count(*) AS doc_count
+       FROM t GROUP BY bucket ORDER BY bucket""",
+)
+def agg_variable_width_histogram(spark, sf_dir):
+    # scale shape: a global ntile over corpus ROWS is a single-partition
+    # window — instead, reduce to the per-VALUE histogram first (one
+    # groupBy), rank-range each value over |distinct values| rows, and
+    # intersect with ntile's bucket rank ranges. Bucket counts/lo/hi only
+    # depend on how many rows of each value land in each bucket, never on
+    # which doc_ids, so the output is bit-identical to row-level ntile.
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_chars")  # O(|distinct n_chars|), not O(corpus)
+    g = (
+        g.withColumn("hi_rank", F.sum("cnt").over(w))
+        .withColumn("lo_rank", F.col("hi_rank") - F.col("cnt") + 1)
+    )
+    total = g.agg(F.sum("cnt").alias("n"))
+    # ntile(4): bucket i (1-based) holds n//4 rows, +1 for the first n%4
+    bspec = total.selectExpr(
+        "explode(sequence(1, 4)) AS bucket", "n"
+    ).selectExpr(
+        "bucket",
+        "(bucket - 1) * (n DIV 4) + least(bucket - 1, n % 4) + 1 AS b_lo",
+        "bucket * (n DIV 4) + least(bucket, n % 4) AS b_hi",
+    )
+    j = g.crossJoin(F.broadcast(bspec)).filter(
+        (F.col("lo_rank") <= F.col("b_hi")) & (F.col("hi_rank") >= F.col("b_lo"))
+    )
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.sum(
+                F.least("hi_rank", "b_hi") - F.greatest("lo_rank", "b_lo") + 1
+            ).alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )

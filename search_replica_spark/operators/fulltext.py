@@ -2172,3 +2172,118 @@ def dsl_function_score_top10(spark, sf_dir):
     hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5mbp: ES match_bool_prefix (search-as-you-type): every analyzed term a
+# bool/should term clause (BM25), the LAST term a should PREFIX clause
+# (constant score 1, uncapped rewrite so the LIKE oracle is exact).
+@register(
+    "dsl_match_bool_prefix_top10",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term = 'spark' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id),
+p AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'jo%'),
+u AS (SELECT coalesce(sc.doc_id, p.doc_id) AS doc_id,
+             coalesce(sc.s, 0) + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS s
+      FROM sc FULL OUTER JOIN p ON sc.doc_id = p.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10""",
+)
+def dsl_match_bool_prefix_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    q = {"match_bool_prefix": {"content": {"query": "spark jo",
+                                           "max_expansions": None}}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5mm2: ES multi_match type=best_fields over a FIELDED index — the query
+# is analyzed per field and the doc scores its BEST field (dis_max,
+# tie_breaker 0), vs the most_fields SUM the engine already serves.
+_BEST_FIELDS_SQL = f"""
+WITH tok AS ({_FIELDED_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('content:de', 'lang:de') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (SELECT tf.doc_id,
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(max(c), 6) AS score FROM per GROUP BY doc_id
+ORDER BY max(c) DESC, doc_id LIMIT 10
+"""
+
+
+@register("dsl_multi_match_best_fields", _BEST_FIELDS_SQL)
+def dsl_multi_match_best_fields(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    q = {"multi_match": {"query": "de", "fields": ["content", "lang"],
+                         "type": "best_fields"}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5fis: ES frequent_item_sets aggregation (2-item sets): which token
+# PAIRS co-occur in the most documents. Item vocabulary is capped at the
+# FIS_VOCAB highest-df terms (df desc, term asc — deterministic), so the
+# per-doc pair fan-out is bounded by |V|²/2 regardless of corpus size;
+# pairs come from ONE groupBy collect_set + double explode (never a
+# corpus self-join, which would scan the token subtree twice), then one
+# count per pair — two bounded shuffles at any scale.
+FIS_VOCAB = 30
+
+
+@register(
+    "dsl_frequent_item_sets",
+    f"""
+WITH tok AS ({_TOK}),
+v AS (SELECT term FROM (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ORDER BY df DESC, term LIMIT {FIS_VOCAB})),
+t AS (SELECT DISTINCT doc_id, term FROM tok
+      WHERE term IN (SELECT term FROM v)),
+p AS (SELECT a.term AS item_a, b.term AS item_b
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term)
+SELECT item_a, item_b, count(*) AS support FROM p
+GROUP BY item_a, item_b ORDER BY support DESC, item_a, item_b LIMIT 10""",
+)
+def dsl_frequent_item_sets(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    v = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(FIS_VOCAB)
+        .select("term")
+    )
+    t = tok.join(F.broadcast(v), "term").select("doc_id", "term").distinct()
+    items = t.groupBy("doc_id").agg(F.sort_array(F.collect_set("term")).alias("items"))
+    pairs = (
+        items.select(F.explode("items").alias("item_a"), "items")
+        .select("item_a", F.explode("items").alias("item_b"))
+        .filter(F.col("item_a") < F.col("item_b"))
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(10)
+    )

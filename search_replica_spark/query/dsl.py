@@ -20,7 +20,8 @@ ids, range, prefix, fuzzy, wildcard, regexp, exists, match_all,
 simple_query_string, span_near, intervals (all_of), bool,
 constant_score, dis_max, boosting, terms_set, has_child, has_parent,
 parent_id, more_like_this, pinned, wrapper, function_score
-(field_value_factor).  Reference parity: the full surface demo/README.md's queries
+(field_value_factor), match_bool_prefix, multi_match (best_fields /
+most_fields).  Reference parity: the full surface demo/README.md's queries
 draw from — including the demo's own canonical request
 (bool/should/has_child/min_children/inner_hits, demo/README.md:18-42)
 verbatim — minus aggregations (those live in operators/aggregations.py
@@ -284,6 +285,61 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
                 k=n, live=live,
             )
         )
+
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every analyzed term a should term-clause,
+        # the LAST one a should prefix-clause (constant score) — the
+        # search-as-you-type primitive
+        field, spec = _single(body, kind)
+        _text_field(field, kind)
+        text, opts = _spec(spec)
+        toks = list(Q.tokenize_text(str(text)))
+        if not toks:
+            return {}
+        *full, last = toks
+        out: dict[int, float] = (
+            dict(Q.bool_topk(reader, should=[" ".join(full)], k=n, live=live))
+            if full
+            else {}
+        )
+        for d in Q.prefix_match(
+            reader, last, max_expansions=opts.get("max_expansions", 50), live=live
+        ):
+            out[d] = out.get(d, 0.0) + _LEAF_CONST
+        return out
+
+    if kind == "multi_match":
+        # per-field analysis of one query string; best_fields = dis_max
+        # over the per-field scores (+ tie_breaker), most_fields = sum
+        text = str(body["query"])
+        fields = body.get("fields", [DEFAULT_FIELD])
+        mtype = str(body.get("type", "best_fields"))
+        maps: list[dict[int, float]] = []
+        for f in fields:
+            if _fielded(reader):
+                from search_replica_spark.analysis.fields import field_query_terms
+
+                maps.append(dict(Q.TermAtATimeScorer(reader).score(
+                    terms=field_query_terms(f, text), k=n, live=live
+                )))
+            else:
+                _text_field(f, kind)
+                maps.append(dict(Q.bool_topk(reader, should=[text], k=n, live=live)))
+        if mtype == "most_fields":
+            out = {}
+            for m in maps:
+                for d, s in m.items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if mtype != "best_fields":
+            raise ValueError(f"multi_match type {mtype!r} not supported")
+        tie = float(body.get("tie_breaker", 0.0))
+        out = {}
+        for d in set().union(*maps) if maps else ():
+            vals = [m[d] for m in maps if d in m]
+            best = max(vals)
+            out[d] = best + tie * (sum(vals) - best)
+        return out
 
     if kind == "more_like_this":
         fields = body.get("fields", [DEFAULT_FIELD])
