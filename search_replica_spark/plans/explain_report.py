@@ -172,6 +172,16 @@ CHECKS = {
         "avoid": ["CartesianProduct", "SortMergeJoin"],
         "why": "rank_feature (r5): the filter-context match set broadcasts against the feature column scan and top-k is a per-partition heap (TakeOrderedAndProject) — no global sort, no shuffle join",
     },
+    "dsl_frequent_item_sets": {
+        "want": ["BroadcastHashJoin"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "frequent_item_sets (r5): the capped top-df vocabulary BROADCASTS into the token stream and pairs come from collect_set + double explode — no corpus self-join (which would scan the token subtree twice and shuffle it)",
+    },
+    "agg_variable_width_histogram": {
+        "want": ["BroadcastNestedLoopJoin", "Window"],
+        "avoid": ["CartesianProduct", "SortMergeJoin"],
+        "why": "variable_width_histogram (r5): corpus rows reduce to the per-VALUE histogram first; the rank window runs over |distinct values| rows only and the 4-row ntile bucket spec rides a broadcast — no single-partition window ever touches corpus rows",
+    },
 }
 
 
@@ -290,6 +300,12 @@ def main():
         reg["ft_rank_feature_top10"][0](spark, sf_dir)
     )
 
+    plans["dsl_frequent_item_sets"] = plan_of(
+        reg["dsl_frequent_item_sets"][0](spark, sf_dir)
+    )
+    plans["agg_variable_width_histogram"] = plan_of(
+        reg["agg_variable_width_histogram"][0](spark, sf_dir)
+    )
     plans["ann_pq_adc"] = plan_of(reg["ann_pq_adc_top10"][0](spark, sf_dir))
     plans["dedup_embedding_lsh"] = plan_of(reg["dedup_embedding_lsh"][0](spark, sf_dir))
     plans["dedup_ngram_jaccard"] = plan_of(reg["dedup_ngram_jaccard"][0](spark, sf_dir))
