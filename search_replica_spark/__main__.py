@@ -260,8 +260,18 @@ def main(argv: list[str] | None = None) -> int:
                 rd = MultiGenReader(spark, args.index)
             else:
                 rd = IndexReader(spark, args.index)
+            req = json.loads(body)
+            if isinstance(req, dict) and (set(req) - {"query"}):
+                # a full /_search request body (from/size/sort/highlight/
+                # min_score/...) — answer ES-shaped
+                from search_replica_spark.query.dsl import execute_request
+
+                if "size" not in req:
+                    req["size"] = args.k
+                print(json.dumps(execute_request(rd, req)))
+                return 0
             ih: dict = {}
-            hits = execute_dsl(rd, json.loads(body), k=args.k, inner_hits=ih)
+            hits = execute_dsl(rd, req, k=args.k, inner_hits=ih)
             out = [{"doc_id": d, "score": s} for d, s in hits]
             if ih:
                 for h in out:

@@ -593,3 +593,140 @@ def _stored_content(reader, doc_id: int) -> str:
             "(MLT by id needs a store_source=True build)"
         )
     return rows[0][0]
+
+
+def _stored_contents(reader, ids: list[int]) -> dict[int, str]:
+    """Batch form of ``_stored_content``: ONE pushed-down docs-store read
+    for all requested ids (highlighting a page of hits must not issue a
+    GET per hit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not ids:
+        return {}
+    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+        from search_replica_spark.streaming.incremental import get_docs
+
+        rows = (
+            get_docs(reader.spark, reader.index_dir, ids)
+            .select("doc_id", DEFAULT_FIELD)
+            .collect()
+        )
+        return {int(r[0]): r[1] for r in rows}
+    _dl, arr = reader.doc_arrays()
+    want = np.fromiter((int(i) for i in ids), dtype=np.int64, count=len(ids))
+    slots = np.flatnonzero(np.isin(arr, want))
+    by_slot = {int(s): int(arr[s]) for s in slots}
+    rows = (
+        reader.spark.read.parquet(os.path.join(reader.index_dir, "docs"))
+        .filter(F.col("doc_idx").isin([int(s) for s in slots]))
+        .select("doc_idx", DEFAULT_FIELD)
+        .collect()
+    )
+    return {by_slot[int(r[0])]: r[1] for r in rows}
+
+
+def _highlight_terms(q) -> list[str]:
+    """The analyzed-field terms a highlighter should mark for a DSL tree:
+    text leaves recursed through the compound kinds, negative/must_not
+    branches skipped (ES's plain highlighter does the same — it marks the
+    terms that MATCHED)."""
+    kind, body = _single(q, "a DSL query")
+    if kind in ("match", "match_phrase", "match_phrase_prefix", "match_bool_prefix"):
+        _f, spec = _single(body, kind)
+        text, _o = _spec(spec)
+        return list(Q.tokenize_text(str(text)))
+    if kind == "term":
+        _f, spec = _single(body, kind)
+        v, _o = _spec(spec, key="value")
+        return [str(v)]
+    if kind == "terms":
+        _f, spec = _single(body, kind)
+        return [str(v) for v in (spec if isinstance(spec, list) else [spec])]
+    if kind == "simple_query_string":
+        return [
+            t for g in Q.parse_simple_query_string(body["query"]) for _k, t, _s, neg in g
+            if not neg for t in Q.tokenize_text(t)
+        ]
+    if kind == "multi_match":
+        return list(Q.tokenize_text(str(body["query"])))
+    if kind == "bool":
+        out = []
+        for sect in ("must", "should", "filter"):
+            cl = body.get(sect, [])
+            for c in cl if isinstance(cl, list) else [cl]:
+                out.extend(_highlight_terms(c))
+        return out
+    if kind == "dis_max":
+        return [t for sub in body["queries"] for t in _highlight_terms(sub)]
+    if kind == "boosting":
+        return _highlight_terms(body["positive"])
+    if kind in ("constant_score",):
+        return _highlight_terms(body["filter"])
+    if kind == "function_score":
+        return _highlight_terms(body["query"])
+    if kind == "pinned":
+        return _highlight_terms(body["organic"])
+    return []
+
+
+def execute_request(reader, body: dict, live=None) -> dict:
+    """The full ES ``/_search`` REQUEST BODY, answered ES-shaped: supports
+    ``query`` (default match_all), ``from``/``size`` paging, ``sort``
+    (``_score`` desc — the default — or ``_doc``), ``min_score``,
+    ``track_total_hits`` (always exact — a batch engine's totals are
+    free), and ``highlight`` over the stored default field (one batched
+    docs-store GET for the page, never per-hit).  Returns
+    ``{"hits": {"total": {...}, "hits": [{"_id", "_score", ...}]}}`` —
+    the envelope a reference user's client already parses."""
+    if live is None:
+        live = getattr(reader, "_live", None)
+    query = body.get("query", {"match_all": {}})
+    ih: dict = {}
+    scores = _score_map(reader, query, live, ih)
+
+    min_score = body.get("min_score")
+    if min_score is not None:
+        scores = {d: s for d, s in scores.items() if s >= float(min_score)}
+
+    sort = body.get("sort", ["_score"])
+    key = sort[0] if isinstance(sort, list) and sort else sort
+    if isinstance(key, dict):
+        key = next(iter(key))
+    if key == "_doc":
+        ranked = sorted(scores.items())
+    elif key == "_score":
+        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+    else:
+        raise ValueError(f"sort {key!r} not supported (use _score or _doc)")
+
+    total = len(ranked)
+    offset = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    page = ranked[offset : offset + size]
+
+    hits = []
+    frags: dict[int, str | None] = {}
+    if "highlight" in body and page:
+        from search_replica_spark.query.highlight import highlight_fragment
+
+        hl = body["highlight"]
+        fspec = hl.get("fields", {}).get(DEFAULT_FIELD, {})
+        terms = _highlight_terms(query)
+        contents = _stored_contents(reader, [d for d, _s in page])
+        for d, _s in page:
+            frags[d] = highlight_fragment(
+                contents.get(d), terms,
+                frag_size=int(fspec.get("fragment_size", 80)),
+                pre=(hl.get("pre_tags") or ["<em>"])[0],
+                post=(hl.get("post_tags") or ["</em>"])[0],
+            )
+    for d, s in page:
+        h: dict = {"_id": d, "_score": s}
+        if d in ih:
+            h["inner_hits"] = [{"_id": c, "_score": cs} for c, cs in ih[d]]
+        if frags.get(d) is not None:
+            h["highlight"] = {DEFAULT_FIELD: [frags[d]]}
+        hits.append(h)
+    return {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}

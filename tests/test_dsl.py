@@ -330,3 +330,70 @@ def test_dsl_mlt_pinned_wrapper_function_score(dsl_index):
         k=7,
     )
     assert got == function_score_topk(rd, "license", 7)
+
+
+def test_dsl_new_query_kinds(dsl_index):
+    from search_replica_spark.query.bm25 import bool_topk, prefix_match
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    # match_bool_prefix: BM25 should terms + constant prefix on last token
+    full = dict(bool_topk(rd, should=["apache"], k=n))
+    pref = set(prefix_match(rd, "lic", max_expansions=None))
+    got = dict(execute_dsl(
+        rd,
+        {"match_bool_prefix": {"content": {"query": "apache lic",
+                                           "max_expansions": None}}},
+        k=n,
+    ))
+    assert set(got) == set(full) | pref
+    for d in got:
+        assert abs(got[d] - (full.get(d, 0.0) + (1.0 if d in pref else 0.0))) < 1e-12
+    # multi_match on a plain index: most_fields over one field == match
+    want = execute_dsl(rd, {"match": {"content": "license"}}, k=5)
+    assert execute_dsl(
+        rd, {"multi_match": {"query": "license", "fields": ["content"],
+                             "type": "most_fields"}}, k=5
+    ) == want
+
+
+def test_execute_request_full_body(dsl_index):
+    from search_replica_spark.query.dsl import execute_dsl, execute_request
+
+    rd = dsl_index
+    base = execute_dsl(rd, {"match": {"content": "license"}}, k=10**6)
+
+    # paging: from/size slices the same ES-ordered ranking; totals exact
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "from": 2, "size": 3})
+    assert r["hits"]["total"] == {"value": len(base), "relation": "eq"}
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == base[2:5]
+
+    # min_score drops low scorers from hits AND the total
+    cut = base[len(base) // 2][1]
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "min_score": cut, "size": 10**6})
+    assert r["hits"]["total"]["value"] == sum(1 for _d, s in base if s >= cut)
+    assert all(h["_score"] >= cut for h in r["hits"]["hits"])
+
+    # sort _doc = doc_id ascending regardless of score
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "sort": ["_doc"], "size": 5})
+    ids = [h["_id"] for h in r["hits"]["hits"]]
+    assert ids == sorted(d for d, _s in base)[:5]
+
+    # highlight wraps the matched term in the stored content
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "size": 3,
+                             "highlight": {"fields": {"content": {}}}})
+    assert r["hits"]["hits"], "expected hits"
+    for h in r["hits"]["hits"]:
+        assert "<em>" in h["highlight"]["content"][0].lower()
+        assert "license" in h["highlight"]["content"][0].lower().replace(
+            "<em>", "").replace("</em>", "")
+
+    # default query is match_all; default sort is _score then _id
+    r = execute_request(rd, {"size": 4})
+    assert r["hits"]["total"]["value"] == rd.doc_arrays()[1].size
+    assert [h["_score"] for h in r["hits"]["hits"]] == [1.0] * 4
