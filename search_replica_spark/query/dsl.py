@@ -671,15 +671,123 @@ def _highlight_terms(q) -> list[str]:
     return []
 
 
+def _matched_docs_df(reader, ids: list[int]):
+    """DataFrame of the docs-store rows for a matched id set, resolved in
+    the READER's id space and exposed with an ``_rid`` column holding that
+    reader id.  Small sets push an IN filter into the scan; large sets
+    broadcast-join the slot list — both are the shapes that survive a page
+    or an agg over millions of matches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = reader.spark
+    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+        from search_replica_spark.streaming.incremental import source_view
+
+        docs = source_view(spark, reader.index_dir)
+        key_col = "doc_id"  # generational readers speak engine doc_ids
+        keys = [int(i) for i in ids]
+        docs = docs.withColumn("_rid", F.col(key_col))
+    else:
+        _dl, arr = reader.doc_arrays()
+        want = np.fromiter((int(i) for i in ids), dtype=np.int64, count=len(ids))
+        slots = np.flatnonzero(np.isin(arr, want))
+        rid = {int(s): int(arr[s]) for s in slots}
+        docs = spark.read.parquet(os.path.join(reader.index_dir, "docs"))
+        key_col = "doc_idx"
+        keys = sorted(rid)
+        mapping = spark.createDataFrame(
+            [(s, r) for s, r in rid.items()], "doc_idx long, _rid long"
+        )
+        if len(keys) <= 1000:
+            return docs.filter(F.col(key_col).isin(keys)).join(
+                F.broadcast(mapping), key_col
+            )
+        return docs.join(F.broadcast(mapping), key_col)
+    if len(keys) <= 1000:
+        return docs.filter(F.col(key_col).isin(keys))
+    key_df = spark.createDataFrame([(k,) for k in keys], f"{key_col} long")
+    return docs.join(F.broadcast(key_df), key_col)
+
+
+def _run_aggs(reader, aggs: dict, matched: list[int]) -> dict:
+    """ES request-body ``aggs`` over the query's matched set: each agg is
+    ONE Spark aggregation over the docs-store rows of the matches (the
+    matched ids broadcast into the scan), so buckets/stats compute
+    distributed, never by iterating hits on the serving node.  Supported:
+    terms, stats, min/max/sum/avg/value_count, cardinality, histogram —
+    the flat (non-nested) core; deep sub-agg trees belong to the
+    first-class operators in operators/aggregations.py."""
+    from pyspark.sql import functions as F
+
+    mdf = _matched_docs_df(reader, matched)
+    out: dict = {}
+    for name, spec in aggs.items():
+        akind, abody = _single(
+            {k: v for k, v in spec.items() if k != "aggs"}, f"agg {name!r}"
+        )
+        field = abody.get("field")
+        if akind == "terms":
+            size = int(abody.get("size", 10))
+            rows = (
+                mdf.groupBy(F.col(field).alias("key"))
+                .agg(F.count("*").alias("doc_count"))
+                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+                .limit(size)
+                .collect()
+            )
+            out[name] = {"buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
+            ]}
+        elif akind == "stats":
+            r = mdf.agg(
+                F.count(field).alias("count"), F.min(field).alias("min"),
+                F.max(field).alias("max"), F.sum(field).alias("sum"),
+                F.avg(field).alias("avg"),
+            ).collect()[0]
+            out[name] = {k: r[k] for k in ("count", "min", "max", "sum", "avg")}
+        elif akind in ("min", "max", "sum", "avg"):
+            fn = getattr(F, akind)
+            out[name] = {"value": mdf.agg(fn(field).alias("v")).collect()[0]["v"]}
+        elif akind == "value_count":
+            out[name] = {"value": mdf.agg(F.count(field).alias("v")).collect()[0]["v"]}
+        elif akind == "cardinality":
+            # exact — the value ES's HLL sketch approximates
+            out[name] = {
+                "value": mdf.agg(F.countDistinct(field).alias("v")).collect()[0]["v"]
+            }
+        elif akind == "histogram":
+            iv = float(abody["interval"])
+            rows = (
+                mdf.groupBy(
+                    (F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)).alias("key")
+                )
+                .agg(F.count("*").alias("doc_count"))
+                .orderBy("key")
+                .collect()
+            )
+            out[name] = {"buckets": [
+                {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
+            ]}
+        else:
+            raise ValueError(f"request agg {akind!r} not supported")
+    return out
+
+
 def execute_request(reader, body: dict, live=None) -> dict:
     """The full ES ``/_search`` REQUEST BODY, answered ES-shaped: supports
     ``query`` (default match_all), ``from``/``size`` paging, ``sort``
-    (``_score`` desc — the default — or ``_doc``), ``min_score``,
-    ``track_total_hits`` (always exact — a batch engine's totals are
-    free), and ``highlight`` over the stored default field (one batched
-    docs-store GET for the page, never per-hit).  Returns
-    ``{"hits": {"total": {...}, "hits": [{"_id", "_score", ...}]}}`` —
-    the envelope a reference user's client already parses."""
+    (``_score`` desc — the default — ``_doc``, or any STORED field, the
+    latter ranked by one distributed orderBy+limit over the matched docs),
+    ``min_score``, ``track_total_hits`` (always exact — a batch engine's
+    totals are free), ``highlight`` over the stored default field (one
+    batched docs-store GET for the page, never per-hit), and flat ``aggs``
+    (terms/stats/min/max/sum/avg/value_count/cardinality/histogram, each
+    one Spark aggregation over the matched set).  Returns
+    ``{"hits": {"total": {...}, "hits": [{"_id", "_score", ...}]},
+    "aggregations": {...}}`` — the envelope a reference user's client
+    already parses."""
     if live is None:
         live = getattr(reader, "_live", None)
     query = body.get("query", {"match_all": {}})
@@ -690,21 +798,40 @@ def execute_request(reader, body: dict, live=None) -> dict:
     if min_score is not None:
         scores = {d: s for d, s in scores.items() if s >= float(min_score)}
 
-    sort = body.get("sort", ["_score"])
-    key = sort[0] if isinstance(sort, list) and sort else sort
-    if isinstance(key, dict):
-        key = next(iter(key))
-    if key == "_doc":
-        ranked = sorted(scores.items())
-    elif key == "_score":
-        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
-    else:
-        raise ValueError(f"sort {key!r} not supported (use _score or _doc)")
-
-    total = len(ranked)
+    total = len(scores)
     offset = int(body.get("from", 0))
     size = int(body.get("size", 10))
-    page = ranked[offset : offset + size]
+
+    sort = body.get("sort", ["_score"])
+    key = sort[0] if isinstance(sort, list) and sort else sort
+    order = "asc"
+    if isinstance(key, dict):
+        key, kspec = next(iter(key.items()))
+        if isinstance(kspec, dict):
+            order = str(kspec.get("order", "asc"))
+    sort_vals: dict[int, object] = {}
+    if key == "_doc":
+        page = sorted(scores.items())[offset : offset + size]
+    elif key == "_score":
+        page = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[
+            offset : offset + size
+        ]
+    else:
+        # stored-field sort: ONE distributed orderBy + limit over the
+        # matched docs (ties break on the id, ES-style) — the plan that
+        # holds when the match set dwarfs the page
+        from pyspark.sql import functions as F
+
+        mdf = _matched_docs_df(reader, list(scores))
+        col = F.col(key).asc() if order == "asc" else F.col(key).desc()
+        rows = (
+            mdf.select("_rid", key)
+            .orderBy(col, F.col("_rid").asc())
+            .limit(offset + size)
+            .collect()
+        )
+        page = [(int(r["_rid"]), scores[int(r["_rid"])]) for r in rows[offset:]]
+        sort_vals = {int(r["_rid"]): r[key] for r in rows[offset:]}
 
     hits = []
     frags: dict[int, str | None] = {}
@@ -724,9 +851,15 @@ def execute_request(reader, body: dict, live=None) -> dict:
             )
     for d, s in page:
         h: dict = {"_id": d, "_score": s}
+        if d in sort_vals:
+            h["sort"] = [sort_vals[d]]
         if d in ih:
             h["inner_hits"] = [{"_id": c, "_score": cs} for c, cs in ih[d]]
         if frags.get(d) is not None:
             h["highlight"] = {DEFAULT_FIELD: [frags[d]]}
         hits.append(h)
-    return {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
+    resp: dict = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        resp["aggregations"] = _run_aggs(reader, aggs, list(scores))
+    return resp

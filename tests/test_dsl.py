@@ -397,3 +397,41 @@ def test_execute_request_full_body(dsl_index):
     r = execute_request(rd, {"size": 4})
     assert r["hits"]["total"]["value"] == rd.doc_arrays()[1].size
     assert [h["_score"] for h in r["hits"]["hits"]] == [1.0] * 4
+
+
+def test_execute_request_aggs_and_field_sort(spark, dsl_index):
+    from search_replica_spark.query.dsl import execute_request
+
+    rd = dsl_index
+    docs = spark.read.parquet(rd.index_dir + "/docs")
+
+    # terms agg over the matched set == groupBy over the same docs
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "size": 0,
+                             "aggs": {"langs": {"terms": {"field": "lang",
+                                                          "size": 3}}}})
+    assert r["hits"]["hits"] == [] and r["hits"]["total"]["value"] > 0
+    buckets = r["aggregations"]["langs"]["buckets"]
+    assert buckets == sorted(buckets, key=lambda b: (-b["doc_count"], b["key"]))[:3]
+    assert sum(b["doc_count"] for b in buckets) <= r["hits"]["total"]["value"]
+
+    # stats/cardinality over match_all == whole-docs-store truth
+    n_docs = docs.count()
+    r = execute_request(rd, {"size": 0, "aggs": {
+        "dl": {"stats": {"field": "doc_len"}},
+        "nlang": {"cardinality": {"field": "lang"}},
+    }})
+    from pyspark.sql import functions as F
+    truth = docs.agg(F.count("doc_len"), F.sum("doc_len"),
+                     F.countDistinct("lang")).collect()[0]
+    assert r["aggregations"]["dl"]["count"] == truth[0] == n_docs
+    assert r["aggregations"]["dl"]["sum"] == truth[1]
+    assert r["aggregations"]["nlang"]["value"] == truth[2]
+
+    # stored-field sort: doc_len descending, id tie-break; sort value rides
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "sort": [{"doc_len": {"order": "desc"}}],
+                             "size": 5})
+    vals = [h["sort"][0] for h in r["hits"]["hits"]]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 5
+    assert all("_score" in h for h in r["hits"]["hits"])
