@@ -154,6 +154,20 @@ def main():
     queries["bm25_p50_tata_pinned"] = round(lat_pin_t[len(lat_pin_t) // 2], 4)
     queries["bm25_p50_wand_pinned"] = round(lat_pin_w[len(lat_pin_w) // 2], 4)
 
+    # ES Query-DSL shim (r5): the same reference queries as /_search JSON
+    # through execute_dsl — must track bm25_p50_tata_pinned (the walker
+    # adds dict composition only; a drift here means the shim started
+    # doing real work it should delegate)
+    from search_replica_spark.query.dsl import execute_dsl
+
+    lat_dsl = []
+    for qtext, k in zip(qset["query_text"], qset["k"]):
+        t = time.time()
+        execute_dsl(reader, {"match": {"content": qtext}}, k=int(k))
+        lat_dsl.append(time.time() - t)
+    lat_dsl.sort()
+    queries["bm25_p50_dsl_pinned"] = round(lat_dsl[len(lat_dsl) // 2], 4)
+
     # sustained serving throughput on the pinned node: sequential QPS, then
     # 4 FORKED worker processes each scoring its own slice over the
     # copy-on-write-inherited pinned arrays — the process-per-shard shape a

@@ -2287,3 +2287,28 @@ def dsl_frequent_item_sets(spark, sf_dir):
         .orderBy(F.col("support").desc(), "item_a", "item_b")
         .limit(10)
     )
+
+
+# B5req: the /_search REQUEST shim end-to-end — query + aggs in ONE body
+# (execute_request): the terms agg computes over the docs-store rows of
+# the matched set (ids broadcast into the scan, one Spark aggregation),
+# exactly what a reference user's dashboard request does today.
+@register(
+    "dsl_request_terms_agg",
+    f"""WITH tok AS ({_TOK}),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+        SELECT lang AS key, count(*) AS doc_count
+        FROM documents JOIN m USING (doc_id)
+        GROUP BY lang ORDER BY doc_count DESC, key LIMIT 3""",
+)
+def dsl_request_terms_agg(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_request
+
+    idx = _index_dir_for(spark, sf_dir)
+    r = execute_request(
+        _OrigIdReader(spark, idx),
+        {"query": {"match": {"content": "spark"}}, "size": 0,
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}}},
+    )
+    rows = [(b["key"], b["doc_count"]) for b in r["aggregations"]["langs"]["buckets"]]
+    return spark.createDataFrame(rows, "key string, doc_count long")

@@ -809,13 +809,24 @@ def execute_request(reader, body: dict, live=None) -> dict:
         key, kspec = next(iter(key.items()))
         if isinstance(kspec, dict):
             order = str(kspec.get("order", "asc"))
+    # search_after: cursor paging — [last sort value, last _id]; strictly
+    # after the cursor in ES order, so deep pages never re-rank the head
+    after = body.get("search_after")
     sort_vals: dict[int, object] = {}
     if key == "_doc":
-        page = sorted(scores.items())[offset : offset + size]
+        items = sorted(scores.items())
+        if after is not None:
+            cd = int(after[-1])
+            items = [t for t in items if t[0] > cd]
+        page = items[offset : offset + size]
     elif key == "_score":
-        page = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[
-            offset : offset + size
-        ]
+        items = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+        if after is not None:
+            cs, cd = float(after[0]), int(after[-1])
+            items = [
+                t for t in items if t[1] < cs or (t[1] == cs and t[0] > cd)
+            ]
+        page = items[offset : offset + size]
     else:
         # stored-field sort: ONE distributed orderBy + limit over the
         # matched docs (ties break on the id, ES-style) — the plan that

@@ -435,3 +435,24 @@ def test_execute_request_aggs_and_field_sort(spark, dsl_index):
     vals = [h["sort"][0] for h in r["hits"]["hits"]]
     assert vals == sorted(vals, reverse=True) and len(vals) == 5
     assert all("_score" in h for h in r["hits"]["hits"])
+
+
+def test_execute_request_search_after(dsl_index):
+    from search_replica_spark.query.dsl import execute_request
+
+    rd = dsl_index
+    q = {"query": {"match": {"content": "license"}}}
+    # page 1, then cursor from its last hit must yield exactly page 2
+    p1 = execute_request(rd, {**q, "size": 5})["hits"]["hits"]
+    p2_cursor = execute_request(
+        rd, {**q, "size": 5,
+             "search_after": [p1[-1]["_score"], p1[-1]["_id"]]}
+    )["hits"]["hits"]
+    p12 = execute_request(rd, {**q, "size": 10})["hits"]["hits"]
+    assert [h["_id"] for h in p1 + p2_cursor] == [h["_id"] for h in p12]
+    # _doc order cursor
+    d1 = execute_request(rd, {**q, "sort": ["_doc"], "size": 5})["hits"]["hits"]
+    d2 = execute_request(
+        rd, {**q, "sort": ["_doc"], "size": 5, "search_after": [d1[-1]["_id"]]}
+    )["hits"]["hits"]
+    assert d1[-1]["_id"] < d2[0]["_id"]
