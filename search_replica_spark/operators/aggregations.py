@@ -1317,3 +1317,35 @@ def agg_variable_width_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ES moving_percentiles pipeline agg: a percentile over the trailing
+# window of another agg's buckets ({"moving_percentiles": {"buckets_path":
+# "days>_count", "window": 7}}). The window median at 1/2 granularity is
+# emitted ×2 (exact BIGINT); the window runs over n_buckets rows —
+# post-aggregation, O(buckets), same reduce-phase shape as ES.
+@register(
+    "agg_moving_percentiles_week",
+    """WITH h AS (
+         SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_start,
+                count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT bucket_start, doc_count,
+              CAST(2 * quantile_cont(doc_count, 0.5) OVER
+                   (ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS moving_median_x2
+       FROM h ORDER BY bucket_start""",
+)
+def agg_moving_percentiles_week(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("bucket_start")
+    ).agg(F.count("*").alias("doc_count"))
+    h.createOrReplaceTempView("ssr_mp_h")
+    return spark.sql(
+        """SELECT bucket_start, doc_count,
+                  CAST(2 * percentile(doc_count, 0.5) OVER
+                       (ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS moving_median_x2
+           FROM ssr_mp_h ORDER BY bucket_start"""
+    )

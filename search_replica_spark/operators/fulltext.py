@@ -2312,3 +2312,53 @@ def dsl_request_terms_agg(spark, sf_dir):
     )
     rows = [(b["key"], b["doc_count"]) for b in r["aggregations"]["langs"]["buckets"]]
     return spark.createDataFrame(rows, "key string, doc_count long")
+
+
+# B5st: ES significant_text aggregation — the free-text terms OVER-
+# represented in the docs matching a query vs the whole corpus
+# ({"significant_text": {"field": "content"}} under a query). Score is
+# the relative risk (fg%/bg%) in integer MICRO (exact BIGINT arithmetic),
+# the monotone core of ES's JLH/mutual-information family; the query term
+# itself and sub-3-doc foregrounds are excluded (ES's min_doc_count).
+@register(
+    "agg_significant_text",
+    f"""
+WITH tok AS ({_TOK}),
+fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+tot AS (SELECT (SELECT count(*) FROM documents) AS n_total,
+               (SELECT count(*) FROM fg) AS n_fg),
+fgdf AS (SELECT term, count(DISTINCT t.doc_id) AS fg_df
+         FROM tok t JOIN fg USING (doc_id) GROUP BY term),
+bgdf AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok GROUP BY term)
+SELECT term, fg_df,
+       CAST((fg_df * n_total * 1000000) // (bg_df * n_fg) AS BIGINT) AS lift_micro
+FROM fgdf JOIN bgdf USING (term) CROSS JOIN tot
+WHERE term <> 'spark' AND fg_df >= 3
+ORDER BY lift_micro DESC, term LIMIT 10""",
+)
+def agg_significant_text(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    fg = tok.filter(F.col("term") == "spark").select("doc_id").distinct()
+    tot = d.agg(F.count("*").alias("n_total")).crossJoin(
+        fg.agg(F.count("*").alias("n_fg"))
+    )
+    fgdf = (
+        tok.join(F.broadcast(fg), "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("fg_df"))
+    )
+    bgdf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("bg_df"))
+    return (
+        fgdf.join(bgdf, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("term") != "spark") & (F.col("fg_df") >= 3))
+        .select(
+            "term", "fg_df",
+            F.expr(
+                "CAST((fg_df * n_total * 1000000) DIV (bg_df * n_fg) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("term").asc())
+        .limit(10)
+    )

@@ -156,3 +156,45 @@ def geo_bounds_by_type(spark, sf_dir):
         F.min("y").alias("bottom_y"),
         F.max("y").alias("top_y"),
     )
+
+
+# ES geo_line aggregation ({"geo_line": {"point": ..., "sort": {"field":
+# "ts"}}}): per bucket, the track formed by its points in time order,
+# truncated at size (ES default 10000; 5 here keeps the oracle readable).
+# One window rank inside the bucket + one ordered string_agg — the
+# per-bucket sort never goes global, the plan that survives skewed tracks.
+@register(
+    "geo_line_by_type",
+    """WITH g AS (SELECT event_id, event_type, ts,
+                         event_id % 360 AS x, (event_id // 7) % 180 AS y
+                  FROM events),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+             FROM g)
+       SELECT event_type AS key,
+              string_agg(CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR),
+                         '|' ORDER BY rn) AS line
+       FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY key""",
+)
+def geo_line_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    g = _grid(spark, sf_dir).join(
+        load(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = g.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        r.withColumn("pt", F.concat_ws(",", F.col("x"), F.col("y")))
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "pt"))),
+                    lambda s: s["pt"],
+                ),
+                "|",
+            ).alias("line")
+        )
+        .orderBy("key")
+    )
