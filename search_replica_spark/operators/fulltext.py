@@ -2362,3 +2362,39 @@ def agg_significant_text(spark, sf_dir):
         .orderBy(F.col("lift_micro").desc(), F.col("term").asc())
         .limit(10)
     )
+
+
+# B5qs: ES query_string — the full-Lucene mini language ("spark AND (join
+# OR window) AND NOT hash"): AND intersects and sums, OR unions and sums,
+# NOT excludes, AND binds tighter than OR. Leaves are the verified BM25
+# primitives; the oracle gates on EXISTS predicates and sums the matched
+# scoring terms — Lucene's BooleanQuery rewrite, spelled in SQL.
+@register(
+    "dsl_query_string_top10",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE EXISTS (SELECT 1 FROM tok m WHERE m.doc_id = sc.doc_id AND m.term = 'spark')
+  AND (EXISTS (SELECT 1 FROM tok m WHERE m.doc_id = sc.doc_id AND m.term = 'join')
+       OR EXISTS (SELECT 1 FROM tok m WHERE m.doc_id = sc.doc_id AND m.term = 'window'))
+  AND NOT EXISTS (SELECT 1 FROM tok m WHERE m.doc_id = sc.doc_id AND m.term = 'hash')
+ORDER BY s DESC, doc_id LIMIT 10""",
+)
+def dsl_query_string_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _index_dir_for(spark, sf_dir)
+    q = {"query_string": {"query": "spark AND (join OR window) AND NOT hash"}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

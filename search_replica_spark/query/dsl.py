@@ -286,6 +286,12 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
             )
         )
 
+    if kind == "query_string":
+        return query_string_map(
+            reader, body["query"], live,
+            default_operator=str(body.get("default_operator", "or")).lower(),
+        )
+
     if kind == "match_bool_prefix":
         # ES match_bool_prefix: every analyzed term a should term-clause,
         # the LAST one a should prefix-clause (constant score) — the
@@ -831,6 +837,12 @@ def execute_request(reader, body: dict, live=None) -> dict:
         # stored-field sort: ONE distributed orderBy + limit over the
         # matched docs (ties break on the id, ES-style) — the plan that
         # holds when the match set dwarfs the page
+        if after is not None:
+            raise ValueError(
+                "search_after supports _score/_doc sorts; cursor paging on "
+                "a stored field needs the field value in the cursor — use "
+                "from/size there instead"
+            )
         from pyspark.sql import functions as F
 
         mdf = _matched_docs_df(reader, list(scores))
@@ -874,3 +886,149 @@ def execute_request(reader, body: dict, live=None) -> dict:
     if aggs:
         resp["aggregations"] = _run_aggs(reader, aggs, list(scores))
     return resp
+
+
+# --- ES query_string: the full-Lucene mini language ---------------------
+# Grammar (the widely-used core): OR-expr of AND-exprs of unary atoms;
+# atoms are terms, "quoted phrases" and parenthesized sub-expressions;
+# NOT/- negates; bare juxtaposition takes default_operator (ES default
+# OR). AND binds tighter than OR, exactly Lucene's precedence.
+
+def _qs_tokens(text: str):
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append((c, c))
+            i += 1
+        elif c == '"':
+            j = text.find('"', i + 1)
+            j = n if j < 0 else j
+            out.append(("phrase", text[i + 1 : j]))
+            i = j + 1
+        elif c == "-":
+            out.append(("not", "-"))
+            i += 1
+        else:
+            j = i
+            while j < n and not text[j].isspace() and text[j] not in '()"':
+                j += 1
+            w = text[i:j]
+            up = w.upper()
+            if up in ("AND", "&&"):
+                out.append(("and", w))
+            elif up in ("OR", "||"):
+                out.append(("or", w))
+            elif up == "NOT":
+                out.append(("not", w))
+            else:
+                out.append(("term", w))
+            i = j
+    return out
+
+
+def _qs_parse(tokens: list, pos: int, default_op: str):
+    """OR level; returns (node, next_pos). Nodes: ("term", t) /
+    ("phrase", p) / ("and", [children]) / ("or", [children]) /
+    ("not", child)."""
+
+    def atom(p):
+        if p >= len(tokens):
+            raise ValueError("query_string: unexpected end of input")
+        kind, val = tokens[p]
+        if kind == "(":
+            node, p = or_level(p + 1)
+            if p < len(tokens) and tokens[p][0] == ")":
+                p += 1
+            return node, p
+        if kind == "not":
+            node, p = atom(p + 1)
+            return ("not", node), p
+        if kind in ("term", "phrase"):
+            return (kind, val), p + 1
+        raise ValueError(f"query_string: unexpected token {val!r}")
+
+    def and_level(p):
+        node, p = atom(p)
+        parts = [node]
+        while p < len(tokens) and tokens[p][0] not in ("or", ")"):
+            if tokens[p][0] == "and":
+                nxt, p = atom(p + 1)  # explicit AND always binds here
+                parts.append(nxt)
+                continue
+            if default_op == "or":
+                # bare juxtaposition under default OR belongs to the OR level
+                break
+            nxt, p = atom(p)
+            parts.append(nxt)
+        return (parts[0] if len(parts) == 1 else ("and", parts)), p
+
+    def or_level(p):
+        node, p = and_level(p)
+        parts = [node]
+        while p < len(tokens) and tokens[p][0] != ")":
+            if tokens[p][0] == "or":
+                p += 1
+            nxt, p = and_level(p)
+            parts.append(nxt)
+        return (parts[0] if len(parts) == 1 else ("or", parts)), p
+
+    return or_level(pos)
+
+
+def _qs_eval(reader, node, live) -> tuple[dict[int, float], bool]:
+    """Evaluate a query_string AST to (score map, is_negation). Scores
+    compose like Lucene's rewrite to BooleanQuery: AND intersects and
+    sums, OR unions and sums, NOT excludes within its AND group."""
+    kind = node[0]
+    if kind == "term":
+        return _score_map(reader, {"match": {DEFAULT_FIELD: node[1]}}, live), False
+    if kind == "phrase":
+        return (
+            _score_map(reader, {"match_phrase": {DEFAULT_FIELD: node[1]}}, live),
+            False,
+        )
+    if kind == "not":
+        m, neg = _qs_eval(reader, node[1], live)
+        if neg:
+            raise ValueError("query_string: double negation is not supported")
+        return m, True
+    maps = [_qs_eval(reader, c, live) for c in node[1]]
+    if kind == "or":
+        if any(neg for _m, neg in maps):
+            raise ValueError(
+                "query_string: NOT is only supported inside an AND group"
+            )
+        out: dict[int, float] = {}
+        for m, _neg in maps:
+            for d, s in m.items():
+                out[d] = out.get(d, 0.0) + s
+        return out, False
+    pos = [m for m, neg in maps if not neg]
+    negs = [m for m, neg in maps if neg]
+    if not pos:
+        raise ValueError("query_string: a pure-negative AND group matches nothing")
+    cand = set(pos[0])
+    for m in pos[1:]:
+        cand &= set(m)
+    for m in negs:
+        cand -= set(m)
+    return {d: sum(m.get(d, 0.0) for m in pos) for d in cand}, False
+
+
+def query_string_map(reader, text: str, live=None, default_operator: str = "or"):
+    """ES query_string query — Lucene syntax (AND/OR/NOT/-, parentheses,
+    quoted phrases, AND-over-OR precedence) against the analyzed default
+    field.  Leaves are the verified match/match_phrase primitives; every
+    leaf stays one bounded posting fetch, composition is dict algebra on
+    the serving node (reference parity: the query language ES exposes on
+    /_search?q= and {"query_string": ...})."""
+    if live is None:
+        live = getattr(reader, "_live", None)
+    node, p = _qs_parse(_qs_tokens(text), 0, str(default_operator).lower())
+    m, neg = _qs_eval(reader, node, live)
+    if neg:
+        raise ValueError("query_string: a top-level pure negation matches nothing")
+    return m

@@ -456,3 +456,63 @@ def test_execute_request_search_after(dsl_index):
         rd, {**q, "sort": ["_doc"], "size": 5, "search_after": [d1[-1]["_id"]]}
     )["hits"]["hits"]
     assert d1[-1]["_id"] < d2[0]["_id"]
+
+
+def test_dsl_query_string(dsl_index):
+    from search_replica_spark.query.dsl import execute_dsl, _score_map
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    a = _score_map(rd, {"match": {"content": "spark"}}, None)
+    b = _score_map(rd, {"match": {"content": "join"}}, None)
+    c = _score_map(rd, {"match": {"content": "window"}}, None)
+
+    def qs(text, **kw):
+        return dict(execute_dsl(rd, {"query_string": {"query": text, **kw}}, k=n))
+
+    # AND intersects and sums
+    got = qs("spark AND join")
+    assert set(got) == set(a) & set(b)
+    assert all(abs(got[d] - (a[d] + b[d])) < 1e-12 for d in got)
+    # OR unions and sums
+    got = qs("spark OR join")
+    assert set(got) == set(a) | set(b)
+    # NOT excludes within its AND group
+    got = qs("spark AND NOT join")
+    assert set(got) == set(a) - set(b) and all(got[d] == a[d] for d in got)
+    # '-' is NOT
+    assert qs("spark AND -join") == got
+    # precedence: a OR b AND c == a OR (b AND c)
+    got = qs("spark OR join AND window")
+    assert set(got) == set(a) | (set(b) & set(c))
+    # parentheses override
+    got = qs("(spark OR join) AND window")
+    assert set(got) == (set(a) | set(b)) & set(c)
+    # quoted phrase is a leaf
+    ph = _score_map(rd, {"match_phrase": {"content": "apache license"}}, None)
+    got = qs('"apache license" AND spark')
+    assert set(got) == set(ph) & set(a)
+    # default_operator=and: bare juxtaposition conjoins
+    assert set(qs("spark join", default_operator="and")) == set(a) & set(b)
+    # pure negation fails loudly
+    with pytest.raises(ValueError):
+        qs("NOT spark")
+
+
+def test_dsl_query_string_parser_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_replica_spark.query.dsl import _qs_parse, _qs_tokens
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet='ab ()"-ANDORT', max_size=40),
+           st.sampled_from(["or", "and"]))
+    def check(text, op):
+        try:
+            node, _p = _qs_parse(_qs_tokens(text), 0, op)
+        except ValueError:
+            return  # malformed input must fail loudly, never crash
+        assert node is not None
+
+    check()
