@@ -2398,3 +2398,43 @@ def dsl_query_string_top10(spark, sf_dir):
     hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5cf: ES combined_fields through the DSL — one query string ("de")
+# scored across content^2 and lang^0.5 with per-field norms (BM25F);
+# oracle = the boosted per-field contributions summed, same construction
+# as _FNORM_BOOST_SQL with the query analyzed into BOTH fields.
+_COMBINED_FIELDS_SQL = f"""
+WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dlc AS (SELECT doc_id, count(*) AS dl FROM tokc GROUP BY doc_id),
+statc AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlc),
+statl AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+tfc AS (SELECT doc_id, count(*) AS tf FROM tokc WHERE term = 'de' GROUP BY doc_id),
+dfc AS (SELECT count(*) AS df FROM tfc),
+tfl AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+dfl AS (SELECT count(*) AS df FROM tfl),
+contrib AS (
+  SELECT tfc.doc_id,
+         2.0 * ln(1 + (statc.n - dfc.df + 0.5) / (dfc.df + 0.5))
+         * tfc.tf / (tfc.tf + {K1} * (1 - {B} + {B} * dlc.dl / statc.avgdl)) AS s
+  FROM tfc JOIN dlc USING (doc_id) CROSS JOIN dfc CROSS JOIN statc
+  UNION ALL
+  SELECT tfl.doc_id,
+         0.5 * ln(1 + (statl.n - dfl.df + 0.5) / (dfl.df + 0.5))
+         * (1.0 / (1.0 + {K1})) AS s
+  FROM tfl CROSS JOIN dfl CROSS JOIN statl
+),
+sc AS (SELECT doc_id, sum(s) AS s FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@register("dsl_combined_fields_top10", _COMBINED_FIELDS_SQL)
+def dsl_combined_fields_top10(spark, sf_dir):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    idx = _fielded_index_dir_for(spark, sf_dir)
+    q = {"combined_fields": {"query": "de", "fields": ["content^2", "lang^0.5"]}}
+    hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

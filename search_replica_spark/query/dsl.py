@@ -21,7 +21,9 @@ simple_query_string, span_near, intervals (all_of), bool,
 constant_score, dis_max, boosting, terms_set, has_child, has_parent,
 parent_id, more_like_this, pinned, wrapper, function_score
 (field_value_factor), match_bool_prefix, multi_match (best_fields /
-most_fields).  Reference parity: the full surface demo/README.md's queries
+most_fields), combined_fields (BM25F per-field norms + weights),
+query_string (full Lucene mini language: AND/OR/NOT, parentheses,
+phrases).  Reference parity: the full surface demo/README.md's queries
 draw from — including the demo's own canonical request
 (bool/should/has_child/min_children/inner_hits, demo/README.md:18-42)
 verbatim — minus aggregations (those live in operators/aggregations.py
@@ -346,6 +348,26 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
             best = max(vals)
             out[d] = best + tie * (sum(vals) - best)
         return out
+
+    if kind == "combined_fields":
+        # ES combined_fields: one query string scored across several
+        # fields of a fielded build with per-field weights (the BM25F
+        # field-weight model, ES "fields": ["title^2", "body"] syntax) —
+        # routed to the per-field-norms scorer (each clause normalizes by
+        # ITS field's length statistics)
+        text = str(body["query"])
+        boosts: dict[str, float] = {}
+        fields = []
+        for f in body["fields"]:
+            name, _, w = str(f).partition("^")
+            fields.append(name)
+            if w:
+                boosts[name] = float(w)
+        toks = list(Q.tokenize_text(text))
+        terms = [f"{f}:{t}" for f in fields for t in toks]
+        return dict(
+            Q.fielded_norms_topk(reader, terms, k=n, live=live, boosts=boosts or None)
+        )
 
     if kind == "more_like_this":
         fields = body.get("fields", [DEFAULT_FIELD])
