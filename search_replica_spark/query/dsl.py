@@ -157,6 +157,17 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
 
     if kind in ("term", "terms"):
         field, spec = _single(body, kind)
+        if kind == "terms" and isinstance(spec, dict) and "id" in spec:
+            # terms-LOOKUP form: the value list lives in another stored
+            # document ({"terms": {field: {"index": ..., "id": ..,
+            # "path": ...}}}) — one pushed-down GET, then the same
+            # constant-score terms query
+            return _members(
+                Q.terms_lookup(
+                    reader, reader.spark, reader.index_dir, int(spec["id"]),
+                    field=str(spec.get("path", field)), live=live,
+                )
+            )
         values = (
             spec if isinstance(spec, list)
             else [_spec(spec, key="value")[0]] if kind == "term"

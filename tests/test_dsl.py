@@ -516,3 +516,20 @@ def test_dsl_query_string_parser_never_crashes():
         assert node is not None
 
     check()
+
+
+def test_dsl_terms_lookup_form(dsl_index):
+    from search_replica_spark.query.bm25 import terms_lookup
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    _dl, ids = rd.doc_arrays()
+    src = int(ids[0])
+    want = terms_lookup(rd, rd.spark, rd.index_dir, src)
+    got = execute_dsl(
+        rd,
+        {"terms": {"content": {"index": "self", "id": src, "path": "content"}}},
+        k=len(want) + 5,
+    )
+    assert [d for d, _s in got] == want
+    assert all(s == 1.0 for _d, s in got)
