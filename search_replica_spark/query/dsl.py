@@ -299,6 +299,31 @@ def _score_map(reader, q, live, ih=None) -> dict[int, float]:
             )
         )
 
+    if kind == "rank_feature":
+        # ES rank_feature over the engine's built-in per-doc feature
+        # (doc_len — the indexed length every reader already holds; table
+        # feature columns are served by the ft_rank_feature_top10 operator
+        # form): saturation boost·x/(x+pivot), pivot defaulting to the
+        # corpus mean exactly like ES's approximate geometric default
+        if body.get("field") != "doc_len":
+            raise ValueError(
+                "rank_feature serves the built-in doc_len feature here; "
+                "arbitrary feature columns live in the operator form "
+                "(ft_rank_feature_top10)"
+            )
+        pivot = float(body.get("saturation", {}).get("pivot", reader.avg_dl))
+        boost = float(body.get("boost", 1.0))
+        dl, ids = reader.doc_arrays()
+        if live is not None:
+            drop = getattr(live, "drop_dead", None)
+            if drop is not None:
+                keep = np.isin(ids, drop(ids))
+            else:
+                keep = np.asarray(live, bool)
+            dl, ids = dl[keep], ids[keep]
+        sat = boost * (dl / (dl + pivot))
+        return {int(d): float(s) for d, s in zip(ids, sat)}
+
     if kind == "query_string":
         return query_string_map(
             reader, body["query"], live,

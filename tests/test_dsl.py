@@ -533,3 +533,25 @@ def test_dsl_terms_lookup_form(dsl_index):
     )
     assert [d for d, _s in got] == want
     assert all(s == 1.0 for _d, s in got)
+
+
+def test_dsl_rank_feature(dsl_index):
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    dl, ids = rd.doc_arrays()
+    got = dict(execute_dsl(
+        rd, {"rank_feature": {"field": "doc_len",
+                              "saturation": {"pivot": 50.0}, "boost": 2.0}},
+        k=ids.size,
+    ))
+    for i in range(0, ids.size, 37):
+        want = 2.0 * (dl[i] / (dl[i] + 50.0))
+        assert abs(got[int(ids[i])] - want) < 1e-12
+    # inside a bool: filter gates, rank_feature adds its saturation score
+    q = {"bool": {"filter": [{"match": {"content": "license"}}],
+                  "should": [{"rank_feature": {"field": "doc_len",
+                                               "saturation": {"pivot": 50.0}}}]}}
+    hits = dict(execute_dsl(rd, q, k=ids.size))
+    lic = {d for d, _ in execute_dsl(rd, {"match": {"content": "license"}}, k=ids.size)}
+    assert set(hits) == lic and all(0 < s < 1 for s in hits.values())
