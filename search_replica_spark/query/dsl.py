@@ -854,9 +854,23 @@ def execute_request(reader, body: dict, live=None) -> dict:
     already parses."""
     if live is None:
         live = getattr(reader, "_live", None)
-    query = body.get("query", {"match_all": {}})
+    knn = body.get("knn")
+    # a knn-only request returns vector hits alone (ES semantics); with a
+    # query, the union is scored additively (query score + boost·cosine)
+    query = body.get("query") or ({"match_all": {}} if knn is None else None)
     ih: dict = {}
-    scores = _score_map(reader, query, live, ih)
+    scores = _score_map(reader, query, live, ih) if query is not None else {}
+    if knn is not None:
+        from search_replica_spark.query.knn import knn_query
+
+        kk = int(knn.get("k", body.get("size", 10)))
+        khits = knn_query(
+            reader.spark, reader.index_dir, knn["query_vector"], k=kk,
+            num_candidates=int(knn.get("num_candidates", 10 * kk)),
+        )
+        boost = float(knn.get("boost", 1.0))
+        for d, s in khits:
+            scores[d] = scores.get(d, 0.0) + boost * s
 
     min_score = body.get("min_score")
     if min_score is not None:

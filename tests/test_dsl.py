@@ -555,3 +555,40 @@ def test_dsl_rank_feature(dsl_index):
     hits = dict(execute_dsl(rd, q, k=ids.size))
     lic = {d for d, _ in execute_dsl(rd, {"match": {"content": "license"}}, k=ids.size)}
     assert set(hits) == lic and all(0 < s < 1 for s in hits.values())
+
+
+def test_execute_request_knn_section(spark, dsl_index):
+    import numpy as np
+
+    from search_replica_spark.query.dsl import execute_dsl, execute_request
+    from search_replica_spark.query.knn import build_knn_store, knn_query
+
+    rd = dsl_index
+    _dl, ids = rd.doc_arrays()
+    rng = np.random.default_rng(11)
+    vecs = [(int(d), int(i % 4), [float(x) for x in rng.normal(size=8)])
+            for i, d in enumerate(ids[:60])]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<double>"
+    )
+    build_knn_store(spark, emb, rd.index_dir)
+
+    qv = vecs[3][2]
+    # knn-only request: hits == knn_query, ES-shaped
+    r = execute_request(rd, {"knn": {"field": "embedding", "query_vector": qv,
+                                     "k": 5, "num_candidates": 60}})
+    want = knn_query(spark, rd.index_dir, qv, k=5, num_candidates=60)
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == want
+    assert want[0][0] == vecs[3][0] and want[0][1] == 1.0  # self-match tops
+
+    # query + knn: union scored additively (query score + boost * cosine)
+    qpart = dict(execute_dsl(rd, {"match": {"content": "license"}}, k=10**6))
+    r = execute_request(rd, {"query": {"match": {"content": "license"}},
+                             "knn": {"field": "embedding", "query_vector": qv,
+                                     "k": 5, "num_candidates": 60, "boost": 2.0},
+                             "size": 10**6})
+    got = {h["_id"]: h["_score"] for h in r["hits"]["hits"]}
+    kmap = dict(want)
+    assert set(got) == set(qpart) | set(kmap)
+    for d, s in got.items():
+        assert abs(s - (qpart.get(d, 0.0) + 2.0 * kmap.get(d, 0.0))) < 1e-12
