@@ -713,8 +713,19 @@ def _highlight_terms(q) -> list[str]:
             t for g in Q.parse_simple_query_string(body["query"]) for _k, t, _s, neg in g
             if not neg for t in Q.tokenize_text(t)
         ]
-    if kind == "multi_match":
+    if kind in ("multi_match", "combined_fields"):
         return list(Q.tokenize_text(str(body["query"])))
+    if kind == "query_string":
+        node, _p = _qs_parse(_qs_tokens(str(body["query"])), 0, "or")
+
+        def walk(nd):
+            if nd[0] in ("term", "phrase"):
+                return list(Q.tokenize_text(nd[1]))
+            if nd[0] == "not":
+                return []  # negative branches never highlight
+            return [t for c in nd[1] for t in walk(c)]
+
+        return walk(node)
     if kind == "bool":
         out = []
         for sect in ("must", "should", "filter"):
