@@ -165,7 +165,75 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", help="alias name (set/rm)")
     al.add_argument("--target", help="index dir the alias points at (set)")
 
+    an = sub.add_parser(
+        "analyze",
+        help="ES _analyze API: show how text tokenizes (the exact analyzer "
+        "the index build uses); no Spark needed",
+    )
+    an.add_argument("--text", required=True)
+    an.add_argument("--field", default=None,
+                    help="analyze as this field of a fielded mapping "
+                    "(keyword fields pass the value through untokenized)")
+    an.add_argument("--analyzer", default="text", choices=["text", "keyword"])
+
+    mp = sub.add_parser(
+        "mapping",
+        help="ES GET /<index>/_mapping: the index's field mapping derived "
+        "from stats.json (input columns, analyzers, positions/_source "
+        "flags); no Spark needed",
+    )
+    mp.add_argument("--index-dir", required=True)
+
     args = p.parse_args(argv)
+    if args.cmd == "analyze":  # pure Python — the same TOKEN_PATTERN path
+        from search_replica_spark.analysis import tokenize_text
+        from search_replica_spark.analysis.fields import field_query_terms
+
+        if args.field:
+            toks = field_query_terms(args.field, args.text, kind=args.analyzer)
+        elif args.analyzer == "keyword":
+            toks = [args.text]
+        else:
+            toks = tokenize_text(args.text)
+        print(json.dumps({"tokens": [
+            {"token": t, "position": i} for i, t in enumerate(toks)
+        ]}))
+        return 0
+    if args.cmd == "mapping":  # pure file metadata — no Spark session
+        import os
+
+        from search_replica_spark.index.alias import resolve_index
+
+        idx = resolve_index(args.index_dir)
+        with open(os.path.join(idx, "stats.json")) as f:
+            st = json.load(f)
+        fa = st.get("field_analyzers")
+        # a plain build analyzes the default content field; a fielded build
+        # analyzes exactly its mapped fields
+        analyzers = dict(fa) if fa is not None else {"content": "text"}
+        props = {}
+        for col in st.get("input_columns", []):
+            kind = analyzers.get(col)
+            if kind is None:
+                props[col] = {"type": "text", "index": False, "store": True}
+            elif kind == "noindex":
+                props[col] = {"type": "text", "index": False}
+            elif kind.startswith("keyword"):
+                ent = {"type": "keyword"}
+                if ":" in kind:
+                    ent["ignore_above"] = int(kind.split(":", 1)[1])
+                props[col] = ent
+            else:
+                props[col] = {"type": "text"}
+        print(json.dumps({"mappings": {
+            "properties": props,
+            "_source": {"enabled": bool(st.get("store_source"))},
+            "index_options": (
+                "positions" if st.get("store_positions") else "freqs"
+            ),
+            "n_docs": st.get("n_docs"),
+        }}))
+        return 0
     if args.cmd == "alias":  # pure file metadata — no Spark session
         from search_replica_spark.index.alias import aliases, delete_alias, set_alias
 
