@@ -165,6 +165,24 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", help="alias name (set/rm)")
     al.add_argument("--target", help="index dir the alias points at (set)")
 
+    ct = sub.add_parser(
+        "count",
+        help="ES _count API: matching-doc cardinality for a query "
+        "(no scoring, no fetch)",
+    )
+    ct.add_argument("--index", required=True)
+    ct.add_argument("--q", required=True)
+    ct.add_argument("--operator", choices=["or", "and"], default="or")
+
+    tv = sub.add_parser(
+        "termvectors",
+        help="ES _termvectors API: per-document term statistics "
+        "(term → tf + positions) from the stored _source, analyzed with "
+        "the exact build tokenizer",
+    )
+    tv.add_argument("--index-dir", required=True)
+    tv.add_argument("--id", required=True, type=int)
+
     an = sub.add_parser(
         "analyze",
         help="ES _analyze API: show how text tokenizes (the exact analyzer "
@@ -254,10 +272,11 @@ def main(argv: list[str] | None = None) -> int:
     # it (build/restore create their target, so their paths stay literal);
     # commands that may legitimately create a new index resolve an alias if
     # one matches and otherwise keep the literal path
-    if args.cmd in ("query", "get", "metrics", "serve", "update", "snapshot"):
+    if args.cmd in ("query", "get", "metrics", "serve", "update", "snapshot",
+                    "count", "termvectors"):
         from search_replica_spark.index.alias import resolve_index
 
-        attr = "index" if args.cmd == "query" else "index_dir"
+        attr = "index" if args.cmd in ("query", "count") else "index_dir"
         setattr(args, attr, resolve_index(getattr(args, attr)))
     elif args.cmd in ("ingest", "stream", "compact", "replicate"):
         from search_replica_spark.index.alias import resolve_index_or_literal
@@ -293,6 +312,42 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _spark(args)
+
+    if args.cmd == "count":
+        import os
+
+        from search_replica_spark.query.bm25 import IndexReader, count_match
+
+        if os.path.exists(os.path.join(args.index, "generations.json")):
+            from search_replica_spark.streaming.incremental import MultiGenReader
+
+            rd = MultiGenReader(spark, args.index)
+        else:
+            rd = IndexReader(spark, args.index)
+        print(json.dumps({"count": count_match(rd, args.q, mode=args.operator)}))
+        return 0
+    if args.cmd == "termvectors":
+        from search_replica_spark.analysis import tokenize_text
+        from search_replica_spark.streaming.incremental import get_docs
+
+        rows = (
+            get_docs(spark, args.index_dir, [args.id])
+            .select("content")
+            .collect()
+        )
+        if not rows or rows[0][0] is None:
+            print(json.dumps({"_id": args.id, "found": False}))
+            return 0
+        terms: dict = {}
+        for pos, t in enumerate(tokenize_text(rows[0][0])):
+            e = terms.setdefault(t, {"term_freq": 0, "positions": []})
+            e["term_freq"] += 1
+            e["positions"].append(pos)
+        print(json.dumps({
+            "_id": args.id, "found": True,
+            "term_vectors": {"content": {"terms": dict(sorted(terms.items()))}},
+        }))
+        return 0
 
     if args.cmd == "build":
         from search_replica_spark.config import IndexConfig
