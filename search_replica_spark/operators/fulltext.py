@@ -2438,3 +2438,59 @@ def dsl_combined_fields_top10(spark, sf_dir):
     hits = execute_dsl(_OrigIdReader(spark, idx), q, k=10)
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5so: span_near over a span_or clause — Lucene span ALGEBRA: the middle
+# clause matches ANY of its alternatives, the ordered chain / slop /
+# weighting are span_near's spec, and the clause idf uses the UNION df.
+SPAN_OR_FIRST, SPAN_OR_ALTS, SPAN_OR_LAST = "row", ("scan", "filter"), "batch"
+
+
+def _span_or_sql(limit: int) -> str:
+    a, (b1, b2), c = SPAN_OR_FIRST, SPAN_OR_ALTS, SPAN_OR_LAST
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{a}'),
+dfb AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('{b1}', '{b2}')),
+dfc AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{c}'),
+idfsum AS (SELECT ln(1 + (stats.n - dfa.df + 0.5) / (dfa.df + 0.5))
+                + ln(1 + (stats.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                + ln(1 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) AS v
+           FROM dfa CROSS JOIN dfb CROSS JOIN dfc CROSS JOIN stats),
+a AS (SELECT doc_id, ord FROM tok WHERE term = '{a}'),
+b AS (SELECT doc_id, ord FROM tok WHERE term IN ('{b1}', '{b2}')),
+c AS (SELECT doc_id, ord FROM tok WHERE term = '{c}'),
+s1 AS (SELECT a.doc_id, a.ord AS p0, min(b.ord) AS p1
+       FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord > a.ord
+       GROUP BY a.doc_id, a.ord),
+s2 AS (SELECT s1.doc_id, s1.p0, min(c.ord) AS p2
+       FROM s1 JOIN c ON c.doc_id = s1.doc_id AND c.ord > s1.p1
+       GROUP BY s1.doc_id, s1.p0),
+ptf AS (SELECT doc_id, sum(1.0 / (p2 - p0 - 2 + 1)) AS ptf FROM s2
+        WHERE p2 - p0 - 2 <= {SPAN_SLOP} GROUP BY doc_id)
+SELECT ptf.doc_id,
+       round(idfsum.v * ptf.ptf
+             / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+ORDER BY idfsum.v * ptf.ptf / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         ptf.doc_id
+LIMIT {limit}
+"""
+
+
+@register("ft_span_near_or_top10", _span_or_sql(10))
+def ft_span_near_or_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import span_near_or_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = span_near_or_topk(
+        _OrigIdReader(spark, idx),
+        [[SPAN_OR_FIRST], list(SPAN_OR_ALTS), [SPAN_OR_LAST]],
+        10, slop=SPAN_SLOP,
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

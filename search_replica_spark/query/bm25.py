@@ -847,50 +847,88 @@ def span_near_topk(
     ``in_order=false`` is intentionally unsupported: unordered span
     enumeration is iterator-order-defined in Lucene and has no clean
     declarative twin. Requires IndexConfig(store_positions=True)."""
-    r = reader
-    if live is None:
-        live = getattr(r, "_live", None)
     qterms = [t for q in terms for t in tokenize_text(q)]
     if len(qterms) < 2:
         return []
-    uniq = sorted(set(qterms))
-    per_term = _fetch_positional(r, uniq)
-    if per_term is None or any(t not in per_term for t in qterms):
+    return span_near_or_topk(reader, [[t] for t in qterms], k, slop=slop, live=live)
+
+
+def span_near_or_topk(
+    reader: IndexReader,
+    clauses: list[list[str]],
+    k: int = 10,
+    slop: int = 0,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """``span_near`` over ``span_or`` clauses — Lucene's span ALGEBRA: each
+    clause is a list of alternative terms, a clause's occurrences are the
+    UNION of its alternatives' positions, and the ordered greedy chain /
+    slop / weighting are exactly ``span_near_topk``'s spec (which is the
+    single-alternative special case and delegates here — the harness twin
+    re-proves the delegation bit-exact). A clause's idf uses its UNION
+    document frequency (docs matching ANY alternative), the SQL-clean
+    analogue of Lucene's SpanOr df. Requires store_positions=True."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    groups = [sorted({t for alt in cl for t in tokenize_text(alt)}) for cl in clauses]
+    if len(groups) < 2 or any(not g for g in groups):
         return []
+    uniq = sorted({t for g in groups for t in g})
+    per_term = _fetch_positional(r, uniq)
+    if per_term is None:
+        return []
+    # candidates: docs where EVERY clause has at least one alternative
+    clause_docs = []
+    for g in groups:
+        arrs = [per_term[t][0] for t in g if t in per_term]
+        if not arrs:
+            return []  # a whole clause is absent from the corpus
+        clause_docs.append(
+            arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        )
     doc_len, doc_ids = r.doc_arrays()
-    cand = per_term[uniq[0]][0]
-    for t in uniq[1:]:
-        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    cand = clause_docs[0]
+    for cd in clause_docs[1:]:
+        cand = np.intersect1d(cand, cd, assume_unique=True)
     if live is not None and cand.size:
         cand = cand[live[cand]]
     if cand.size == 0:
         return []
-    idf_sum = sum(r.idf(len(per_term[t][0])) for t in qterms)
+    idf_sum = sum(r.idf(cd.size) for cd in clause_docs)
 
     # Same shifted-flat-array trick as phrase_topk: per-candidate positions
     # shifted by doc_rank·BIG keep the concatenation globally sorted, so the
-    # whole greedy chain is ONE searchsorted per query term — a neighbor
-    # from an adjacent doc lands ≥ BIG away and can never pass the slop
-    # gate. A +inf sentinel absorbs chains that run off the end.
+    # whole greedy chain is ONE searchsorted per clause — a neighbor from an
+    # adjacent doc lands ≥ BIG away and can never pass the slop gate. A
+    # clause's union is the sorted merge of its alternatives' shifted
+    # arrays. A +inf sentinel absorbs chains that run off the end.
     max_pos = max(int(p.max()) if p.size else 0 for _, _, p in per_term.values())
-    big = np.int64(2 * (max_pos + len(qterms)) + slop + 2)
-    base_pos, base_rank, _ = _gather_cand_positions(per_term, qterms[0], cand)
-    if base_pos.size == 0:
+    big = np.int64(2 * (max_pos + len(groups)) + slop + 2)
+
+    def shifted(g: list[str]) -> np.ndarray:
+        parts = []
+        for t in g:
+            if t in per_term:
+                tpos, trank, _ = _gather_cand_positions(per_term, t, cand)
+                parts.append(tpos + trank * big)
+        if len(parts) == 1:
+            return parts[0]  # already globally sorted (doc-major)
+        return np.sort(np.concatenate(parts))
+
+    base_sh = shifted(groups[0])
+    if base_sh.size == 0:
         return []
-    cur = base_pos + base_rank * big
-    base_sh = cur
+    base_rank = (base_sh // big).astype(np.int64)
+    cur = base_sh
     sentinel = np.int64(np.iinfo(np.int64).max // 2)
-    shifted_cache: dict[str, np.ndarray] = {}
-    for t in qterms[1:]:
-        if t not in shifted_cache:
-            tpos, trank, _ = _gather_cand_positions(per_term, t, cand)
-            shifted_cache[t] = np.append(tpos + trank * big, sentinel)
-        tp = shifted_cache[t]
+    for g in groups[1:]:
+        tp = np.append(shifted(g), sentinel)
         # strictly-after: side='right' lands on the first element > cur.
         # A chain already parked on the sentinel would index past the end —
         # clip back onto the sentinel slot (width stays ≫ slop).
         cur = tp[np.minimum(np.searchsorted(tp, cur, side="right"), tp.size - 1)]
-    width = cur - base_sh - np.int64(len(qterms) - 1)
+    width = cur - base_sh - np.int64(len(groups) - 1)
     ok = width <= slop  # incomplete chains hit the sentinel ⇒ width ≫ slop
     if not ok.any():
         return []

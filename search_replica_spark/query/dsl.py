@@ -280,20 +280,51 @@ def _score_map(reader, q, live, ih=None, leaf_k=None) -> dict[int, float]:
         )
 
     if kind == "span_near":
-        terms = []
+        groups: list[list[str]] = []
         for cl in body["clauses"]:
             _k, inner = _single(cl, "span_near clause")
-            if _k != "span_term":
-                raise ValueError("span_near clauses must be span_term")
-            field, value = _single(inner, "span_term")
-            _text_field(field, "span_term")
-            terms.append(str(value))
+            if _k == "span_term":
+                field, value = _single(inner, "span_term")
+                _text_field(field, "span_term")
+                groups.append([str(value)])
+            elif _k == "span_or":
+                alts = []
+                for sub in inner["clauses"]:
+                    _k2, inner2 = _single(sub, "span_or clause")
+                    if _k2 != "span_term":
+                        raise ValueError("span_or clauses must be span_term")
+                    field, value = _single(inner2, "span_term")
+                    _text_field(field, "span_term")
+                    alts.append(str(value))
+                groups.append(alts)
+            else:
+                raise ValueError("span_near clauses must be span_term or span_or")
         slop = int(body.get("slop", 0))
         if body.get("in_order", True):
-            return dict(Q.span_near_topk(reader, terms, n, slop=slop, live=live))
+            return dict(
+                Q.span_near_or_topk(reader, groups, n, slop=slop, live=live)
+            )
+        if any(len(g) > 1 for g in groups):
+            raise ValueError("in_order=false span_near does not support span_or")
         return _members(
-            Q.intervals_match(reader, " ".join(terms), max_gaps=slop, k=None, live=live)
+            Q.intervals_match(
+                reader, " ".join(g[0] for g in groups), max_gaps=slop, k=None,
+                live=live,
+            )
         )
+
+    if kind == "span_or":
+        # standalone span_or: constant-score union of the alternatives'
+        # docs (the span structure only matters inside span_near/span_first)
+        terms = []
+        for sub in body["clauses"]:
+            _k2, inner2 = _single(sub, "span_or clause")
+            if _k2 != "span_term":
+                raise ValueError("span_or clauses must be span_term")
+            field, value = _single(inner2, "span_term")
+            _text_field(field, "span_term")
+            terms.append(str(value))
+        return _members(Q._expansion_docs(reader, sorted(set(terms)), live))
 
     if kind == "intervals":
         field, spec = _single(body, kind)

@@ -592,3 +592,33 @@ def test_execute_request_knn_section(spark, dsl_index):
     assert set(got) == set(qpart) | set(kmap)
     for d, s in got.items():
         assert abs(s - (qpart.get(d, 0.0) + 2.0 * kmap.get(d, 0.0))) < 1e-12
+
+
+def test_dsl_span_or(dsl_index):
+    from search_replica_spark.query.bm25 import span_near_or_topk, _expansion_docs
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    q = {"span_near": {
+        "clauses": [
+            {"span_term": {"content": "apache"}},
+            {"span_or": {"clauses": [{"span_term": {"content": "license"}},
+                                     {"span_term": {"content": "version"}}]}},
+        ],
+        "slop": 2, "in_order": True,
+    }}
+    got = execute_dsl(rd, q, k=10)
+    want = span_near_or_topk(rd, [["apache"], ["license", "version"]], 10, slop=2)
+    assert got == want and got, "span_or chain should match and be non-empty"
+    # the union clause matches at least as much as either single alternative
+    single = span_near_or_topk(rd, [["apache"], ["license"]], n, slop=2)
+    union = span_near_or_topk(rd, [["apache"], ["license", "version"]], n, slop=2)
+    assert {d for d, _ in single} <= {d for d, _ in union}
+    # standalone span_or == constant-score union
+    got = execute_dsl(
+        rd, {"span_or": {"clauses": [{"span_term": {"content": "license"}},
+                                     {"span_term": {"content": "version"}}]}}, k=n
+    )
+    ids = _expansion_docs(rd, ["license", "version"], None)
+    assert [d for d, _ in got] == ids
