@@ -2494,3 +2494,49 @@ def ft_span_near_or_top10(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5sn: ES span_not — occurrences of the include term with NO exclude
+# occurrence within [pre, post] positions ("a but not near b"); tf = the
+# surviving occurrences, scored with the plain BM25 term formula over the
+# include term's df (exclusion changes tf, never the stats — Lucene
+# does the same).
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_PRE, SPAN_NOT_POST = "table", "hash", 1, 2
+
+
+@register(
+    "ft_span_not_top10",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfi AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{SPAN_NOT_INC}'),
+a AS (SELECT doc_id, ord FROM tok WHERE term = '{SPAN_NOT_INC}'),
+b AS (SELECT doc_id, ord FROM tok WHERE term = '{SPAN_NOT_EXC}'),
+surv AS (SELECT a.doc_id, count(*) AS tf FROM a
+         WHERE NOT EXISTS (SELECT 1 FROM b
+                           WHERE b.doc_id = a.doc_id
+                             AND b.ord BETWEEN a.ord - {SPAN_NOT_PRE}
+                                           AND a.ord + {SPAN_NOT_POST})
+         GROUP BY a.doc_id)
+SELECT surv.doc_id,
+       round(ln(1 + (stats.n - dfi.df + 0.5) / (dfi.df + 0.5)) * surv.tf
+             / (surv.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)), 6) AS score
+FROM surv JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfi
+ORDER BY ln(1 + (stats.n - dfi.df + 0.5) / (dfi.df + 0.5)) * surv.tf
+         / (surv.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) DESC,
+         surv.doc_id
+LIMIT 10""",
+)
+def ft_span_not_top10(spark, sf_dir):
+    from search_replica_spark.query.bm25 import span_not_topk
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    hits = span_not_topk(
+        _OrigIdReader(spark, idx), SPAN_NOT_INC, SPAN_NOT_EXC,
+        pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, k=10,
+    )
+    rows = [(d, round(s, 6)) for d, s in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -988,6 +988,79 @@ def span_first_topk(
     return _select_topk(scores, reader.doc_arrays()[1][idxs], k)
 
 
+def span_not_topk(
+    reader: IndexReader,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    live: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``span_not``: occurrences of ``include`` that have NO occurrence
+    of ``exclude`` within ``pre`` positions before / ``post`` after (the
+    "a but not near b" query). tf = surviving occurrences, scored with the
+    ordinary BM25 term formula over include's df — the same scoring family
+    as span_first. One positional fetch for both terms, the exclusion test
+    is one searchsorted over exclude's shifted positions (no per-
+    occurrence loop). Requires store_positions=True."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    ti = tokenize_text(include)
+    te = tokenize_text(exclude)
+    if len(ti) != 1 or len(te) != 1:
+        raise ValueError("span_not takes single-term include/exclude clauses")
+    ti, te = ti[0], te[0]
+    per_term = _fetch_positional(r, sorted({ti, te}))
+    if per_term is None or ti not in per_term:
+        return []
+    docs_i, counts_i, flat_i = per_term[ti]
+    doc_len, doc_ids = r.doc_arrays()
+    idf = r.idf(len(docs_i))
+    if te not in per_term:
+        surviving = counts_i.copy()  # nothing to exclude anywhere
+        docs = docs_i
+    else:
+        # shifted flat arrays (phrase_topk's trick): include positions and
+        # exclude positions live on the same doc-major number line, so ONE
+        # searchsorted answers "is there an exclude in [p-pre, p+post]?"
+        max_pos = int(
+            max(flat_i.max() if flat_i.size else 0,
+                per_term[te][2].max() if per_term[te][2].size else 0)
+        )
+        big = np.int64(2 * (max_pos + pre + post + 2))
+        rank_i = np.repeat(np.arange(docs_i.size, dtype=np.int64), counts_i)
+        inc_sh = flat_i.astype(np.int64) + rank_i * big
+        docs_e, counts_e, flat_e = per_term[te]
+        # exclude ranks must live in INCLUDE's doc-rank space
+        pos_in_i = np.searchsorted(docs_i, docs_e)
+        pos_in_i = np.minimum(pos_in_i, docs_i.size - 1)
+        shared = docs_i[pos_in_i] == docs_e
+        rank_e = np.repeat(pos_in_i, counts_e)
+        keep_e = np.repeat(shared, counts_e)
+        exc_sh = np.sort(flat_e.astype(np.int64)[keep_e] + rank_e[keep_e] * big)
+        lo = inc_sh - np.int64(pre)
+        hi = inc_sh + np.int64(post)
+        # an exclude exists in [lo, hi] iff the insertion points differ
+        bad = np.searchsorted(exc_sh, lo, side="left") != np.searchsorted(
+            exc_sh, hi, side="right"
+        )
+        surviving = np.zeros(docs_i.size, dtype=np.int64)
+        np.add.at(surviving, rank_i, (~bad).astype(np.int64))
+        docs = docs_i
+    mask = surviving > 0
+    if live is not None:
+        mask &= live[docs]
+    idxs = docs[mask]
+    if idxs.size == 0:
+        return []
+    tf = surviving[mask].astype(np.float64)
+    dl = doc_len[idxs]
+    scores = idf * tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl))
+    return _select_topk(scores, doc_ids[idxs], k)
+
+
 def _min_cover_width(lists: list[np.ndarray]) -> int:
     """Smallest ``max - min`` over one position drawn from each sorted
     list — the classic k-way-merge minimal-cover sweep (advance the

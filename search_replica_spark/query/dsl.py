@@ -313,6 +313,23 @@ def _score_map(reader, q, live, ih=None, leaf_k=None) -> dict[int, float]:
             )
         )
 
+    if kind == "span_not":
+        vals = []
+        for side in ("include", "exclude"):
+            _k2, inner2 = _single(body[side], f"span_not {side}")
+            if _k2 != "span_term":
+                raise ValueError("span_not include/exclude must be span_term")
+            field, value = _single(inner2, "span_term")
+            _text_field(field, "span_term")
+            vals.append(str(value))
+        return dict(
+            Q.span_not_topk(
+                reader, vals[0], vals[1],
+                pre=int(body.get("pre", 0)), post=int(body.get("post", 0)),
+                k=n, live=live,
+            )
+        )
+
     if kind == "span_or":
         # standalone span_or: constant-score union of the alternatives'
         # docs (the span structure only matters inside span_near/span_first)

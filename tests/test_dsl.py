@@ -622,3 +622,28 @@ def test_dsl_span_or(dsl_index):
     )
     ids = _expansion_docs(rd, ["license", "version"], None)
     assert [d for d, _ in got] == ids
+
+
+def test_dsl_span_not(dsl_index):
+    from search_replica_spark.query.bm25 import span_not_topk
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    # pair chosen so exclusion BITES on this corpus: 1 of 8 matching docs
+    # has every include occurrence inside the exclude window
+    inc, exc, pre, post = "netbo", "eltra", 2, 1
+    q = {"span_not": {"include": {"span_term": {"content": inc}},
+                      "exclude": {"span_term": {"content": exc}},
+                      "pre": pre, "post": post}}
+    got = execute_dsl(rd, q, k=n)
+    want = span_not_topk(rd, inc, exc, pre=pre, post=post, k=n)
+    assert got == want
+    # docs where EVERY include occurrence sits in an exclude window drop
+    # relative to the plain term query; the rest survive
+    plain = {d for d, _ in execute_dsl(rd, {"match": {"content": inc}}, k=n)}
+    kept = {d for d, _ in got}
+    assert kept < plain and kept
+    # a never-present exclude term keeps every occurrence (plain-term tf)
+    all_kept = span_not_topk(rd, inc, "zzzznotaterm", k=n)
+    assert {d for d, _ in all_kept} == plain
