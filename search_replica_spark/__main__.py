@@ -165,6 +165,16 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", help="alias name (set/rm)")
     al.add_argument("--target", help="index dir the alias points at (set)")
 
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="ES _delete_by_query: tombstone every live doc matching a "
+        "query (plain match text, or --dsl for an ES request JSON); "
+        "commits one delete-only generation",
+    )
+    dq.add_argument("--index-dir", required=True)
+    dq.add_argument("--q", required=True)
+    dq.add_argument("--dsl", action="store_true")
+
     ct = sub.add_parser(
         "count",
         help="ES _count API: matching-doc cardinality for a query "
@@ -273,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
     # commands that may legitimately create a new index resolve an alias if
     # one matches and otherwise keep the literal path
     if args.cmd in ("query", "get", "metrics", "serve", "update", "snapshot",
-                    "count", "termvectors"):
+                    "count", "termvectors", "delete-by-query"):
         from search_replica_spark.index.alias import resolve_index
 
         attr = "index" if args.cmd in ("query", "count") else "index_dir"
@@ -313,6 +323,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _spark(args)
 
+    if args.cmd == "delete-by-query":
+        from search_replica_spark.streaming.incremental import delete_by_query
+
+        q = json.loads(args.q) if args.dsl else args.q
+        print(json.dumps(delete_by_query(spark, args.index_dir, q)))
+        return 0
     if args.cmd == "count":
         import os
 

@@ -1903,3 +1903,47 @@ __all__ = [
     "tokenize_text",
     "write_metrics",
 ]
+
+
+def delete_by_query(spark, index_dir: str, query, cfg: IndexConfig | None = None) -> dict:
+    """ES ``_delete_by_query``: tombstone every LIVE document matching the
+    query. ``query`` is a plain match string or an ES Query-DSL dict (the
+    body a reference user posts today — routed through execute_dsl).
+
+    Shape: matching runs on the serving reader (MultiGenReader for
+    generational indexes — its liveness already hides earlier deletes);
+    the matched ids resolve to their (repo, path) keys with ONE pushed-
+    down GET over the stored ``_source`` (requires a store_source build,
+    exactly like ES's _delete_by_query needs _source to identify docs),
+    and the keys commit as one delete-only tombstone generation — the
+    same path streamed CDC deletes take, so compaction/merge/metrics all
+    treat them identically."""
+    from pyspark.sql import functions as F
+
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+
+    # a plain build becomes generation 0 first (idempotent — the same
+    # adoption every ingest entry point performs), so matching, the GET,
+    # and the tombstone all speak the generational layout
+    _adopt_plain_index(index_dir)
+    reader = MultiGenReader(spark, index_dir)
+    n = int(reader.doc_arrays()[0].size) or 1
+    if isinstance(query, dict):
+        from search_replica_spark.query.dsl import execute_dsl
+
+        hits = execute_dsl(reader, query, k=n)
+    else:
+        hits = TermAtATimeScorer(reader).score(
+            str(query), n, live=getattr(reader, "_live", None)
+        )
+    ids = [int(d) for d, _s in hits]
+    if not ids:
+        return {"deleted": 0, "n_docs": 0, "total_tokens": 0}
+    keys = (
+        get_docs(spark, index_dir, ids)
+        .select("repo", "path")
+        .withColumn(CHANGE_COL, F.lit("delete"))
+    )
+    st = add_generation(spark, keys, index_dir, cfg or IndexConfig())
+    st["deleted"] = len(ids)
+    return st

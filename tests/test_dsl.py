@@ -647,3 +647,40 @@ def test_dsl_span_not(dsl_index):
     # a never-present exclude term keeps every occurrence (plain-term tf)
     all_kept = span_not_topk(rd, inc, "zzzznotaterm", k=n)
     assert {d for d, _ in all_kept} == plain
+
+
+def test_delete_by_query(spark, tmp_path):
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+    from search_replica_spark.query.dsl import execute_dsl
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        delete_by_query,
+    )
+
+    out = str(tmp_path / "dbqidx")
+    build_index(
+        spark, spark.createDataFrame(generate_corpus(120)), out,
+        IndexConfig(shuffle_partitions=4, store_source=True),
+    )
+    from search_replica_spark.query.bm25 import IndexReader
+
+    before = {d for d, _ in TermAtATimeScorer(IndexReader(spark, out)).score("license", 10**6)}
+    assert before
+    st = delete_by_query(spark, out, "license")
+    assert st["deleted"] == len(before)
+    rd = MultiGenReader(spark, out)
+    live = getattr(rd, "_live", None)
+    # the deleted docs no longer match anything; the rest still do
+    assert TermAtATimeScorer(rd).score("license", 10, live=live) == []
+    rest = execute_dsl(rd, {"match_all": {}}, k=10**6)
+    assert before.isdisjoint({d for d, _ in rest}) and rest
+    # DSL-form delete: match_all removes every remaining live doc
+    st2 = delete_by_query(spark, out, {"match_all": {}})
+    assert st2["deleted"] == len(rest)
+    rd2 = MultiGenReader(spark, out)
+    assert execute_dsl(rd2, {"match_all": {}}, k=10) == []
+    # idempotent shape: nothing left to delete
+    assert delete_by_query(spark, out, "license")["deleted"] == 0
