@@ -1947,3 +1947,58 @@ def delete_by_query(spark, index_dir: str, query, cfg: IndexConfig | None = None
     st = add_generation(spark, keys, index_dir, cfg or IndexConfig())
     st["deleted"] = len(ids)
     return st
+
+
+def update_by_query(
+    spark, index_dir: str, query, set_exprs: dict, cfg: IndexConfig | None = None
+) -> dict:
+    """ES ``_update_by_query`` with a script: the docs matching a SEARCH
+    query (match text or ES DSL dict) get ``set_exprs`` applied and
+    re-index as a superseding generation. The match resolves to engine
+    doc_ids on the serving reader, then the whole update runs as
+    ``scripted_update``'s one distributed Catalyst plan gated on
+    ``doc_id IN (matched)`` — no per-doc loop."""
+    from search_replica_spark.query.bm25 import TermAtATimeScorer
+
+    _adopt_plain_index(index_dir)
+    reader = MultiGenReader(spark, index_dir)
+    n = int(reader.doc_arrays()[0].size) or 1
+    if isinstance(query, dict):
+        from search_replica_spark.query.dsl import execute_dsl
+
+        hits = execute_dsl(reader, query, k=n)
+    else:
+        hits = TermAtATimeScorer(reader).score(
+            str(query), n, live=getattr(reader, "_live", None)
+        )
+    ids = [int(d) for d, _s in hits]
+    if not ids:
+        return {"updated": 0, "n_docs": 0, "total_tokens": 0}
+    where = f"doc_id IN ({', '.join(str(i) for i in ids)})"
+    st = scripted_update(spark, index_dir, where, set_exprs, cfg)
+    st["updated"] = len(ids)
+    return st
+
+
+def reindex(
+    spark,
+    src_index: str,
+    dest_index: str,
+    where: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """ES ``_reindex``: build a NEW index from another index's live stored
+    ``_source`` (optionally filtered) — the settings-change / subset-copy
+    workflow ES pairs with aliases for zero-downtime swaps. One Catalyst
+    plan: source_view (last-wins + tombstones applied) → optional pushed-
+    down filter → the standard staged build into ``dest_index``. ``cfg``
+    sets the DESTINATION's creation-time flags (defaults to the source's
+    own derived config, ES's copy-settings behavior)."""
+    from search_replica_spark.index.build import build_index
+
+    _adopt_plain_index(src_index)
+    cfg = derive_index_cfg(src_index, cfg or IndexConfig())
+    docs = source_view(spark, src_index).select(*cfg.input_columns)
+    if where:
+        docs = docs.filter(where)
+    return build_index(spark, docs, dest_index, cfg)

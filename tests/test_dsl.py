@@ -684,3 +684,41 @@ def test_delete_by_query(spark, tmp_path):
     assert execute_dsl(rd2, {"match_all": {}}, k=10) == []
     # idempotent shape: nothing left to delete
     assert delete_by_query(spark, out, "license")["deleted"] == 0
+
+
+def test_update_by_query_and_reindex(spark, tmp_path):
+    from search_replica_spark.config import IndexConfig
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.index.build import build_index
+    from search_replica_spark.query.bm25 import IndexReader, TermAtATimeScorer
+    from search_replica_spark.streaming.incremental import (
+        MultiGenReader,
+        reindex,
+        source_view,
+        update_by_query,
+    )
+
+    out = str(tmp_path / "ubqidx")
+    build_index(
+        spark, spark.createDataFrame(generate_corpus(120)), out,
+        IndexConfig(shuffle_partitions=4, store_source=True),
+    )
+    matched = {d for d, _ in TermAtATimeScorer(IndexReader(spark, out)).score(
+        "license", 10**6)}
+    st = update_by_query(
+        spark, out, "license", {"content": "concat(content, ' zzmarker')"}
+    )
+    assert st["updated"] == len(matched) > 0
+    rd = MultiGenReader(spark, out)
+    marked = {d for d, _ in TermAtATimeScorer(rd).score("zzmarker", 10**6,
+                                                        live=rd._live)}
+    assert marked == matched  # exactly the matched docs gained the marker
+
+    # reindex: filtered copy carries the marker docs only, plain index
+    dest = str(tmp_path / "reidx")
+    st2 = reindex(spark, out, dest, where="content LIKE '%zzmarker%'")
+    assert st2["n_docs"] == len(matched)
+    hits = TermAtATimeScorer(IndexReader(spark, dest)).score("zzmarker", 10**6)
+    assert {d for d, _ in hits} == matched
+    # destination inherits the source's creation-time flags (store_source)
+    assert source_view(spark, dest).count() == len(matched)
