@@ -165,6 +165,16 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", help="alias name (set/rm)")
     al.add_argument("--target", help="index dir the alias points at (set)")
 
+    ri = sub.add_parser(
+        "reindex",
+        help="ES _reindex: build a NEW index from another index's live "
+        "stored _source (optional --where filter); destination inherits "
+        "the source's creation-time flags",
+    )
+    ri.add_argument("--src", required=True)
+    ri.add_argument("--dest", required=True)
+    ri.add_argument("--where", default=None, help="SQL predicate over the doc columns")
+
     dq = sub.add_parser(
         "delete-by-query",
         help="ES _delete_by_query: tombstone every live doc matching a "
@@ -323,6 +333,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _spark(args)
 
+    if args.cmd == "reindex":
+        from search_replica_spark.index.alias import resolve_index
+        from search_replica_spark.streaming.incremental import reindex
+
+        st = reindex(spark, resolve_index(args.src), args.dest, where=args.where)
+        print(json.dumps({k: st[k] for k in ("n_docs", "total_tokens") if k in st}))
+        return 0
     if args.cmd == "delete-by-query":
         from search_replica_spark.streaming.incremental import delete_by_query
 
