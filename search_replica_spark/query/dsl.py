@@ -1035,6 +1035,14 @@ def execute_request(reader, body: dict, live=None) -> dict:
         if frags.get(d) is not None:
             h["highlight"] = {DEFAULT_FIELD: [frags[d]]}
         hits.append(h)
+    if body.get("explain") and query is not None:
+        # ES "explain": true — the per-term BM25 breakdown for each hit,
+        # computed by the bit-exact explain_score over the query's
+        # positive analyzed terms
+        qtext = " ".join(_highlight_terms(query))
+        if qtext:
+            for h in hits:
+                h["_explanation"] = Q.explain_score(reader, qtext, doc_id=h["_id"])
     resp: dict = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:

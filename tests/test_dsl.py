@@ -722,3 +722,18 @@ def test_update_by_query_and_reindex(spark, tmp_path):
     assert {d for d, _ in hits} == matched
     # destination inherits the source's creation-time flags (store_source)
     assert source_view(spark, dest).count() == len(matched)
+
+
+def test_execute_request_explain(dsl_index):
+    from search_replica_spark.query.dsl import execute_request
+
+    rd = dsl_index
+    r = execute_request(rd, {"query": {"match": {"content": "apache license"}},
+                             "size": 3, "explain": True})
+    assert r["hits"]["hits"]
+    for h in r["hits"]["hits"]:
+        ex = h["_explanation"]
+        assert ex, "every hit must decompose into term contributions"
+        # the per-term contributions (each rounded 6dp) sum to the score
+        assert abs(sum(e["contribution"] for e in ex) - h["_score"]) < 1e-5
+        assert {e["term"] for e in ex} <= {"apache", "license"}
