@@ -15,9 +15,10 @@ plain dicts on the serving node over O(matching docs) — the same glue
 layer ``simple_query_string`` and ``msearch`` already use, NOT a Spark
 job per clause.
 
-Supported kinds (33): match, match_phrase, match_phrase_prefix, term,
+Supported kinds (35): match, match_phrase, match_phrase_prefix, term,
 terms (incl. the terms-LOOKUP form), ids, range, prefix, fuzzy,
-wildcard, regexp, exists, match_all, simple_query_string, span_near,
+wildcard, regexp, exists, match_all, simple_query_string, span_near
+(span_term / span_or clauses), span_or, span_not,
 intervals (all_of), bool, constant_score, dis_max, boosting, terms_set,
 has_child, has_parent, parent_id, more_like_this, pinned, wrapper,
 function_score (field_value_factor), match_bool_prefix, multi_match
@@ -700,12 +701,15 @@ def _stored_content(reader, doc_id: int) -> str:
     ``store_source=True`` build, exactly like ES requires ``_source`` for
     MLT by id.  The id is resolved in the READER's id space (doc_arrays)
     to its slot, so readers that remap ids still fetch the right row;
-    generational readers GET through source_view (last-wins) instead."""
+    generational readers GET through source_view (last-wins) instead.
+    The branch keys on the READER (live_gens), never the directory: a
+    plain reader over an index that later gained generations (adoption by
+    reindex/ingest) must keep resolving in ITS OWN id space."""
     import os
 
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+    if hasattr(reader, "live_gens"):
         from search_replica_spark.streaming.incremental import get_docs
 
         rows = (
@@ -740,7 +744,7 @@ def _stored_contents(reader, ids: list[int]) -> dict[int, str]:
 
     if not ids:
         return {}
-    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+    if hasattr(reader, "live_gens"):
         from search_replica_spark.streaming.incremental import get_docs
 
         rows = (
@@ -828,7 +832,7 @@ def _matched_docs_df(reader, ids: list[int]):
     from pyspark.sql import functions as F
 
     spark = reader.spark
-    if os.path.exists(os.path.join(reader.index_dir, "generations.json")):
+    if hasattr(reader, "live_gens"):
         from search_replica_spark.streaming.incremental import source_view
 
         docs = source_view(spark, reader.index_dir)
