@@ -371,6 +371,14 @@ def _score_map(reader, q, live, ih=None, leaf_k=None) -> dict[int, float]:
             )
         )
 
+    if kind == "percolate":
+        # reverse search: the hits are the REGISTERED QUERIES matching the
+        # given document (query_id as _id, constant score) — requires a
+        # percolator store registered against this index
+        from search_replica_spark.query.percolator import percolate
+
+        return dict(percolate(reader.spark, reader.index_dir, body["document"]))
+
     if kind == "rank_feature":
         # ES rank_feature over the engine's built-in per-doc feature
         # (doc_len — the indexed length every reader already holds; table

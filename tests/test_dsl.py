@@ -737,3 +737,46 @@ def test_execute_request_explain(dsl_index):
         # the per-term contributions (each rounded 6dp) sum to the score
         assert abs(sum(e["contribution"] for e in ex) - h["_score"]) < 1e-5
         assert {e["term"] for e in ex} <= {"apache", "license"}
+
+
+def test_percolator_store_and_dsl(spark, dsl_index):
+    from search_replica_spark.corpus import generate_corpus
+    from search_replica_spark.query.dsl import execute_dsl
+    from search_replica_spark.query.percolator import (
+        percolate,
+        percolate_corpus,
+        register_queries,
+    )
+
+    rd = dsl_index
+    st = register_queries(spark, rd.index_dir, [
+        (1, "apache license"),          # conjunctive: both terms
+        (2, "spark"),                   # single term
+        (3, "scan filter batch", 2),    # minimum_should_match = 2 of 3
+        (4, "zzznothere"),              # never matches
+    ])
+    assert st["queries"] == 4
+
+    doc = "the apache license governs this spark scan"
+    got = percolate(spark, rd.index_dir, doc)
+    assert got == [(1, 1.0), (2, 1.0)]  # q3 has only 1 of 3 terms, q4 none
+    got = percolate(spark, rd.index_dir, {"content": "scan filter nothing"})
+    assert got == [(3, 1.0)]  # 2-of-3 gate met
+    # DSL kind routes to the same store
+    assert execute_dsl(
+        rd, {"percolate": {"document": {"content": doc}}}, k=10
+    ) == [(1, 1.0), (2, 1.0)]
+
+    # batch form agrees with the one-doc form on every corpus doc
+    import pandas as pd
+
+    c = generate_corpus(40)
+    pdf = pd.DataFrame({"doc_id": range(len(c)), "content": c["content"]})
+    docs = spark.createDataFrame(pdf)
+    pairs = {(int(r["query_id"]), int(r["doc_id"]))
+             for r in percolate_corpus(spark, rd.index_dir, docs).collect()}
+    for i, text in enumerate(pdf["content"]):
+        for qid, _s in percolate(spark, rd.index_dir, text):
+            assert (qid, i) in pairs
+    for qid, did in pairs:
+        assert (qid, 1.0) in percolate(spark, rd.index_dir, pdf["content"][did])
