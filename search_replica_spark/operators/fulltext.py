@@ -2540,3 +2540,23 @@ def ft_span_not_top10(spark, sf_dir):
     )
     rows = [(d, round(s, 6)) for d, s in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# B5pc2: the percolator STORE path end-to-end — the same five registered
+# queries written through query/percolator.py (analyzed, conjunctive),
+# then percolate_corpus's broadcast equi-join + count gate; same oracle
+# as the inline-table percolate entry, so the store layer is EXACT-pinned.
+@register("dsl_percolate_store", _percolate_sql())
+def dsl_percolate_store(spark, sf_dir):
+    from search_replica_spark.query.percolator import (
+        percolate_corpus,
+        register_queries,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    host = f"/tmp/ssr_perc_host_{tag}_v1"
+    register_queries(
+        spark, host, [(qid, " ".join(terms)) for qid, terms in PERCOLATE_QUERIES]
+    )
+    d = load(spark, sf_dir, "documents")
+    return percolate_corpus(spark, host, d, text_col="text")

@@ -15,7 +15,7 @@ plain dicts on the serving node over O(matching docs) — the same glue
 layer ``simple_query_string`` and ``msearch`` already use, NOT a Spark
 job per clause.
 
-Supported kinds (35): match, match_phrase, match_phrase_prefix, term,
+Supported kinds (36): match, match_phrase, match_phrase_prefix, term,
 terms (incl. the terms-LOOKUP form), ids, range, prefix, fuzzy,
 wildcard, regexp, exists, match_all, simple_query_string, span_near
 (span_term / span_or clauses), span_or, span_not,
@@ -24,7 +24,8 @@ has_child, has_parent, parent_id, more_like_this, pinned, wrapper,
 function_score (field_value_factor), match_bool_prefix, multi_match
 (best_fields / most_fields), combined_fields (BM25F per-field norms +
 weights), query_string (full Lucene mini language: AND/OR/NOT,
-parentheses, phrases), rank_feature (built-in doc_len feature).
+parentheses, phrases), rank_feature (built-in doc_len feature),
+percolate (reverse search over the registered-query store).
 Reference parity: the full surface demo/README.md's queries
 draw from — including the demo's own canonical request
 (bool/should/has_child/min_children/inner_hits, demo/README.md:18-42)

@@ -84,3 +84,54 @@ def percolate_corpus(spark, index_dir: str, docs_df, text_col: str = "content"):
         .agg(F.count("*").alias("hit"))
     )
     return m.where(F.col("hit") >= F.col("min_match")).select("query_id", "doc_id")
+
+
+def percolate_stream(
+    spark,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    schema: str,
+    trigger: dict | None = None,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+):
+    """The percolator ALERTING loop (what ES users run percolate for):
+    documents stream in, every micro-batch percolates against the
+    registered query store, and the (query_id, doc_id) alert pairs land
+    under ``out_dir/alerts/epoch=<batch>`` — overwrite-per-epoch, so an
+    at-least-once replay of a batch rewrites the same directory instead
+    of duplicating alerts (the same exactly-once idiom the index stream
+    uses). Queries re-read per batch: a re-registration applies from the
+    next batch, ES's refresh-visibility semantics. Returns the streaming
+    query (caller awaits/stops)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _batch(batch_df, epoch_id: int):
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+        )
+        hits = percolate_corpus(spark, index_dir, docs, text_col=text_col)
+        hits.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "alerts", f"epoch={int(epoch_id)}")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def read_alerts(spark, out_dir: str):
+    """All emitted alert pairs (query_id, doc_id, epoch)."""
+    import os
+
+    return spark.read.option("basePath", os.path.join(out_dir, "alerts")).parquet(
+        os.path.join(out_dir, "alerts", "epoch=*")
+    )

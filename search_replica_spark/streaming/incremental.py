@@ -1957,7 +1957,10 @@ def update_by_query(
     re-index as a superseding generation. The match resolves to engine
     doc_ids on the serving reader, then the whole update runs as
     ``scripted_update``'s one distributed Catalyst plan gated on
-    ``doc_id IN (matched)`` — no per-doc loop."""
+    ``doc_id IN (matched)`` — no per-doc loop. The gate is a literal IN
+    list (Catalyst handles six-figure lists; beyond that, prefer
+    ``scripted_update`` with a WHERE over the doc columns directly — the
+    set-oriented form that needs no id materialization at all)."""
     from search_replica_spark.query.bm25 import TermAtATimeScorer
 
     _adopt_plain_index(index_dir)

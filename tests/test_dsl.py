@@ -780,3 +780,42 @@ def test_percolator_store_and_dsl(spark, dsl_index):
             assert (qid, i) in pairs
     for qid, did in pairs:
         assert (qid, 1.0) in percolate(spark, rd.index_dir, pdf["content"][did])
+
+
+def test_percolate_stream_alerts(spark, tmp_path):
+    import pandas as pd
+
+    from search_replica_spark.query.percolator import (
+        percolate,
+        percolate_stream,
+        read_alerts,
+        register_queries,
+    )
+
+    host = str(tmp_path / "pstore")
+    register_queries(spark, host, [(1, "alpha beta"), (2, "gamma")])
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    out = str(tmp_path / "alerts_out")
+    pd.DataFrame({"doc_id": [10, 11], "content": [
+        "alpha beta gamma here", "nothing matches this"
+    ]}).to_parquet(drop / "b0.parquet")
+
+    q = percolate_stream(spark, str(drop), host, out,
+                         "doc_id long, content string")
+    q.awaitTermination(120)
+    got = {(int(r["query_id"]), int(r["doc_id"]))
+           for r in read_alerts(spark, out).collect()}
+    assert got == {(1, 10), (2, 10)}
+    # a second drop percolates incrementally; earlier alerts unchanged
+    pd.DataFrame({"doc_id": [12], "content": ["gamma only"]}).to_parquet(
+        drop / "b1.parquet"
+    )
+    q = percolate_stream(spark, str(drop), host, out,
+                         "doc_id long, content string")
+    q.awaitTermination(120)
+    got = {(int(r["query_id"]), int(r["doc_id"]))
+           for r in read_alerts(spark, out).collect()}
+    assert got == {(1, 10), (2, 10), (2, 12)}
+    # the one-doc form agrees with every emitted alert
+    assert percolate(spark, host, "gamma only") == [(2, 1.0)]
