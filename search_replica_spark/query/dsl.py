@@ -883,9 +883,13 @@ def _run_aggs(reader, aggs: dict, matched: list[int]) -> dict:
     mdf = _matched_docs_df(reader, matched)
     out: dict = {}
     for name, spec in aggs.items():
-        akind, abody = _single(
-            {k: v for k, v in spec.items() if k != "aggs"}, f"agg {name!r}"
-        )
+        if "aggs" in spec or "aggregations" in spec:
+            raise ValueError(
+                f"agg {name!r}: nested sub-aggregations are served by the "
+                "first-class operators (operators/aggregations.py), not the "
+                "request shim — flat aggs only here"
+            )
+        akind, abody = _single(spec, f"agg {name!r}")
         field = abody.get("field")
         if akind == "terms":
             size = int(abody.get("size", 10))
