@@ -2560,3 +2560,33 @@ def dsl_percolate_store(spark, sf_dir):
     )
     d = load(spark, sf_dir, "documents")
     return percolate_corpus(spark, host, d, text_col="text")
+
+
+# B5v2: intervals all_of over an any_of ALTERNATION — the middle source
+# matches at any of its alternatives' positions; the min-cover/gaps spec
+# is the verified intervals_match's, the group position list its union.
+_IV_ANY_FIRST, _IV_ANY_ALTS, _IV_ANY_GAPS = "batch", ("row", "column"), 3
+
+
+@register(
+    "ft_intervals_any_of",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents),
+a AS (SELECT doc_id, ord FROM tok WHERE term = '{_IV_ANY_FIRST}'),
+b AS (SELECT doc_id, ord FROM tok WHERE term IN ('{_IV_ANY_ALTS[0]}', '{_IV_ANY_ALTS[1]}'))
+SELECT DISTINCT a.doc_id
+FROM a JOIN b ON b.doc_id = a.doc_id
+WHERE greatest(a.ord, b.ord) - least(a.ord, b.ord) <= {_IV_ANY_GAPS + 1}""",
+)
+def ft_intervals_any_of(spark, sf_dir):
+    from search_replica_spark.query.bm25 import intervals_groups_match
+
+    idx = _positional_index_dir_for(spark, sf_dir)
+    ids = intervals_groups_match(
+        _OrigIdReader(spark, idx),
+        [[_IV_ANY_FIRST], list(_IV_ANY_ALTS)],
+        max_gaps=_IV_ANY_GAPS,
+    )
+    return spark.createDataFrame([(d,) for d in ids], "doc_id long")

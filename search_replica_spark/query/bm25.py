@@ -1137,6 +1137,74 @@ def intervals_match(
     return hits[:k] if k is not None else hits
 
 
+def intervals_groups_match(
+    reader: IndexReader,
+    groups: list[list[str]],
+    max_gaps: int = 0,
+    k: int | None = None,
+    live: np.ndarray | None = None,
+) -> list[int]:
+    """ES intervals ``all_of(ordered=false, max_gaps)`` whose sources may
+    be ``any_of`` ALTERNATIONS: each group matches at any position where
+    ANY of its alternative terms occurs (the group's position list is the
+    sorted union), and all groups must fit inside some window with at most
+    ``max_gaps`` filler positions — ``intervals_match`` is the
+    single-alternative special case (kept verbatim; this generalization
+    shares its helpers and its min-cover spec). Constant-score membership,
+    doc_id order. Requires store_positions=True."""
+    r = reader
+    if live is None:
+        live = getattr(r, "_live", None)
+    norm = [sorted({t for alt in g for t in tokenize_text(alt)}) for g in groups]
+    if not norm or any(not g for g in norm):
+        return []
+    uniq = sorted({t for g in norm for t in g})
+    per_term = _fetch_positional(r, uniq)
+    if per_term is None:
+        return []
+    group_docs = []
+    for g in norm:
+        arrs = [per_term[t][0] for t in g if t in per_term]
+        if not arrs:
+            return []  # a whole group is absent from the corpus
+        group_docs.append(
+            arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        )
+    cand = group_docs[0]
+    for gd in group_docs[1:]:
+        cand = cand[np.isin(cand, gd, assume_unique=True)]
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
+    if cand.size == 0:
+        return []
+    gathered = {}
+    for t in uniq:
+        if t in per_term:
+            pos, _drank, cnts = _gather_cand_positions(per_term, t, cand)
+            ends = np.cumsum(cnts)
+            gathered[t] = (pos, ends - cnts, ends)
+    need = len(norm)
+    _, doc_ids = r.doc_arrays()
+    hits = []
+    for i in range(cand.size):
+        lists = []
+        for g in norm:
+            parts = [
+                gathered[t][0][gathered[t][1][i] : gathered[t][2][i]]
+                for t in g if t in gathered
+            ]
+            merged = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            if merged.size == 0:
+                break  # this doc lacks the group (possible with any_of unions)
+            lists.append(merged)
+        if len(lists) < need:
+            continue
+        if _min_cover_width(lists) + 1 - need <= max_gaps:
+            hits.append(int(doc_ids[cand[i]]))
+    hits.sort()
+    return hits[:k] if k is not None else hits
+
+
 def _raise_no_positions():
     raise ValueError(
         "phrase queries need a positional index — build with "

@@ -349,14 +349,23 @@ def _score_map(reader, q, live, ih=None, leaf_k=None) -> dict[int, float]:
         field, spec = _single(body, kind)
         _text_field(field, kind)
         allof = spec["all_of"]
-        terms = [iv["match"]["query"] for iv in allof["intervals"]]
+        groups: list[list[str]] = []
+        for iv in allof["intervals"]:
+            if "match" in iv:
+                groups.append([str(iv["match"]["query"])])
+            elif "any_of" in iv:
+                groups.append([
+                    str(sub["match"]["query"]) for sub in iv["any_of"]["intervals"]
+                ])
+            else:
+                raise ValueError("intervals sources must be match or any_of(match)")
         gaps = int(allof.get("max_gaps", 0))
         if allof.get("ordered", False):
             return _members(
-                d for d, _s in Q.span_near_topk(reader, terms, n, slop=gaps, live=live)
+                d for d, _s in Q.span_near_or_topk(reader, groups, n, slop=gaps, live=live)
             )
         return _members(
-            Q.intervals_match(reader, " ".join(terms), max_gaps=gaps, k=None, live=live)
+            Q.intervals_groups_match(reader, groups, max_gaps=gaps, k=None, live=live)
         )
 
     if kind == "terms_set":

@@ -819,3 +819,33 @@ def test_percolate_stream_alerts(spark, tmp_path):
     assert got == {(1, 10), (2, 10), (2, 12)}
     # the one-doc form agrees with every emitted alert
     assert percolate(spark, host, "gamma only") == [(2, 1.0)]
+
+
+def test_dsl_intervals_any_of(dsl_index):
+    from search_replica_spark.query.bm25 import (
+        intervals_groups_match,
+        intervals_match,
+    )
+    from search_replica_spark.query.dsl import execute_dsl
+
+    rd = dsl_index
+    n = rd.doc_arrays()[1].size
+    # single-alternative groups == the verified flat intervals_match
+    flat = intervals_match(rd, "apache license", max_gaps=2)
+    assert intervals_groups_match(rd, [["apache"], ["license"]], max_gaps=2) == flat
+    # an any_of union matches at least as much as either alternative alone
+    u = intervals_groups_match(rd, [["apache"], ["license", "version"]], max_gaps=2)
+    a1 = intervals_groups_match(rd, [["apache"], ["license"]], max_gaps=2)
+    a2 = intervals_groups_match(rd, [["apache"], ["version"]], max_gaps=2)
+    assert set(a1) | set(a2) <= set(u)
+    # DSL any_of source routes here
+    q = {"intervals": {"content": {"all_of": {
+        "max_gaps": 2, "ordered": False,
+        "intervals": [
+            {"match": {"query": "apache"}},
+            {"any_of": {"intervals": [{"match": {"query": "license"}},
+                                      {"match": {"query": "version"}}]}},
+        ],
+    }}}}
+    got = execute_dsl(rd, q, k=n)
+    assert [d for d, _s in got] == u and all(s == 1.0 for _d, s in got)
