@@ -169,13 +169,29 @@ def tokenize_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
+def assign_dense_doc_idx(
+    doc_stats: DataFrame,
+    partitions: int,
+    stats_out: dict | None = None,
+    write_to: str | None = None,
+    drop_cols: tuple[str, ...] = (),
+) -> DataFrame | None:
     """doc_id → dense ordinal doc_idx (0..N-1 in doc_id order), scalably.
 
     Two-pass partition-offset pattern: range-partition by doc_id, count rows
     per partition (tiny collect, O(P)), then assign offset + local arange in
     a second pass. No single-partition Window sort. The input is cached so
     both passes see the identical (sampled) range partitioning.
+
+    ``stats_out``: piggyback global sums on the (already-paid) per-partition
+    count collect — fills n_docs plus sum_<col> for any of (doc_len, _nt)
+    present, so callers skip their own aggregation job over the result.
+    ``write_to``: write the mapped output directly to parquet. The mapInPandas
+    output is already range-partitioned and sorted by doc_id — and doc_idx is
+    assigned in doc_id order — so the write preserves a doc_idx-sorted,
+    range-partitioned layout WITHOUT the extra repartitionByRange shuffle
+    (and its sampling re-execution) callers used to pay. Unpersists the
+    internal cache and returns None.
     """
     ds = (
         doc_stats.repartitionByRange(partitions, "doc_id")
@@ -183,7 +199,16 @@ def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
-    counts = {r["_pid"]: r["cnt"] for r in ds.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    sum_cols = [
+        c for c in ("doc_len", "_nt") if stats_out is not None and c in doc_stats.columns
+    ]
+    aggs = [F.count("*").alias("cnt")] + [F.sum(c).alias(f"s_{c}") for c in sum_cols]
+    rows = ds.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["cnt"] for r in rows}
+    if stats_out is not None:
+        stats_out["n_docs"] = int(sum(counts.values()))
+        for c in sum_cols:
+            stats_out[f"sum_{c}"] = int(sum(int(r[f"s_{c}"] or 0) for r in rows))
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -201,9 +226,13 @@ def assign_dense_doc_idx(doc_stats: DataFrame, partitions: int) -> DataFrame:
             seen += len(pdf)
             yield out
 
-    cols = list(doc_stats.columns)
+    cols = [c for c in doc_stats.columns if c not in drop_cols]
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in doc_stats.schema.fields)
     out = ds.mapInPandas(fn, schema=f"{schema}, doc_idx long").select(*cols, "doc_idx")
+    if write_to is not None:
+        out.write.mode("overwrite").parquet(write_to)
+        ds.unpersist()
+        return None
     return out
 
 
@@ -256,7 +285,140 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
     return fn
 
 
-def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexConfig) -> None:
+def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
+    """mapInArrow partition encoder — the fast path of the segment encode.
+
+    Replaces groupBy(term, salt).applyInPandas for position-less builds:
+    the upstream repartition(term, salt) + sortWithinPartitions(term, salt,
+    doc_idx) makes every group a contiguous, doc-sorted run, so this
+    function only walks group boundaries over zero-copy Arrow buffers.
+    The win over the grouped-map path (measured, guide §4): no 47M-row
+    Arrow→pandas conversion (the term column alone materialized one Python
+    string object per posting), no per-group pandas DataFrame, no per-group
+    Python sort. Scoring math is copied verbatim from _encode_blocks_fn —
+    the two paths produce bit-identical segments (tested).
+    """
+    k1, b, bs, range_docs = cfg.k1, cfg.b, cfg.block_size, cfg.salt_range_docs
+    store_dl = cfg.store_doclens
+    blocks_per_range = max(1, range_docs // bs)
+    import math
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_rows: list[list] = [[] for _ in range(9)]
+        # pending group carried across batches: [term, salt, df_hot, chunks]
+        cur: list | None = None
+
+        def emit(term, salt, df_hot, chunks):
+            if len(chunks) == 1:
+                doc_idx, tf, dl = chunks[0]
+            else:
+                doc_idx = np.concatenate([c[0] for c in chunks])
+                tf = np.concatenate([c[1] for c in chunks])
+                dl = np.concatenate([c[2] for c in chunks])
+            df_t = int(df_hot) if df_hot >= 0 else doc_idx.size
+            idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            dlf = dl.astype(np.float64)
+            score = idf * (tf / (tf + k1 * (1.0 - b + b * dlf / avg_dl)))
+            if store_dl:
+                blocks = encode_postings_blocks(doc_idx, tf, score, bs, dl=dl)
+            else:
+                blocks = [(*blk, b"") for blk in encode_postings_blocks(doc_idx, tf, score, bs)]
+            base = int(salt) * blocks_per_range
+            o = out_rows
+            for bid, (nn, first, last, ms, dbin, tbin, lbin) in enumerate(blocks):
+                o[0].append(term)
+                o[1].append(base + bid)
+                o[2].append(nn)
+                o[3].append(first)
+                o[4].append(last)
+                o[5].append(ms)
+                o[6].append(dbin)
+                o[7].append(tbin)
+                o[8].append(lbin)
+
+        def drain():
+            o = out_rows
+            n_out = len(o[0])
+            batch = pa.record_batch(
+                [
+                    pa.array(o[0], pa.string()),
+                    pa.array(o[1], pa.int32()),
+                    pa.array(o[2], pa.int32()),
+                    pa.array(o[3], pa.int64()),
+                    pa.array(o[4], pa.int64()),
+                    pa.array(o[5], pa.float64()),
+                    pa.array(o[6], pa.binary()),
+                    pa.array(o[7], pa.binary()),
+                    pa.array(o[8], pa.binary()),
+                    pa.array([b""] * n_out, pa.binary()),
+                    pa.array([b""] * n_out, pa.binary()),
+                ],
+                names=[
+                    "term", "block_id", "n", "first_doc_idx", "last_doc_idx",
+                    "max_score", "docs_bin", "tfs_bin", "dls_bin",
+                    "npos_bin", "pos_bin",
+                ],
+            )
+            for i in range(9):
+                out_rows[i] = []
+            return batch
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            t_arr = batch.column("term")
+            salt_np = batch.column("salt").to_numpy(zero_copy_only=False)
+            di = batch.column("doc_idx").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            dl = batch.column("doc_len").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            dh = (
+                pc.fill_null(batch.column("df_hot"), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            # group boundaries without materializing term objects: per-batch
+            # dictionary codes change exactly where the term changes
+            codes = pc.dictionary_encode(t_arr).indices.to_numpy(zero_copy_only=False)
+            change = (codes[1:] != codes[:-1]) | (salt_np[1:] != salt_np[:-1])
+            bounds = np.flatnonzero(change)
+            starts = np.empty(1 + bounds.size, dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = bounds + 1
+            ends = np.empty_like(starts)
+            ends[:-1] = starts[1:]
+            ends[-1] = n_rows
+            for gi in range(starts.size):
+                s, e = int(starts[gi]), int(ends[gi])
+                key_term = t_arr[s].as_py()
+                key_salt = int(salt_np[s])
+                chunk = (di[s:e], tf[s:e], dl[s:e])
+                if cur is not None and cur[0] == key_term and cur[1] == key_salt:
+                    cur[3].append(chunk)
+                    continue
+                if cur is not None:
+                    emit(cur[0], cur[1], cur[2], cur[3])
+                cur = [key_term, key_salt, int(dh[s]), [chunk]]
+            if len(out_rows[0]) >= 50_000:
+                yield drain()
+        if cur is not None:
+            emit(cur[0], cur[1], cur[2], cur[3])
+        if out_rows[0]:
+            yield drain()
+
+    return fn
+
+
+def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexConfig) -> dict:
     P = cfg.shuffle_partitions
     # spread the scan across cores if the source arrives badly under-split
     # (e.g. a single one-row-group file). A scan already split to ≥ P/2
@@ -292,9 +454,13 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
 
     # reread the just-written postings instead of caching 47M+ rows in
     # executor memory — the reread is columnar and cheap, the cache is
-    # memory-bandwidth the tokenizer needs
+    # memory-bandwidth the tokenizer needs. _nt (postings per doc) rides
+    # along so the segments stage gets its postings total for free from
+    # the dense-assign collect instead of its own count job.
     postings = spark.read.parquet(os.path.join(out, "postings"))
-    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    doc_len = postings.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_len"), F.count("*").alias("_nt")
+    )
     meta_cols = ["doc_id", "repo", "path", "lang", "content_sha256"]
     if cfg.store_source:
         # stored fields / _source (Lucene parity): every input column rides
@@ -313,7 +479,7 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
             "duplicate (repo, path) rows or a doc_id hash collision. "
             "Dedup the snapshot or pass IndexConfig(dedup_input=True)."
         )
-    doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0})
+    doc_stats = doc_meta.join(doc_len, "doc_id", "left").fillna({"doc_len": 0, "_nt": 0})
     if cfg.field_analyzers is not None:
         # per-field doc lengths (Lucene per-field norms): each mapped
         # field's token count per doc, derived from the qualified postings
@@ -334,46 +500,67 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
         doc_stats = doc_stats.join(per_f, "doc_id", "left").fillna(
             {f"dl_{f}": 0 for f in fields}
         )
-    doc_map = assign_dense_doc_idx(doc_stats, P)
-    (
-        doc_map.repartitionByRange(P, "doc_idx")
-        .sortWithinPartitions("doc_idx")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "docs"))
+    # persist so the range partitioner's sampling pass and the shuffle read
+    # the meta⋈doc_len join once instead of executing it twice; the dense
+    # assign writes its (already range-partitioned, doc_idx-sorted) output
+    # straight to docs/ — no second repartitionByRange — and the collect it
+    # pays anyway also returns the global doc/token/posting totals the
+    # segments stage needs (one less aggregation job there).
+    doc_stats = doc_stats.persist()
+    dm: dict = {}
+    assign_dense_doc_idx(
+        doc_stats, P, stats_out=dm,
+        write_to=os.path.join(out, "docs"), drop_cols=("_nt",),
     )
+    doc_stats.unpersist()
+    return dm
 
 
-def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
+def _stage_segments(
+    spark: SparkSession, out: str, cfg: IndexConfig, dm: dict | None = None
+) -> dict:
     P = cfg.shuffle_partitions
     postings = spark.read.parquet(os.path.join(out, "postings"))
     doc_map = spark.read.parquet(os.path.join(out, "docs"))
 
+    # global doc/token/posting totals: normally handed over from the docmap
+    # stage (one collect already pays for them there); recomputed only when
+    # resuming from a manifest that predates the handoff. float(sum)/n is
+    # exact-identical to F.avg here: the integer sums are exact in float64.
+    if dm and "n_docs" in dm and "sum_doc_len" in dm:
+        n_docs = int(dm["n_docs"])
+        total_tokens = int(dm["sum_doc_len"])
+        n_post = int(dm["sum__nt"]) if "sum__nt" in dm else postings.count()
+    else:
+        agg = doc_map.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+        ).collect()[0]
+        n_docs = int(agg["n"])
+        total_tokens = int(agg["tok"]) if agg["tok"] is not None else 0
+        n_post = postings.count()  # parquet metadata count — no scan
+    avg_dl = (float(total_tokens) / n_docs) if n_docs else 0.0
+
     # shuffle width must scale with DATA, not cores: at fixed width the
-    # per-reducer sort for the grouped-map exchange outgrows execution
+    # per-reducer sort for the encode exchange outgrows execution
     # memory and external-sort spill makes the stage superlinear (measured:
     # 2× corpus → 4× stage time). AQE coalesces surplus partitions, so
     # over-provisioning is safe.
-    n_post = postings.count()  # parquet metadata count — no scan
     width = max(P, n_post // 2_000_000 + 1)
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
-    agg = doc_map.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avg"), F.sum("doc_len").alias("tok")
-    ).collect()[0]
-    n_docs = int(agg["n"])
-    avg_dl = float(agg["avg"]) if agg["avg"] is not None else 0.0
-    total_tokens = int(agg["tok"]) if agg["tok"] is not None else 0
-
-    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # localCheckpoint: the dict is tiny (one row per term) but its parent is
+    # a full pass over the postings — without the checkpoint the range
+    # partitioner's SAMPLING executes that pass a second time (measured:
+    # the dict write was 2× the cost of the aggregation itself)
+    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df")).localCheckpoint()
     (
         df_tbl.repartitionByRange(min(P, 8), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "dict"))
     )
-    dict_df = spark.read.parquet(os.path.join(out, "dict"))
-    hot = dict_df.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
+    hot = df_tbl.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
 
     # doc-side of the postings join: broadcast while the doc map fits (it is
     # 3 narrow columns); beyond that fall back to a shuffle join — at true
@@ -389,9 +576,24 @@ def _stage_segments(spark: SparkSession, out: str, cfg: IndexConfig) -> dict:
             (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
         ).otherwise(F.lit(0)),
     )
-    seg = p2.groupBy("term", "salt").applyInPandas(
-        _encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA
-    )
+    if cfg.store_positions:
+        # positions carry a per-posting list column — stays on the grouped-
+        # map pandas path (built rarely and only for phrase-enabled indexes)
+        seg = p2.groupBy("term", "salt").applyInPandas(
+            _encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA
+        )
+    else:
+        # fast path: project to exactly the encoder's columns (the exchange
+        # never carries doc_id — guide §2.3), hash-partition by group key,
+        # JVM-sort groups contiguous and doc-ordered, then walk group
+        # boundaries over Arrow buffers (no pandas, no per-posting Python
+        # objects — see _encode_partition_arrow)
+        seg = (
+            p2.select("term", "salt", "doc_idx", "tf", "doc_len", "df_hot")
+            .repartition(width, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_idx")
+            .mapInArrow(_encode_partition_arrow(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA)
+        )
     # hash-repartition by term (NOT repartitionByRange: range sampling would
     # evaluate the whole encode plan twice) + in-file sort: each term's
     # blocks are contiguous in one file, so term-IN pushdown prunes row
@@ -569,12 +771,14 @@ def build_index(
 
     if not m.stage_done("docmap"):
         m.start_stage("docmap")
-        _stage_docmap(spark, corpus, out_dir, cfg)
-        m.finish_stage("docmap")
+        dm = _stage_docmap(spark, corpus, out_dir, cfg)
+        m.finish_stage("docmap", dm)
+    else:
+        dm = m.data["stages"]["docmap"].get("metrics") or None
 
     if not m.stage_done("segments"):
         m.start_stage("segments")
-        core = _stage_segments(spark, out_dir, cfg)
+        core = _stage_segments(spark, out_dir, cfg, dm)
         m.finish_stage("segments", core)
     else:
         core = m.data["stages"]["segments"]["metrics"]

@@ -12,6 +12,7 @@ exact twin, not an approximation.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from search_replica_spark.operators import load, register
@@ -35,9 +36,14 @@ def dedup_exact(spark, sf_dir):
 
 
 def _minhash_sig(spark, sf_dir):
-    """(doc_id, m0..m7) MinHash signature over the distinct-token set."""
+    """(doc_id, m0..m7) MinHash signature over the distinct-token set.
+
+    No ``.distinct()`` before the min-aggregation: min over the token
+    MULTISET equals min over the token set (md5 is deterministic per
+    token), so the dedup shuffle the oracle spells out is pure overhead —
+    one partial-aggregating groupBy replaces distinct + groupBy."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     aggs = [
         F.min(F.md5(F.concat(F.col("term"), F.lit(f"#{s}")))).alias(f"m{s}")
         for s in range(N_HASHES)
@@ -88,18 +94,32 @@ def _bucket_pairs(bucketed, key_cols: list[str], id_col: str,
     design) arrays. The expensive upstream (signatures) is computed ONCE —
     a self-join would evaluate the whole subtree twice (measured: 2 scans,
     0 reused exchanges) and shuffle it twice. ``max_bucket`` bounds the s²
-    expansion of degenerate buckets (see LSH_MAX_BUCKET)."""
+    expansion of degenerate buckets (see LSH_MAX_BUCKET).
+
+    The s² expansion is DISTRIBUTED (guide §2.5): two chained explodes
+    pipeline into one task per bucket row, so a single large bucket (the
+    synthetic corpus has one holding >60% of docs) serializes millions of
+    pair emissions on one core. Instead: posexplode one side, round-robin
+    repartition those rows across the cluster, and emit each row's j>i
+    partners from a slice of the (sorted) id array — every task expands
+    ~s/P rows, and sorted ids make the slice itself the `_a < _b` filter."""
     buckets = (
         bucketed.groupBy(*key_cols)
-        .agg(F.collect_list(id_col).alias("_ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    width = int(bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        buckets.select(F.explode("_ids").alias("_a"), "_ids")
-        .select("_a", F.explode("_ids").alias("_b"))
-        .filter(F.col("_a") < F.col("_b"))
+        buckets.select(F.posexplode("_ids").alias("_i", "_a"), "_ids")
+        .repartition(width)
+        .select(
+            "_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("_b"),
+        )
     )
 
 
@@ -217,20 +237,31 @@ FROM bits GROUP BY doc_id
 
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
+    # one conditional-sum column per bit instead of a ×16 row explode: the
+    # md5 is computed once per (doc, term) row (not once per exploded bit),
+    # and ONE partial-aggregating groupBy replaces the (doc_id, b) shuffle
+    # of 16× the rows plus its follow-up per-doc aggregation. The ±1
+    # contributions and integer sums are identical term-for-term.
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
-    withb = tok.select("doc_id", "term", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
-    contrib = F.when(
-        ((F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), F.col("b") + 1, 1)) - 1) % 2)
-        == 1,
-        1,
-    ).otherwise(-1)
-    bits = withb.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
-        ).alias("simhash")
+    contribs = [
+        F.when(
+            (
+                (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), b + 1, 1)) - 1)
+                % 2
+            )
+            == 1,
+            1,
+        ).otherwise(-1)
+        for b in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(
+        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(contribs)]
     )
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return bits.select("doc_id", sim.alias("simhash"))
 
 
 # 64-bit SimHash (Charikar) at realistic precision, stored as two 32-bit
@@ -255,33 +286,32 @@ FROM bits GROUP BY doc_id
 
 
 def _simhash64(spark, sf_dir):
+    # same one-shuffle shape as dedup_simhash above: 64 conditional-sum
+    # columns over the distinct (doc, term) rows instead of a ×64 row
+    # explode + two shuffles; md5 runs once per row (was once per exploded
+    # bit = 64×). bit b of a term's hash = bit (b%4) of md5 hex digit
+    # (b//4) — (digit >> (b%4)) & 1 equals the old floor/pow arithmetic
+    # exactly (digit <= 15), so the ±1 contributions and sums are identical.
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
-    withb = tok.select("doc_id", "term", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
-    digit = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5("term"), F.floor(F.col("b") / 4).cast("int") + 1, 1),
-        )
-        - 1
+    digits = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), h + 1, 1)) - 1
+        for h in range(16)
+    ]
+    contribs = [
+        F.when(F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        for b in range(64)
+    ]
+    bits = tok.groupBy("doc_id").agg(
+        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(contribs)]
     )
-    # (digit >> (b % 4)) & 1, in portable arithmetic (digit <= 15, exact)
-    bit = F.floor(digit / F.pow(F.lit(2.0), (F.col("b") % 4))).cast("long") % 2
-    contrib = F.when(bit == 1, 1).otherwise(-1)
-    bits = withb.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                (F.col("s") > 0) & (F.col("b") >= 32),
-                F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
-            ).otherwise(0)
-        ).alias("sim_hi"),
-        F.sum(
-            F.when(
-                (F.col("s") > 0) & (F.col("b") < 32), F.pow(F.lit(2.0), F.col("b")).cast("long")
-            ).otherwise(0)
-        ).alias("sim_lo"),
-    )
+    hi = F.lit(0).cast("long")
+    lo = F.lit(0).cast("long")
+    for b in range(32, 64):
+        hi = hi + F.when(F.col(f"s{b}") > 0, F.lit(1 << (b - 32)).cast("long")).otherwise(0)
+    for b in range(32):
+        lo = lo + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return bits.select("doc_id", hi.alias("sim_hi"), lo.alias("sim_lo"))
 
 
 @register("dedup_simhash64", _SIMHASH64_BITS_SQL)
@@ -374,12 +404,64 @@ EMB_DUP_THRESHOLD = 0.3
 _EMB_CAP = 4096  # all-pairs reference cap (both engines)
 
 
+EMB_DIM = 64  # the embeddings-table contract (the SQL twins hardcode 64 too)
+
+
 def _emb_dot(a, b):
+    # sequential left-fold, matching the DuckDB twin's list_sum order (a
+    # chained 64-term arithmetic rewrite was measured SLOWER — codegen
+    # falls over on the tree size; heavy row counts go through the NumPy
+    # mapInArrow path below instead, which keeps the same fold order)
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _emb_cosine(ea, eb):
     return _emb_dot(ea, eb) / (F.sqrt(_emb_dot(ea, ea)) * F.sqrt(_emb_dot(eb, eb)))
+
+
+def _list_mat(col) -> np.ndarray:
+    """Arrow list<double> column → (n, EMB_DIM) float64 matrix, zero-copy
+    over the flat values buffer."""
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat[off[0]: off[-1]].reshape(-1, EMB_DIM)
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot with a STRICT sequential left fold over dimensions —
+    bit-identical to the zip_with/aggregate fold (and the twin's
+    list_sum): vectorized across rows, ordered across dims."""
+    out = a[:, 0] * b[:, 0]
+    for j in range(1, a.shape[1]):
+        out = out + a[:, j] * b[:, j]
+    return out
+
+
+def _cosine_pairs_arrow(pairs):
+    """(vec_a, vec_b, ea, eb) → (vec_a, vec_b, sim_raw) via NumPy with the
+    fold order above — the exact-cosine verify of the LSH candidates
+    without per-row interpreted higher-order functions (guide §4.2)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ma = _list_mat(b.column("ea"))
+            mb = _list_mat(b.column("eb"))
+            dot = _fold_dot(ma, mb)
+            na = _fold_dot(ma, ma)
+            nb = _fold_dot(mb, mb)
+            sim = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pa.record_batch(
+                [b.column("vec_a"), b.column("vec_b"), pa.array(sim, pa.float64())],
+                names=["vec_a", "vec_b", "sim_raw"],
+            )
+
+    return pairs.select("vec_a", "vec_b", "ea", "eb").mapInArrow(
+        fn, schema="vec_a long, vec_b long, sim_raw double"
+    )
 
 
 def _emb_lsh_sql() -> str:
@@ -417,36 +499,42 @@ def dedup_embedding_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    H = _hyperplanes(64)
+    H = _hyperplanes(EMB_DIM)
 
-    def band_code(b: int):
-        bits = [
-            F.when(
-                _emb_dot(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(x)) for x in H[b * EMB_BAND_BITS + j]]),
-                )
-                > 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(EMB_BAND_BITS)
-        ]
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+    # band codes in NumPy (one mapInArrow pass, _fold_dot keeps the twin's
+    # fold order) — the 12 interpreted HOF dots per row were the dominant
+    # cost of this entry (measured)
+    def band_fn(batches):
+        import pyarrow as pa
 
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_code(b).alias("code"))
-                    for b in range(EMB_N_BANDS)
-                ]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            mat = _list_mat(b.column("emb"))
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            out_v, out_b, out_c = [], [], []
+            for band in range(EMB_N_BANDS):
+                code = np.zeros(mat.shape[0], dtype=np.int32)
+                for j in range(EMB_BAND_BITS):
+                    plane = np.broadcast_to(
+                        H[band * EMB_BAND_BITS + j], mat.shape
+                    )
+                    code |= (_fold_dot(mat, plane) > 0).astype(np.int32) << j
+                out_v.append(vid)
+                out_b.append(np.full(mat.shape[0], band, dtype=np.int32))
+                out_c.append(code)
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_v), pa.int64()),
+                    pa.array(np.concatenate(out_b), pa.int32()),
+                    pa.array(np.concatenate(out_c), pa.int32()),
+                ],
+                names=["vec_id", "band", "code"],
             )
-        ).alias("bc"),
-    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+
+    bands = e.select("vec_id", "emb").mapInArrow(
+        band_fn, schema="vec_id long, band int, code int"
+    )
     cand = (
         _bucket_pairs(bands, ["band", "code"], "vec_id")
         .select(F.col("_a").alias("vec_a"), F.col("_b").alias("vec_b"))
@@ -454,12 +542,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    sim = _emb_cosine(F.col("ea"), F.col("eb"))
+    sims = _cosine_pairs_arrow(cand.join(ea, "vec_a").join(eb, "vec_b"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= EMB_DUP_THRESHOLD)
+        sims.filter(F.col("sim_raw") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))
     )
 
@@ -495,9 +580,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = _emb_cosine(F.col("ea"), F.col("eb"))
+    # NumPy pair cosine (same fold order — see _cosine_pairs_arrow) instead
+    # of the interpreted HOF expression over O(n²) pair rows
     return (
-        pairs.withColumn("sim_raw", sim)
+        _cosine_pairs_arrow(pairs)
         .filter(F.col("sim_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))
     )
@@ -627,8 +713,10 @@ def dedup_incremental_lsh(spark, sf_dir):
         )
         .filter((F.size("new_ids") > 0) & (F.size("old_ids") > 0))
     )
+    width = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         buckets.select(F.explode("new_ids").alias("new_doc"), "old_ids")
+        .repartition(width)  # spread a big bucket's new×old expansion
         .select("new_doc", F.explode("old_ids").alias("dup_of"))
         .distinct()
     )

@@ -200,12 +200,19 @@ def p12_key_change_ops(spark, sf_dir):
        ) WHERE rn = 1""",
 )
 def p16_lastwins_dedup(spark, sf_dir):
+    # one partial-aggregating max(struct) instead of a window sort: the
+    # struct orders by (ts, event_id) exactly as the rn=1 row does (ties
+    # past event_id are impossible — event ids are unique), and map-side
+    # combine shrinks the shuffle to one row per (user, partition)
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "value")
+    picked = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_s.event_id").alias("event_id"),
+        F.col("_s.event_type").alias("event_type"),
+        F.col("_s.value").alias("value"),
     )
 
 

@@ -62,9 +62,15 @@ def _index_dir_for(spark, sf_dir) -> str:
         FROM ({_TOK}) GROUP BY term""",
 )
 def ft_df_stats(spark, sf_dir):
+    # explode the per-doc DISTINCT token set (each doc's terms live in one
+    # row, so array_distinct dedups before anything moves) — the groupBy
+    # then partial-aggregates plain counts instead of running
+    # countDistinct's two-phase distinct aggregation over all occurrences
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    return tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    return tok.groupBy("term").agg(F.count("*").alias("df"))
 
 
 # B4: term dictionary — read back from the BUILT index and compare to SQL
@@ -510,13 +516,53 @@ ORDER BY s DESC, doc_id LIMIT {limit}
 
 # B5a: exhaustive BM25 top-10 as a pure distributed DataFrame/SQL plan
 # (no index) — ES's scoring semantics as one Catalyst-optimized query.
+# Spark-side plan: the oracle's tok CTE explodes EVERY token twice (once
+# for dl, once for tf); here dl = size(token array) and per-query-term tf
+# = size(filter(array)) — both computed in the row the tokens already live
+# in, so only |terms| tiny rows per doc ever reach an exchange. Same
+# numbers: dl == count of unnested tokens (split/unnest agree on empties),
+# tf rows and the score expression mirror the SQL term-for-term.
 @register("ft_bm25_sql_top10", _bm25_sql(10))
 def ft_bm25_sql_top10(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("ssr_documents")
-    # same ANSI query, Spark tokenization dialect (explode/split vs unnest)
-    spark_tok = "SELECT doc_id, explode(split(text, ' ')) AS term FROM ssr_documents"
-    return spark.sql(_bm25_sql(10, tok_sql=spark_tok))
+    dd = d.select("doc_id", F.split("text", " ").alias("arr")).withColumn(
+        "dl", F.size("arr")
+    )
+    stats = dd.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf_structs = [
+        F.struct(
+            F.lit(t).alias("term"),
+            F.size(F.filter(F.col("arr"), lambda x: x == F.lit(t))).alias("tf"),
+        )
+        for t in BM25_QUERY_TERMS
+    ]
+    tf = (
+        dd.select("doc_id", "dl", F.explode(F.array(*tf_structs)).alias("t"))
+        .select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    sc = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1) - F.lit(B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        sc.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
 
 
 # B5b: the same top-10 answered by the REAL engine: built segments,

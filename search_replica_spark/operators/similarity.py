@@ -19,9 +19,15 @@ from pyspark.sql import functions as F
 from search_replica_spark.operators import load, register
 
 QUERY_VEC_ID = 0
+EMB_DIM = 64  # embeddings-table contract (the SQL twins hardcode range(64))
 
 
 def _dot(a, b):
+    # the sequential left-fold (matches the twin's list_sum order). A
+    # 64-term chained-arithmetic rewrite was MEASURED SLOWER here (the
+    # expression tree blows past codegen limits and falls back to
+    # interpreted eval per term) — the fold stays; rows at these entries
+    # are few and the cost is job overhead, not the fold.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -220,8 +226,7 @@ def ann_lsh_top10(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    dim = len(e.select("emb").first()[0])
-    H = _hyperplanes(dim)
+    H = _hyperplanes(EMB_DIM)  # the table contract — no .first() probe job
 
     # bucket = sign-bit code of dot products with the broadcast hyperplanes
     def bucket_col(emb_col):
@@ -333,10 +338,16 @@ def _ivf_index_dir_for(spark, sf_dir) -> str:
 PQ_M, PQ_DSUB, PQ_K = 8, 8, 16
 
 
-def _sq_dist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _sq_dist(a, b, dim: int = PQ_DSUB):
+    """Chained-sum squared distance over the 8-dim PQ subvectors — codegen
+    arithmetic, same add order as the old fold (see _dot)."""
+    terms = [
+        (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i)) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 _PQ_CTES = f"""

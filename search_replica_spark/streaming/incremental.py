@@ -1689,12 +1689,12 @@ def merge_generations(spark, index_dir: str, cfg: IndexConfig | None = None) -> 
 
     out = os.path.join(index_dir, "gen=__merging")
     shutil.rmtree(out, ignore_errors=True)
-    doc_map = assign_dense_doc_idx(live.select(*meta_cols), cfg.shuffle_partitions)
-    (
-        doc_map.repartitionByRange(cfg.shuffle_partitions, "doc_idx")
-        .sortWithinPartitions("doc_idx")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "docs"))
+    # the dense assign's output is already range-partitioned and sorted in
+    # doc_idx order — write_to persists it directly (no second shuffle) and
+    # releases the internal cache
+    assign_dense_doc_idx(
+        live.select(*meta_cols), cfg.shuffle_partitions,
+        write_to=os.path.join(out, "docs"),
     )
 
     pos_cols = ["npos_bin", "pos_bin"] if has_positions else []

@@ -1,0 +1,109 @@
+"""Round-6 optimization guards: the rewritten internals must produce
+bit-identical results to the shapes they replaced."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_replica_spark.config import IndexConfig
+from search_replica_spark.index.build import (
+    SEGMENT_SCHEMA,
+    _encode_blocks_fn,
+    _encode_partition_arrow,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from search_replica_spark.session import get_spark
+
+    return get_spark("test_r06_opts", cores=4, shuffle_partitions=4)
+
+
+def test_arrow_encoder_matches_grouped_pandas(spark):
+    """The mapInArrow segment encoder (fast path) must emit exactly the
+    rows of the grouped-map pandas encoder — including salted hot terms
+    and groups spanning multiple Arrow batches."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_docs, avg_dl = 150_000, 200.0
+    rows = []
+    # a hot salted term spanning >2 salt ranges and many Arrow batches
+    hot_docs = np.sort(rng.choice(n_docs, size=60_000, replace=False))
+    rows.append(
+        pd.DataFrame({
+            "term": "hotterm",
+            "doc_idx": hot_docs,
+            "tf": rng.integers(1, 9, hot_docs.size),
+            "doc_len": rng.integers(50, 400, hot_docs.size),
+            "df_hot": np.int64(60_000),
+        })
+    )
+    # several cold terms (df below threshold → salt 0, df from group size)
+    for i in range(5):
+        docs = np.sort(rng.choice(n_docs, size=300 + 40 * i, replace=False))
+        rows.append(
+            pd.DataFrame({
+                "term": f"cold{i}",
+                "doc_idx": docs,
+                "tf": rng.integers(1, 5, docs.size),
+                "doc_len": rng.integers(50, 400, docs.size),
+                "df_hot": pd.array([None] * docs.size, dtype="Int64"),
+            })
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    cfg = IndexConfig(shuffle_partitions=4, hot_df_threshold=10_000)
+    df = spark.createDataFrame(
+        pdf, "term string, doc_idx long, tf long, doc_len long, df_hot long"
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("df_hot").isNotNull(),
+            (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    old = (
+        df.groupBy("term", "salt")
+        .applyInPandas(_encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA)
+        .toPandas()
+        .sort_values(["term", "block_id"])
+        .reset_index(drop=True)
+    )
+    new = (
+        df.select("term", "salt", "doc_idx", "tf", "doc_len", "df_hot")
+        .repartition(4, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_idx")
+        .mapInArrow(_encode_partition_arrow(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA)
+        .toPandas()
+        .sort_values(["term", "block_id"])
+        .reset_index(drop=True)
+    )
+    assert list(old.columns) == list(new.columns)
+    assert len(old) == len(new)
+    for c in old.columns:
+        assert (old[c] == new[c]).all(), f"column {c} differs"
+
+
+def test_bucket_pairs_slice_expansion(spark):
+    """The distributed slice expansion emits exactly the a<b pairs of the
+    old explode²+filter form, including across the repartition."""
+    from search_replica_spark.operators.dedup import _bucket_pairs
+
+    rows = [(b % 3, i * 7 % 97) for b in range(3) for i in range(40 + b * 13)]
+    df = spark.createDataFrame(rows, "bkt int, id int").distinct()
+    got = {
+        (r["_a"], r["_b"])
+        for r in _bucket_pairs(df, ["bkt"], "id").collect()
+    }
+    pdf = df.toPandas()
+    want = set()
+    for _b, g in pdf.groupby("bkt"):
+        ids = sorted(g["id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+    assert got == want
