@@ -1789,11 +1789,11 @@ def serve_topk(
         return []
     dfs = _global_dfs(readers[0], terms)
     need = len(terms) if mode == "and" else 1
-    merged: list[tuple[int, float]] = []
-    for r in readers:
+
+    def score_shard(r) -> list[tuple[int, float]]:
         doc_len, doc_ids = r.doc_arrays()
         if doc_len.size == 0:
-            continue
+            return []
         postings = r.fetch_postings(terms)
         live = getattr(r, "_live", None)
         doc_parts, score_parts = [], []
@@ -1810,26 +1810,38 @@ def serve_topk(
             score_parts.append(
                 idf * (tf / (tf + r.k1 * (1.0 - r.b + r.b * dl / r.avg_dl)))
             )
-        if not doc_parts:
-            continue
-        all_docs = np.concatenate(doc_parts)
-        all_scores = np.concatenate(score_parts)
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        sums = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(sums, inv, all_scores)
-        matched = np.bincount(inv, minlength=uniq.size) >= need
-        if live is not None:
-            matched &= live[uniq]
-        idxs = uniq[matched]
-        if idxs.size:
-            merged.extend(_select_topk(sums[matched], doc_ids[idxs], k))
-        # release this shard's arrays before the next loads: in production
-        # each shard is a different NODE; a single-process coordinator
-        # (tests, small deployments) must not accumulate every slice into
-        # the O(corpus) footprint the sharding exists to avoid (r5 review)
+        local: list[tuple[int, float]] = []
+        if doc_parts:
+            all_docs = np.concatenate(doc_parts)
+            all_scores = np.concatenate(score_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, all_scores)
+            matched = np.bincount(inv, minlength=uniq.size) >= need
+            if live is not None:
+                matched &= live[uniq]
+            idxs = uniq[matched]
+            if idxs.size:
+                local = _select_topk(sums[matched], doc_ids[idxs], k)
+        # release this shard's arrays once scored: in production each shard
+        # is a different NODE; a single-process coordinator (tests, small
+        # deployments) must not accumulate every slice into the O(corpus)
+        # footprint the sharding exists to avoid (r5 review)
         r._doc_len = r._doc_ids = None
         if hasattr(r, "_live_cache"):
             r._live_cache = None
+        return local
+
+    # shards are independent Spark jobs — overlap a few so one shard's
+    # scan tail backfills with the next shard's work (guide §2.6). Results
+    # are collected in shard order, so the merge is deterministic and
+    # identical to the sequential loop.
+    merged: list[tuple[int, float]] = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(readers))) as pool:
+        for local in pool.map(score_shard, readers):
+            merged.extend(local)
     merged.sort(key=lambda t: (-t[1], t[0]))
     return merged[:k]
 

@@ -270,28 +270,40 @@ def source_view(spark, index_dir: str):
     doc_gens = [g for g in gens if g["dir"]]
     if not doc_gens:
         raise ValueError(f"no document generations in {index_dir}")
-    uni = None
-    for g in doc_gens:
-        part = spark.read.parquet(os.path.join(g["dir"], "docs")).withColumn(
-            "_gen", F.lit(int(g["gen"]))
+    if len(doc_gens) == 1:
+        # single live generation: doc_ids are unique within a generation
+        # (the build fails fast otherwise), so the last-wins aggregation is
+        # an identity — skip its full-store shuffle; the tombstone filter
+        # below still applies against this generation's number
+        g0 = doc_gens[0]
+        one = spark.read.parquet(os.path.join(g0["dir"], "docs"))
+        val_cols = [c for c in one.columns if c not in ("doc_id", "doc_idx")]
+        picked = one.select(
+            "doc_id", F.lit(int(g0["gen"])).alias("_gen"), *val_cols
         )
-        uni = part if uni is None else uni.unionByName(part, allowMissingColumns=True)
-    val_cols = [c for c in uni.columns if c not in ("doc_id", "doc_idx", "_gen")]
-    # max_by orders ONLY by _gen and merely carries the value struct — a
-    # plain max(struct(_gen, ...)) would try to ORDER by the value columns
-    # on ties, which breaks for non-orderable column types (map-kind inline
-    # fields); _gen ties are impossible (the build fails fast on duplicate
-    # doc_ids within a generation)
-    picked = (
-        uni.groupBy("doc_id")
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in val_cols]), F.col("_gen")
-            ).alias("_s"),
-            F.max("_gen").alias("_gen"),
+    else:
+        uni = None
+        for g in doc_gens:
+            part = spark.read.parquet(os.path.join(g["dir"], "docs")).withColumn(
+                "_gen", F.lit(int(g["gen"]))
+            )
+            uni = part if uni is None else uni.unionByName(part, allowMissingColumns=True)
+        val_cols = [c for c in uni.columns if c not in ("doc_id", "doc_idx", "_gen")]
+        # max_by orders ONLY by _gen and merely carries the value struct — a
+        # plain max(struct(_gen, ...)) would try to ORDER by the value columns
+        # on ties, which breaks for non-orderable column types (map-kind inline
+        # fields); _gen ties are impossible (the build fails fast on duplicate
+        # doc_ids within a generation)
+        picked = (
+            uni.groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in val_cols]), F.col("_gen")
+                ).alias("_s"),
+                F.max("_gen").alias("_gen"),
+            )
+            .select("doc_id", "_gen", "_s.*")
         )
-        .select("doc_id", "_gen", "_s.*")
-    )
     del_gen: dict[int, int] = {}
     for g in gens:
         for d in g.get("deleted_ids", ()):
@@ -585,10 +597,27 @@ def apply_inline_updates(
                 seq.alias("_sq"), F.lit(True).alias("_del"),
             )
         )
-    if not has_seq:
-        dup = (
-            base.groupBy("repo", "path", "_ck").count()
-            .filter(F.col("count") > 1).count()
+    # last action per (parent, child key): struct-max on (_seq, del, elem).
+    # _n (events per key) rides along so the no-_seq duplicate guard is a
+    # column on the SAME aggregation instead of its own groupBy+count job.
+    acts = (
+        base.groupBy("repo", "path", "_ck")
+        .agg(F.max(F.struct("_sq", "_del", "_elem")).alias("_a"),
+             F.count("*").alias("_n"))
+        .select("repo", "path", "_ck", F.col("_n"),
+                F.col("_a._del").alias("_del"), F.col("_a._elem").alias("_elem"))
+    )
+    per_parent = acts.groupBy("repo", "path").agg(
+        F.collect_list("_ck").alias("_touched"),
+        # collect_list drops nulls → only the upserted elements survive
+        F.collect_list(F.when(~F.col("_del"), F.col("_elem"))).alias("_adds"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("_ndup"),
+    )
+    if dry_run and not has_seq:
+        # plan-audit path stays job-free up to the returned plan; run the
+        # stand-alone guard the audited plan does not include
+        dup = int(
+            per_parent.agg(F.sum("_ndup").alias("d")).collect()[0]["d"] or 0
         )
         if dup:
             raise ValueError(
@@ -596,18 +625,6 @@ def apply_inline_updates(
                 "an unordered child batch — add a _seq column to order them "
                 "(the reference applies WAL changes in LSN order)"
             )
-    # last action per (parent, child key): struct-max on (_seq, del, elem)
-    acts = (
-        base.groupBy("repo", "path", "_ck")
-        .agg(F.max(F.struct("_sq", "_del", "_elem")).alias("_a"))
-        .select("repo", "path", "_ck",
-                F.col("_a._del").alias("_del"), F.col("_a._elem").alias("_elem"))
-    )
-    per_parent = acts.groupBy("repo", "path").agg(
-        F.collect_list("_ck").alias("_touched"),
-        # collect_list drops nulls → only the upserted elements survive
-        F.collect_list(F.when(~F.col("_del"), F.col("_elem"))).alias("_adds"),
-    )
     others = [c for c in cfg.input_columns if c not in ("repo", "path")]
     cur_sel = cur.select(
         "repo", "path", *[F.col(c).alias(f"_cur_{c}") for c in others]
@@ -662,8 +679,23 @@ def apply_inline_updates(
         # plan-audit hook: the UNEXECUTED resolution plan (no persist, no
         # counting jobs, no generation committed)
         return merged
+    # ONE materialization of the collapsed batch serves three earlier jobs:
+    # the duplicate-key guard, the parent count, and the broadcast build
+    # for the probe join all read the persisted per_parent
+    per_parent = per_parent.persist()
+    row = per_parent.agg(
+        F.count("*").alias("np"), F.sum("_ndup").alias("d")
+    ).collect()[0]
+    n_parents = int(row["np"])
+    if not has_seq and int(row["d"] or 0):
+        dup = int(row["d"])
+        per_parent.unpersist()
+        raise ValueError(
+            f"{dup} (parent, {child_pk}) keys appear more than once in "
+            "an unordered child batch — add a _seq column to order them "
+            "(the reference applies WAL changes in LSN order)"
+        )
     merged = merged.persist()
-    n_parents = per_parent.count()
     n_hit = merged.count()
     out = merged
     n_stub = 0
@@ -690,6 +722,7 @@ def apply_inline_updates(
         spark, out, index_dir, cfg, epoch_id=epoch_id, epoch_source=epoch_source
     )
     merged.unpersist()
+    per_parent.unpersist()
     if stubs is not None:
         stubs.unpersist()  # one leaked cache per streamed batch otherwise
     stats["inline_parents_updated"] = int(n_hit)
