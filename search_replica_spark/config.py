@@ -28,13 +28,19 @@ class IndexConfig:
     shuffle_partitions: int = 32
     # columns of the input contract (BASELINE.json#input_hint)
     input_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
-    # "jvm": regexp_extract_all inside whole-stage codegen (no Python in the
-    #        hot loop at all — fastest, scales with cores);
+    # "auto" (default): the Arrow counting path when the build needs no
+    #        positions/per-field analysis, else the jvm path. The Arrow
+    #        tokenizer aggregates (doc, term, tf) WITHIN each batch (every
+    #        doc's tokens live in one input row), so the postings write is
+    #        map-only — the jvm path pays a full explode + groupBy shuffle
+    #        of every posting for the same output (measured slower, r6).
+    # "jvm": regexp_extract_all inside whole-stage codegen (no Python in
+    #        the hot loop; required for positions / field_analyzers);
     # "arrow": Arrow-batched pandas tokenizer (same analysis; the extension
     #        point for analyses Spark SQL cannot express).
-    # Both produce identical postings (tested); the shared regex lives in
+    # All produce identical postings (tested); the shared regex lives in
     # analysis.tokenizer.
-    tokenizer: str = "jvm"
+    tokenizer: str = "auto"
     # dedup input rows by (repo, path) before indexing (last-wins is
     # undefined without an ordering column, so an arbitrary-but-single row
     # survives). Off by default: the build instead FAILS FAST when the same

@@ -285,7 +285,9 @@ def _encode_blocks_fn(n_docs: int, avg_dl: float, cfg: IndexConfig):
     return fn
 
 
-def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
+def _encode_partition_arrow(
+    n_docs: int, avg_dl: float, cfg: IndexConfig, dl_bc=None, hot_bc=None
+):
     """mapInArrow partition encoder — the fast path of the segment encode.
 
     Replaces groupBy(term, salt).applyInPandas for position-less builds:
@@ -297,6 +299,14 @@ def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
     string object per posting), no per-group pandas DataFrame, no per-group
     Python sort. Scoring math is copied verbatim from _encode_blocks_fn —
     the two paths produce bit-identical segments (tested).
+
+    ``dl_bc``/``hot_bc`` (set together): Spark broadcasts of the doc_len
+    array (doc_idx-indexed) and the {hot term: df} dict. The JVM→Python
+    transfer is this stage's measured wall (a consume-only pass costs the
+    same as the full encode), so per-posting doc_len and df_hot columns —
+    pure redundancy, one is per-DOC and the other per-GROUP — stay out of
+    the exchange and the Arrow stream entirely (guide §2.3/§8: shuffle
+    keys and metadata, attach the payload once).
     """
     k1, b, bs, range_docs = cfg.k1, cfg.b, cfg.block_size, cfg.salt_range_docs
     store_dl = cfg.store_doclens
@@ -307,6 +317,8 @@ def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        dl_arr = dl_bc.value if dl_bc is not None else None
+        hot_map = hot_bc.value if hot_bc is not None else None
         out_rows: list[list] = [[] for _ in range(9)]
         # pending group carried across batches: [term, salt, df_hot, chunks]
         cur: list | None = None
@@ -317,7 +329,12 @@ def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
             else:
                 doc_idx = np.concatenate([c[0] for c in chunks])
                 tf = np.concatenate([c[1] for c in chunks])
-                dl = np.concatenate([c[2] for c in chunks])
+                dl = (
+                    None if dl_arr is not None
+                    else np.concatenate([c[2] for c in chunks])
+                )
+            if dl_arr is not None:
+                dl = dl_arr[doc_idx]
             df_t = int(df_hot) if df_hot >= 0 else doc_idx.size
             idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
             dlf = dl.astype(np.float64)
@@ -378,14 +395,15 @@ def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
             tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
-            dl = batch.column("doc_len").to_numpy(zero_copy_only=False).astype(
-                np.int64, copy=False
-            )
-            dh = (
-                pc.fill_null(batch.column("df_hot"), -1)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False)
-            )
+            if dl_arr is None:
+                dl = batch.column("doc_len").to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                dh = (
+                    pc.fill_null(batch.column("df_hot"), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
             # group boundaries without materializing term objects: per-batch
             # dictionary codes change exactly where the term changes
             codes = pc.dictionary_encode(t_arr).indices.to_numpy(zero_copy_only=False)
@@ -401,13 +419,16 @@ def _encode_partition_arrow(n_docs: int, avg_dl: float, cfg: IndexConfig):
                 s, e = int(starts[gi]), int(ends[gi])
                 key_term = t_arr[s].as_py()
                 key_salt = int(salt_np[s])
-                chunk = (di[s:e], tf[s:e], dl[s:e])
+                chunk = (di[s:e], tf[s:e], None if dl_arr is not None else dl[s:e])
                 if cur is not None and cur[0] == key_term and cur[1] == key_salt:
                     cur[3].append(chunk)
                     continue
                 if cur is not None:
                     emit(cur[0], cur[1], cur[2], cur[3])
-                cur = [key_term, key_salt, int(dh[s]), [chunk]]
+                group_df = (
+                    hot_map.get(key_term, -1) if dl_arr is not None else int(dh[s])
+                )
+                cur = [key_term, key_salt, group_df, [chunk]]
             if len(out_rows[0]) >= 50_000:
                 yield drain()
         if cur is not None:
@@ -431,10 +452,21 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     if src.rdd.getNumPartitions() < max(2, P // 2):
         src = src.repartition(P)
     docs = with_doc_ids(src)
-    if cfg.store_positions and cfg.tokenizer != "jvm":
+    # "auto" resolves per build: positions / per-field analysis need the
+    # jvm expression pipeline; everything else takes the Arrow counting
+    # path, whose output needs NO groupBy shuffle (each doc's tokens live
+    # in one input row, so per-batch counting is already exact)
+    tokenizer = cfg.tokenizer
+    if tokenizer == "auto":
+        tokenizer = (
+            "jvm"
+            if (cfg.store_positions or cfg.field_analyzers is not None)
+            else "arrow"
+        )
+    if cfg.store_positions and tokenizer != "jvm":
         raise ValueError("store_positions requires the jvm tokenizer")
     if cfg.field_analyzers is not None:
-        if cfg.tokenizer != "jvm":
+        if tokenizer != "jvm":
             raise ValueError("field_analyzers requires the jvm tokenizer")
         missing = [f for f, _k in cfg.field_analyzers if f not in src.columns]
         if missing:
@@ -447,7 +479,7 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
             with_positions=cfg.store_positions,
             field_analyzers=cfg.field_analyzers,
         )
-        if cfg.tokenizer == "jvm"
+        if tokenizer == "jvm"
         else tokenize_counts(docs)
     )
     tok.write.mode("overwrite").parquet(os.path.join(out, "postings"))
@@ -562,20 +594,52 @@ def _stage_segments(
     )
     hot = df_tbl.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
 
-    # doc-side of the postings join: broadcast while the doc map fits (it is
-    # 3 narrow columns); beyond that fall back to a shuffle join — at true
-    # 10^12-doc scale the right plan is a bucketed/colocated join instead
-    doc_side = doc_map.select("doc_id", "doc_idx", "doc_len")
-    if n_docs <= 5_000_000:
-        doc_side = F.broadcast(doc_side)
-    p2 = postings.join(doc_side, "doc_id").join(F.broadcast(hot), "term", "left")
-    p2 = p2.withColumn(
-        "salt",
-        F.when(
-            F.col("df_hot").isNotNull(),
-            (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
-        ).otherwise(F.lit(0)),
+    # per-posting doc_len and df_hot are redundant copies of per-DOC /
+    # per-GROUP values: when the doc map is broadcast-sized (the same ≤5M
+    # cutoff the join already uses) and the hot-term set is small (it is by
+    # construction — df above threshold), resolve BOTH inside the Python
+    # encoder from Spark broadcasts and keep their 16 bytes/posting out of
+    # the exchange and the Arrow stream (the measured wall of this stage).
+    hot_rows = hot.collect()  # tiny: one row per over-threshold term
+    py_side = (
+        not cfg.store_positions
+        and n_docs <= 5_000_000
+        and len(hot_rows) <= 10_000
     )
+    dl_bc = hot_bc = None
+    if py_side:
+        sc = spark.sparkContext
+        dl_pdf = doc_map.select("doc_idx", "doc_len").toPandas().sort_values("doc_idx")
+        dl_bc = sc.broadcast(dl_pdf["doc_len"].to_numpy(np.int64))
+        hot_bc = sc.broadcast({r["term"]: int(r["df_hot"]) for r in hot_rows})
+        hot_terms = [r["term"] for r in hot_rows]
+        doc_side = F.broadcast(doc_map.select("doc_id", "doc_idx"))
+        p2 = postings.join(doc_side, "doc_id").withColumn(
+            "salt",
+            F.when(
+                F.col("term").isin(hot_terms) if hot_terms else F.lit(False),
+                (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        narrow = p2.select(
+            "term", "salt", "doc_idx", F.col("tf").cast("int").alias("tf")
+        )
+    else:
+        # doc-side of the postings join: broadcast while the doc map fits
+        # (3 narrow columns); beyond that fall back to a shuffle join — at
+        # true 10^12-doc scale the right plan is a bucketed/colocated join
+        doc_side = doc_map.select("doc_id", "doc_idx", "doc_len")
+        if n_docs <= 5_000_000:
+            doc_side = F.broadcast(doc_side)
+        p2 = postings.join(doc_side, "doc_id").join(F.broadcast(hot), "term", "left")
+        p2 = p2.withColumn(
+            "salt",
+            F.when(
+                F.col("df_hot").isNotNull(),
+                (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        narrow = p2.select("term", "salt", "doc_idx", "tf", "doc_len", "df_hot")
     if cfg.store_positions:
         # positions carry a per-posting list column — stays on the grouped-
         # map pandas path (built rarely and only for phrase-enabled indexes)
@@ -587,19 +651,30 @@ def _stage_segments(
         # never carries doc_id — guide §2.3), hash-partition by group key,
         # JVM-sort groups contiguous and doc-ordered, then walk group
         # boundaries over Arrow buffers (no pandas, no per-posting Python
-        # objects — see _encode_partition_arrow)
+        # objects — see _encode_partition_arrow). Large Arrow batches cut
+        # the per-batch boundary overhead (measured 10k → 100k: −23%).
         seg = (
-            p2.select("term", "salt", "doc_idx", "tf", "doc_len", "df_hot")
-            .repartition(width, "term", "salt")
+            narrow.repartition(width, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_idx")
-            .mapInArrow(_encode_partition_arrow(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA)
+            .mapInArrow(
+                _encode_partition_arrow(n_docs, avg_dl, cfg, dl_bc, hot_bc),
+                schema=SEGMENT_SCHEMA,
+            )
         )
     # hash-repartition by term (NOT repartitionByRange: range sampling would
     # evaluate the whole encode plan twice) + in-file sort: each term's
     # blocks are contiguous in one file, so term-IN pushdown prunes row
     # groups just as well as a global range order
     seg = seg.repartition(P, "term").sortWithinPartitions("term", "block_id")
-    seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
+    old_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    try:
+        seg.write.mode("overwrite").parquet(os.path.join(out, "segments"))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_arrow)
+        if dl_bc is not None:
+            dl_bc.unpersist()
+            hot_bc.unpersist()
 
     spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}

@@ -178,7 +178,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )  # per-row array_distinct dedups map-side — no distinct() shuffle
     df_tbl = tok.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "term")
     wn = Window.partitionBy("doc_id")
@@ -243,7 +245,9 @@ def dedup_simhash(spark, sf_dir):
     # of 16× the rows plus its follow-up per-doc aggregation. The ±1
     # contributions and integer sums are identical term-for-term.
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )  # per-row array_distinct dedups map-side — no distinct() shuffle
     contribs = [
         F.when(
             (
@@ -293,7 +297,9 @@ def _simhash64(spark, sf_dir):
     # (b//4) — (digit >> (b%4)) & 1 equals the old floor/pow arithmetic
     # exactly (digit <= 15), so the ±1 contributions and sums are identical.
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).distinct()
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )  # per-row array_distinct dedups map-side — no distinct() shuffle
     digits = [
         F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), h + 1, 1)) - 1
         for h in range(16)

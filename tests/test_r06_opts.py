@@ -87,6 +87,48 @@ def test_arrow_encoder_matches_grouped_pandas(spark):
     for c in old.columns:
         assert (old[c] == new[c]).all(), f"column {c} differs"
 
+    # broadcast variant: doc_len/df_hot resolved Python-side from broadcasts
+    # (the narrow-exchange fast path) must match too
+    dl_arr = np.zeros(n_docs, dtype=np.int64)
+    dl_map = pdf.drop_duplicates("doc_idx")
+    dl_arr[dl_map["doc_idx"].to_numpy()] = dl_map["doc_len"].to_numpy()
+    # doc_len must be consistent per doc for the lookup to be equivalent
+    pdf2 = pdf.copy()
+    pdf2["doc_len"] = dl_arr[pdf2["doc_idx"].to_numpy()]
+    df2 = spark.createDataFrame(
+        pdf2, "term string, doc_idx long, tf long, doc_len long, df_hot long"
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("df_hot").isNotNull(),
+            (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    old2 = (
+        df2.groupBy("term", "salt")
+        .applyInPandas(_encode_blocks_fn(n_docs, avg_dl, cfg), schema=SEGMENT_SCHEMA)
+        .toPandas()
+        .sort_values(["term", "block_id"])
+        .reset_index(drop=True)
+    )
+    dl_bc = spark.sparkContext.broadcast(dl_arr)
+    hot_bc = spark.sparkContext.broadcast({"hotterm": 60_000})
+    new2 = (
+        df2.select("term", "salt", "doc_idx", F.col("tf").cast("int").alias("tf"))
+        .repartition(4, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_idx")
+        .mapInArrow(
+            _encode_partition_arrow(n_docs, avg_dl, cfg, dl_bc, hot_bc),
+            schema=SEGMENT_SCHEMA,
+        )
+        .toPandas()
+        .sort_values(["term", "block_id"])
+        .reset_index(drop=True)
+    )
+    assert len(old2) == len(new2)
+    for c in old2.columns:
+        assert (old2[c] == new2[c]).all(), f"broadcast-path column {c} differs"
+
 
 def test_bucket_pairs_slice_expansion(spark):
     """The distributed slice expansion emits exactly the a<b pairs of the
