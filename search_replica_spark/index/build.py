@@ -584,14 +584,11 @@ def _stage_segments(
     # localCheckpoint: the dict is tiny (one row per term) but its parent is
     # a full pass over the postings — without the checkpoint the range
     # partitioner's SAMPLING executes that pass a second time (measured:
-    # the dict write was 2× the cost of the aggregation itself)
+    # the dict write was 2× the cost of the aggregation itself). The dict
+    # parquet itself is written AFTER the segments (below) so the per-term
+    # gmax can ride in it directly — finalize used to rewrite the whole
+    # dict for that one column.
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df")).localCheckpoint()
-    (
-        df_tbl.repartitionByRange(min(P, 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "dict"))
-    )
     hot = df_tbl.filter(F.col("df") > cfg.hot_df_threshold).withColumnRenamed("df", "df_hot")
 
     # per-posting doc_len and df_hot are redundant copies of per-DOC /
@@ -676,6 +673,24 @@ def _stage_segments(
             dl_bc.unpersist()
             hot_bc.unpersist()
 
+    # dict with the per-term gmax fused in: one metadata-only scan of the
+    # just-written segments (term + max_score — parquet never touches the
+    # binary streams) joined to the checkpointed df table. Writing the dict
+    # ONCE here replaces finalize's read-join-rewrite-rename of the whole
+    # dict for the gmax column (3 jobs + 2 renames per build).
+    gmax_tbl = (
+        spark.read.parquet(os.path.join(out, "segments"))
+        .groupBy("term")
+        .agg(F.max("max_score").alias("gmax"))
+    )
+    (
+        df_tbl.join(gmax_tbl, "term", "left")
+        .repartitionByRange(min(P, 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "dict"))
+    )
+
     spark.conf.set("spark.sql.shuffle.partitions", old_width)
     return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
 
@@ -683,59 +698,38 @@ def _stage_segments(
 def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict, t0: float) -> dict:
     P = cfg.shuffle_partitions
     segdf = spark.read.parquet(os.path.join(out, "segments"))
-    # ONE scan of segments/ feeds both finalize products: the per-file
-    # lineage AND the per-term gmax (the block-max-pruned plan's dict
-    # enrichment). Segments are hash-partitioned by term, so the
-    # (file, term) pre-aggregate has exactly one row per term — small
-    # enough to re-aggregate both ways without touching the (heavy)
-    # binary columns again. Fusing these saves a full extra segments job
-    # per build vs computing gmax in its own pass.
-    termlin_dir = os.path.join(out, "_termlin")
-    (
-        segdf.groupBy(F.input_file_name().alias("file"), "term")
-        .agg(
-            F.count("*").alias("blocks"),
-            F.sum("n").alias("postings_emitted"),
-            (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias(
-                "bytes_compressed"
-            ),
-            F.max("max_score").alias("gmax"),
-        )
-        .write.mode("overwrite")
-        .parquet(termlin_dir)
-    )
-    tl = spark.read.parquet(termlin_dir)
-    # per-partition lineage: one row per output file (= shuffle partition)
-    lineage = tl.groupBy("file").agg(
-        F.sum("blocks").alias("blocks"),
-        F.sum("postings_emitted").alias("postings_emitted"),
-        F.sum("bytes_compressed").alias("bytes_compressed"),
-        F.count("*").alias("terms"),  # one termlin row per (file, term)
+    # per-partition lineage: one row per output file (= shuffle partition),
+    # from ONE scan of segments/. The per-term gmax no longer needs its own
+    # pass here — the segments stage writes the dict with gmax fused in
+    # (a legacy resume against a gmax-less dict is enriched below).
+    lineage = segdf.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").alias("blocks"),
+        F.sum("n").alias("postings_emitted"),
+        (F.sum(F.length("docs_bin")) + F.sum(F.length("tfs_bin"))).alias(
+            "bytes_compressed"
+        ),
+        F.countDistinct("term").alias("terms"),
     ).withColumn("stage", F.lit("segments"))
     lineage.write.mode("overwrite").parquet(os.path.join(out, "lineage"))
 
-    # dict gmax enrichment — idempotent (finalize re-runs on resume, and
-    # the dict may already carry gmax from a crashed earlier finalize).
-    # Written fresh and renamed in; the index is not adopted (stats.json)
-    # until after the swap, so readers never observe the gmax-less dict.
     dict_new = os.path.join(out, "_dict_gmax")
     if not os.path.exists(os.path.join(out, "dict")) and os.path.exists(dict_new):
-        # crash window on a prior finalize: dict/ removed, rename pending
+        # crash window on a legacy finalize: dict/ removed, rename pending
         os.rename(dict_new, os.path.join(out, "dict"))
     dict_df = spark.read.parquet(os.path.join(out, "dict"))
-    if "gmax" in dict_df.columns:
-        dict_df = dict_df.drop("gmax")
-    gmax_tbl = tl.groupBy("term").agg(F.max("gmax").alias("gmax"))
-    (
-        dict_df.join(gmax_tbl, "term", "left")
-        .repartitionByRange(min(P, 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(dict_new)
-    )
-    shutil.rmtree(os.path.join(out, "dict"))
-    os.rename(dict_new, os.path.join(out, "dict"))
-    shutil.rmtree(termlin_dir, ignore_errors=True)
+    if "gmax" not in dict_df.columns:
+        # legacy resume: segments stage committed by the pre-r6 code whose
+        # dict carried no gmax — enrich it once, written fresh + renamed in
+        gmax_tbl = segdf.groupBy("term").agg(F.max("max_score").alias("gmax"))
+        (
+            dict_df.join(gmax_tbl, "term", "left")
+            .repartitionByRange(min(P, 8), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(dict_new)
+        )
+        shutil.rmtree(os.path.join(out, "dict"))
+        os.rename(dict_new, os.path.join(out, "dict"))
 
     lin = spark.read.parquet(os.path.join(out, "lineage")).agg(
         F.sum("postings_emitted").alias("p"),
@@ -828,7 +822,8 @@ def build_index(
     t0 = time.time()
     m = Manifest(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    m.bind_input(input_fingerprint(corpus))
+    fp = input_fingerprint(corpus)
+    m.bind_input(fp)
 
     if m.stage_done("finalize"):
         with open(os.path.join(out_dir, "stats.json")) as f:
@@ -838,8 +833,9 @@ def build_index(
     # shuffles ~250 postings/doc; a cores-sized width spills its reducer
     # sorts and turns linear stages superlinear). AQE coalesces any excess,
     # so a generous estimate is safe. _stage_segments refines it from the
-    # exact postings count.
-    n_files_est = corpus.count()  # parquet metadata count
+    # exact postings count. The row count already rides in the fingerprint
+    # ("schema|n|digest") — no second count job.
+    n_files_est = int(fp.rsplit("|", 2)[1])
     width = max(cfg.shuffle_partitions, n_files_est * 250 // 2_000_000)
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))

@@ -193,13 +193,76 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.col("r") <= F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
     ).select("doc_id", "term")
 
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # candidate pairs through the same distributed bucket expansion as the
+    # LSH entries — the raw prefix self-join serialized a hot prefix term's
+    # s² pairs into one skewed join partition (measured: 48 s → 13.5 s for
+    # the identical 12.5M candidates at sf0.1). No bucket cap: prefix
+    # filtering is lossless, so the candidate set must stay exact.
     cand = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(prefix, ["term"], "doc_id", max_bucket=None)
+        .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates against the FULL token sets
+
+    # exact verification: each doc's distinct-token set as a BITSET over
+    # the factorized vocabulary, broadcast to the workers; |intersection|
+    # is a vectorized popcount(and) per candidate — no token explosion, no
+    # array columns in any shuffle (candidates cross as two longs). Falls
+    # back to the exploded-token equi-join verify when the bitset matrix
+    # would not be broadcast-sized.
+    import pandas as pd
+
+    arr_pdf = (
+        d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("_arr"))
+        .toPandas()
+    )
+    ids_sorted = np.sort(arr_pdf["doc_id"].to_numpy(np.int64))
+    order = np.argsort(arr_pdf["doc_id"].to_numpy(np.int64))
+    toks_in_id_order = arr_pdf["_arr"].to_numpy(object)[order]
+    flat = [t for arr in toks_in_id_order for t in arr]
+    codes, _uniq = pd.factorize(pd.Series(flat, dtype=object), sort=False)
+    n_vocab = len(_uniq)
+    words = max(1, -(-n_vocab // 64))
+    if ids_sorted.size * words * 8 <= 256 * 1024 * 1024:
+        bits = np.zeros((ids_sorted.size, words), dtype=np.uint64)
+        sizes = np.fromiter((len(a) for a in toks_in_id_order), dtype=np.int64,
+                            count=ids_sorted.size)
+        row_of = np.repeat(np.arange(ids_sorted.size), sizes)
+        np.bitwise_or.at(
+            bits, (row_of, codes // 64), np.uint64(1) << (codes % 64).astype(np.uint64)
+        )
+        bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, bits, sizes))
+        pop = np.array([bin(x).count("1") for x in range(256)], dtype=np.int64)
+
+        def verify(batches):
+            import pyarrow as pa
+
+            ids, bmat, sz = bc.value
+            for bt in batches:
+                if bt.num_rows == 0:
+                    continue
+                da = bt.column("doc_a").to_numpy(zero_copy_only=False)
+                db = bt.column("doc_b").to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(ids, da)
+                ib = np.searchsorted(ids, db)
+                inter = bmat[ia] & bmat[ib]
+                i = pop[inter.view(np.uint8)].sum(axis=1)
+                yield pa.record_batch(
+                    [bt.column("doc_a"), bt.column("doc_b"),
+                     pa.array(i, pa.int64()),
+                     pa.array(sz[ia], pa.int64()), pa.array(sz[ib], pa.int64())],
+                    names=["doc_a", "doc_b", "i", "na", "nb"],
+                )
+
+        inb = cand.mapInArrow(
+            verify, schema="doc_a long, doc_b long, i long, na long, nb long"
+        )
+        j = inb.withColumn(
+            "jac", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        ).filter(F.col("jac") >= JACCARD_T)
+        return j.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+    # large-corpus fallback: verification by exploded-token equi-joins
     ta = tok.select(F.col("doc_id").alias("doc_a"), "term")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "term")
     inter = (
@@ -635,11 +698,20 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
     )
+    # FRONTIER propagation: after round 1 only nodes whose label changed
+    # last round can improve a neighbor, so each round joins the edges
+    # against the (rapidly shrinking) changed set instead of every label —
+    # same min-label fixpoint, round cost drops with the frontier size
+    # (measured ~2× on the 9.3M-pair sf0.1 graph). The label side is tiny
+    # (≤ nodes), so AQE broadcasts it and the checkpointed edges never
+    # reshuffle.
+    delta = labels
     for _i in range(max_rounds):
-        # each round: every node adopts min(own, neighbors' labels)
+        # nodes adopting min(own, changed neighbors' labels)
         neigh = (
-            edges.join(labels.withColumnRenamed("doc_id", "u"), "u")
+            edges.join(delta.withColumnRenamed("doc_id", "u"), "u")
             .groupBy(F.col("v").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
@@ -654,7 +726,8 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         )
         # old label rides in the projection — convergence is one filter
         # count on the checkpointed frame, not a second join per round
-        changed = new.filter(F.col("lbl") != F.col("_old")).count()
+        delta = new.filter(F.col("lbl") != F.col("_old")).drop("_old")
+        changed = delta.count()
         labels = new.drop("_old")
         if changed == 0:
             return labels
