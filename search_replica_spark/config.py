@@ -28,16 +28,21 @@ class IndexConfig:
     shuffle_partitions: int = 32
     # columns of the input contract (BASELINE.json#input_hint)
     input_columns: tuple[str, ...] = ("repo", "path", "commit", "lang", "content")
-    # "auto" (default): the Arrow counting path when the build needs no
-    #        positions/per-field analysis, else the jvm path. The Arrow
-    #        tokenizer aggregates (doc, term, tf) WITHIN each batch (every
-    #        doc's tokens live in one input row), so the postings write is
-    #        map-only — the jvm path pays a full explode + groupBy shuffle
-    #        of every posting for the same output (measured slower, r6).
+    # "auto" (default): the jvm codegen path. Measured head-to-head at the
+    #        bench's 32-core setting (r6, quiet box, same commit): jvm 41.3 s
+    #        vs arrow 79.7 s for the sf0.1 build — the JVM→Python Arrow copy
+    #        of every content byte is what saturates this box's shared
+    #        memory bandwidth, and it costs ~2× the explode+groupBy shuffle
+    #        it saves. (An earlier min-of-3 on a CONTENDED box measured the
+    #        opposite; the uncontended 32-core number is the driver's shape.)
     # "jvm": regexp_extract_all inside whole-stage codegen (no Python in
     #        the hot loop; required for positions / field_analyzers);
-    # "arrow": Arrow-batched pandas tokenizer (same analysis; the extension
-    #        point for analyses Spark SQL cannot express).
+    # "arrow": Arrow-batched pandas tokenizer whose per-batch (doc, term,
+    #        tf) aggregation makes the postings write MAP-ONLY (no explode+
+    #        groupBy shuffle of every posting) — the right trade on clusters
+    #        whose constraint is shuffle/network capacity rather than local
+    #        memory bandwidth; also the extension point for analyses Spark
+    #        SQL cannot express.
     # All produce identical postings (tested); the shared regex lives in
     # analysis.tokenizer.
     tokenizer: str = "auto"

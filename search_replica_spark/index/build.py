@@ -452,17 +452,13 @@ def _stage_docmap(spark: SparkSession, corpus: DataFrame, out: str, cfg: IndexCo
     if src.rdd.getNumPartitions() < max(2, P // 2):
         src = src.repartition(P)
     docs = with_doc_ids(src)
-    # "auto" resolves per build: positions / per-field analysis need the
-    # jvm expression pipeline; everything else takes the Arrow counting
-    # path, whose output needs NO groupBy shuffle (each doc's tokens live
-    # in one input row, so per-batch counting is already exact)
+    # "auto" resolves to the jvm codegen pipeline (measured 2× faster than
+    # the Arrow counting path at the bench's 32-core setting — see the
+    # IndexConfig.tokenizer note); pass tokenizer="arrow" explicitly on
+    # shuffle-constrained clusters to make the postings write map-only.
     tokenizer = cfg.tokenizer
     if tokenizer == "auto":
-        tokenizer = (
-            "jvm"
-            if (cfg.store_positions or cfg.field_analyzers is not None)
-            else "arrow"
-        )
+        tokenizer = "jvm"
     if cfg.store_positions and tokenizer != "jvm":
         raise ValueError("store_positions requires the jvm tokenizer")
     if cfg.field_analyzers is not None:

@@ -35,20 +35,116 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+def _tok_codes_arrow(text_arr):
+    """split(' ') + dictionary-encode one Arrow batch's token stream.
+
+    Returns (lens int64[n_rows], codes int64[n_tokens], uniq list[str]).
+    ``pc.split_pattern`` matches Spark's ``F.split(text, ' ')`` exactly,
+    empties included; a null text yields a zero-length segment (the doc
+    drops out downstream, same as explode of null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    la = pc.split_pattern(text_arr, " ")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    d = pc.dictionary_encode(la.flatten())
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return lens, codes, d.dictionary.to_pylist()
+
+
+def _doc_term_pairs(lens, codes, n_uniq):
+    """DISTINCT (row, term-code) pairs, sorted by row. Returns (u_doc,
+    u_code, starts): starts[i] opens row u_doc[starts[i]]'s segment."""
+    doc_pos = np.arange(lens.size, dtype=np.int64).repeat(lens)
+    key = doc_pos * np.int64(max(n_uniq, 1)) + codes
+    ukey = np.unique(key)
+    u_doc = ukey // max(n_uniq, 1)
+    u_code = ukey % max(n_uniq, 1)
+    starts = np.flatnonzero(np.r_[True, u_doc[1:] != u_doc[:-1]])
+    return u_doc, u_code, starts
+
+
+def _seg_bit_counts(bits: np.ndarray, u_code, starts):
+    """Per-row sums of ``bits[u_code]`` (0/1 int8 matrix) over the row
+    segments, exactly — two-level ``add.reduceat``: int8 partials over
+    ≤127-row sub-segments (no overflow: 0/1 values), int64 outer sums.
+    A direct int32 reduceat was measured 10× slower (the casted copy)."""
+    n = u_code.size
+    seg_len = np.diff(np.r_[starts, n])
+    n_sub = (seg_len + 126) // 127
+    sub_starts = np.repeat(starts, n_sub) + (
+        np.arange(n_sub.sum()) - np.repeat(np.cumsum(n_sub) - n_sub, n_sub)
+    ) * 127
+    partial = np.add.reduceat(bits[u_code], sub_starts, axis=0).astype(np.int64)
+    outer = np.cumsum(np.r_[0, n_sub])[:-1]
+    return np.add.reduceat(partial, outer, axis=0), seg_len
+
+
+def _md5_hex_digits(uniq) -> np.ndarray:
+    """(n_uniq, 32) uint8 matrix of md5 hex-digit VALUES per unique term."""
+    import hashlib
+
+    dig = np.empty((len(uniq), 16), dtype=np.uint8)
+    for i, t in enumerate(uniq):
+        dig[i] = np.frombuffer(hashlib.md5(t.encode()).digest(), dtype=np.uint8)
+    hexdig = np.empty((len(uniq), 32), dtype=np.uint8)
+    hexdig[:, 0::2] = dig >> 4
+    hexdig[:, 1::2] = dig & 0x0F
+    return hexdig
+
+
+def _minhash_fn(batches):
+    """mapInArrow body: (doc_id, text) → (doc_id, m0..m7) per batch.
+
+    Exactly min(md5(term || '#s')) over the doc's tokens: md5 runs ONCE
+    per unique term per salt (hashlib == Spark's md5 — both standard md5
+    hex), per-doc mins come from a rank reduceat (S32 hex strings are
+    pure ASCII: lexicographic S32 order == hex-string order). Min over
+    the token multiset equals min over the set, so the per-doc distinct
+    costs nothing extra."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        lens, codes, uniq = _tok_codes_arrow(b.column("text"))
+        u_doc, u_code, starts = _doc_term_pairs(lens, codes, len(uniq))
+        if starts.size == 0:
+            continue
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        cols = [pa.array(doc_ids[u_doc[starts]], pa.int64())]
+        for s in range(N_HASHES):
+            suffix = f"#{s}".encode()
+            dig = np.empty(len(uniq), dtype="S32")
+            for i, t in enumerate(uniq):
+                dig[i] = hashlib.md5(t.encode() + suffix).hexdigest()
+            ordr = np.argsort(dig, kind="stable")
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[ordr] = np.arange(len(uniq))
+            minr = np.minimum.reduceat(rank[u_code], starts)
+            cols.append(pa.array(dig[ordr[minr]].astype("U32"), pa.string()))
+        yield pa.record_batch(
+            cols, names=["doc_id"] + [f"m{s}" for s in range(N_HASHES)]
+        )
+
+
 def _minhash_sig(spark, sf_dir):
     """(doc_id, m0..m7) MinHash signature over the distinct-token set.
 
-    No ``.distinct()`` before the min-aggregation: min over the token
-    MULTISET equals min over the token set (md5 is deterministic per
-    token), so the dedup shuffle the oracle spells out is pure overhead —
-    one partial-aggregating groupBy replaces distinct + groupBy."""
+    MAP-ONLY (guide §2.4): each doc's tokens live in one ``documents.text``
+    row, so the signature is a per-row function — one Arrow pass computes
+    it with zero shuffle. The old explode + 8-way-min groupBy paid a full
+    shuffle of every token row for a per-row answer."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("term"), F.lit(f"#{s}")))).alias(f"m{s}")
-        for s in range(N_HASHES)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return d.select("doc_id", "text").mapInArrow(
+        _minhash_fn,
+        schema="doc_id long, " + ", ".join(f"m{s} string" for s in range(N_HASHES)),
+    )
 
 
 _MINHASH_SQL_SIG = (
@@ -300,35 +396,45 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _simhash16_fn(batches):
+    """mapInArrow body: (doc_id, text) → (doc_id, simhash) per batch.
+
+    Per DISTINCT token, bit b's contribution is +1 iff hex digit b of
+    md5(term) is odd (its LSB); sum_b = 2·ones_b − n_distinct, exactly
+    the old ±1 integer sums. ones_b comes from _seg_bit_counts."""
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        lens, codes, uniq = _tok_codes_arrow(b.column("text"))
+        u_doc, u_code, starts = _doc_term_pairs(lens, codes, len(uniq))
+        if starts.size == 0:
+            continue
+        hexdig = _md5_hex_digits(uniq)
+        bits = (hexdig[:, :16] & 1).astype(np.int8)  # LSB of hex digit b
+        ones, seg_len = _seg_bit_counts(bits, u_code, starts)
+        pos = 2 * ones - seg_len[:, None] > 0
+        w = 1 << np.arange(16, dtype=np.int64)
+        sim = (pos * w).sum(axis=1)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        yield pa.record_batch(
+            [pa.array(doc_ids[u_doc[starts]], pa.int64()), pa.array(sim, pa.int64())],
+            names=["doc_id", "simhash"],
+        )
+
+
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
-    # one conditional-sum column per bit instead of a ×16 row explode: the
-    # md5 is computed once per (doc, term) row (not once per exploded bit),
-    # and ONE partial-aggregating groupBy replaces the (doc_id, b) shuffle
-    # of 16× the rows plus its follow-up per-doc aggregation. The ±1
-    # contributions and integer sums are identical term-for-term.
+    # MAP-ONLY (guide §2.4): the signature is a per-row function of text —
+    # one Arrow pass, zero shuffle. Replaces the explode + 16-column
+    # conditional-sum groupBy (a full shuffle of every distinct token row,
+    # plus a 16-sum codegen aggregate); the ±1 integer sums and the bit
+    # packing are identical term-for-term (pytest + EXACT harness).
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    )  # per-row array_distinct dedups map-side — no distinct() shuffle
-    contribs = [
-        F.when(
-            (
-                (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), b + 1, 1)) - 1)
-                % 2
-            )
-            == 1,
-            1,
-        ).otherwise(-1)
-        for b in range(16)
-    ]
-    bits = tok.groupBy("doc_id").agg(
-        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(contribs)]
+    return d.select("doc_id", "text").mapInArrow(
+        _simhash16_fn, schema="doc_id long, simhash long"
     )
-    sim = F.lit(0).cast("long")
-    for b in range(16):
-        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return bits.select("doc_id", sim.alias("simhash"))
 
 
 # 64-bit SimHash (Charikar) at realistic precision, stored as two 32-bit
@@ -352,35 +458,47 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _simhash64_fn(batches):
+    """mapInArrow body: (doc_id, text) → (doc_id, sim_hi, sim_lo).
+
+    Bit b of a term's hash = bit (b%4) of md5 hex digit (b//4); per-doc
+    sum_b = 2·ones_b − n_distinct — identical to the old ±1 integer sums
+    term-for-term."""
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        lens, codes, uniq = _tok_codes_arrow(b.column("text"))
+        u_doc, u_code, starts = _doc_term_pairs(lens, codes, len(uniq))
+        if starts.size == 0:
+            continue
+        hexdig = _md5_hex_digits(uniq)
+        bb = np.arange(64)
+        bits = ((hexdig[:, bb // 4] >> (bb % 4)) & 1).astype(np.int8)
+        ones, seg_len = _seg_bit_counts(bits, u_code, starts)
+        pos = 2 * ones - seg_len[:, None] > 0
+        w = 1 << np.arange(32, dtype=np.int64)
+        hi = (pos[:, 32:] * w).sum(axis=1)
+        lo = (pos[:, :32] * w).sum(axis=1)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        yield pa.record_batch(
+            [
+                pa.array(doc_ids[u_doc[starts]], pa.int64()),
+                pa.array(hi, pa.int64()),
+                pa.array(lo, pa.int64()),
+            ],
+            names=["doc_id", "sim_hi", "sim_lo"],
+        )
+
+
 def _simhash64(spark, sf_dir):
-    # same one-shuffle shape as dedup_simhash above: 64 conditional-sum
-    # columns over the distinct (doc, term) rows instead of a ×64 row
-    # explode + two shuffles; md5 runs once per row (was once per exploded
-    # bit = 64×). bit b of a term's hash = bit (b%4) of md5 hex digit
-    # (b//4) — (digit >> (b%4)) & 1 equals the old floor/pow arithmetic
-    # exactly (digit <= 15), so the ±1 contributions and sums are identical.
+    # MAP-ONLY one-Arrow-pass signature (see dedup_simhash) — replaces the
+    # explode + 64-column conditional-sum groupBy; zero Exchange.
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    )  # per-row array_distinct dedups map-side — no distinct() shuffle
-    digits = [
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), h + 1, 1)) - 1
-        for h in range(16)
-    ]
-    contribs = [
-        F.when(F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        for b in range(64)
-    ]
-    bits = tok.groupBy("doc_id").agg(
-        *[F.sum(c).alias(f"s{b}") for b, c in enumerate(contribs)]
+    return d.select("doc_id", "text").mapInArrow(
+        _simhash64_fn, schema="doc_id long, sim_hi long, sim_lo long"
     )
-    hi = F.lit(0).cast("long")
-    lo = F.lit(0).cast("long")
-    for b in range(32, 64):
-        hi = hi + F.when(F.col(f"s{b}") > 0, F.lit(1 << (b - 32)).cast("long")).otherwise(0)
-    for b in range(32):
-        lo = lo + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return bits.select("doc_id", hi.alias("sim_hi"), lo.alias("sim_lo"))
 
 
 @register("dedup_simhash64", _SIMHASH64_BITS_SQL)
@@ -609,9 +727,49 @@ def dedup_embedding_lsh(spark, sf_dir):
         .select(F.col("_a").alias("vec_a"), F.col("_b").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    sims = _cosine_pairs_arrow(cand.join(ea, "vec_a").join(eb, "vec_b"))
+
+    # exact-cosine verify via a BROADCAST vector matrix (same pattern as
+    # the jaccard bitset verify): candidates cross the final stage as two
+    # longs, no re-scan/join of the embeddings table per side (was two
+    # joins + an extra embeddings scan). Gated to broadcast-sized corpora;
+    # beyond the gate the equi-join verify below is the scale path.
+    import pandas as pd
+
+    e_pdf = e.select("vec_id", "emb").toPandas()
+    ids = e_pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    if ids_sorted.size * EMB_DIM * 8 <= 256 * 1024 * 1024:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in e_pdf["emb"].to_numpy(object)[order]]
+        ) if ids_sorted.size else np.zeros((0, EMB_DIM))
+        bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+
+        def verify(batches):
+            import pyarrow as pa
+
+            vids, vmat = bc.value
+            for bt in batches:
+                if bt.num_rows == 0:
+                    continue
+                ia = np.searchsorted(vids, bt.column("vec_a").to_numpy(zero_copy_only=False))
+                ib = np.searchsorted(vids, bt.column("vec_b").to_numpy(zero_copy_only=False))
+                ma, mb = vmat[ia], vmat[ib]
+                sim = _fold_dot(ma, mb) / (
+                    np.sqrt(_fold_dot(ma, ma)) * np.sqrt(_fold_dot(mb, mb))
+                )
+                yield pa.record_batch(
+                    [bt.column("vec_a"), bt.column("vec_b"), pa.array(sim, pa.float64())],
+                    names=["vec_a", "vec_b", "sim_raw"],
+                )
+
+        sims = cand.mapInArrow(
+            verify, schema="vec_a long, vec_b long, sim_raw double"
+        )
+    else:
+        ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+        eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+        sims = _cosine_pairs_arrow(cand.join(ea, "vec_a").join(eb, "vec_b"))
     return (
         sims.filter(F.col("sim_raw") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim_raw", 5).alias("sim"))

@@ -396,8 +396,15 @@ SELECT vec_id, round(adc, 5) AS adc FROM ad ORDER BY adc ASC, vec_id ASC LIMIT 1
 )
 
 
-def _pq_parts(spark, sf_dir):
-    """Shared PQ lineage: (subvectors, codebook, codes) DataFrames."""
+def _pq_codebook(spark, sf_dir) -> np.ndarray:
+    """Train the PQ codebook distributedly, return it as a dense
+    (M, K, DSUB) float64 array with absent (m, j) cells set to NaN.
+
+    The training aggregation (seeded partition vec_id % K, ordered-fold
+    mean matching the twin's list_sum(list(v ORDER BY vec_id))) is the
+    same two-groupBy lineage as before; only the final (M·K)-row table —
+    8 KB — is collected, which the ADC/encode path needed driver-side
+    anyway to broadcast its lookup structure."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
@@ -407,8 +414,6 @@ def _pq_parts(spark, sf_dir):
             F.array(*[F.slice("emb", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)])
         ).alias("m", "sv"),
     )
-    # codebook: seeded partition vec_id % K; centroid = ordered-fold mean
-    # (fold order matches the twin's list_sum(list(v ORDER BY vec_id)))
     dims = sub.select(
         "vec_id", "m", (F.col("vec_id") % PQ_K).alias("j"), F.posexplode("sv").alias("i", "v")
     )
@@ -427,48 +432,126 @@ def _pq_parts(spark, sf_dir):
         .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
         .select("m", "j", F.transform("ic", lambda s: s.getField("c")).alias("cent"))
     )
-    # encode: nearest centroid per (vec, subspace), ties to the smallest j
-    dist = sub.join(F.broadcast(cb), "m").withColumn(
-        "d2", _sq_dist(F.col("sv"), F.col("cent"))
+    mat = np.full((PQ_M, PQ_K, PQ_DSUB), np.nan)
+    for r in cb.collect():
+        mat[int(r["m"]), int(r["j"])] = np.asarray(r["cent"], dtype=np.float64)
+    return mat
+
+
+def _sq_dist_np(sv: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Row-wise chained-sum squared distance over PQ_DSUB dims — the exact
+    add order of the JVM _sq_dist expression (t0 + t1) + t2 ..., vectorized
+    across rows."""
+    d = (sv[:, 0] - cent[0]) * (sv[:, 0] - cent[0])
+    for i in range(1, sv.shape[1]):
+        d = d + (sv[:, i] - cent[i]) * (sv[:, i] - cent[i])
+    return d
+
+
+def _pq_encode_fn(cb: np.ndarray):
+    """mapInArrow body: (vec_id, emb) → (vec_id, j0..j7) — nearest-centroid
+    code per subspace against the closure-carried codebook (8 KB), ties to
+    the smallest j (np.argmin keeps the first minimum — the same
+    min(struct(d2, j)) tie-break the joined plan had). Encode is MAP-ONLY:
+    the old plan shuffled an M×K-exploded distance table into a
+    per-(vec, m) groupBy for the same per-row answer (guide §2.4/§4.2)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            mat = _list_mat_d(b.column("emb"))
+            subs = mat.reshape(-1, PQ_M, PQ_DSUB)
+            n = subs.shape[0]
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                d2 = np.empty((n, PQ_K))
+                for j in range(PQ_K):
+                    if np.isnan(cb[m, j, 0]):
+                        d2[:, j] = np.inf  # absent centroid: never assignable
+                    else:
+                        d2[:, j] = _sq_dist_np(subs[:, m, :], cb[m, j])
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pa.record_batch(
+                [b.column("vec_id")]
+                + [pa.array(codes[:, m], pa.int64()) for m in range(PQ_M)],
+                names=["vec_id"] + [f"j{m}" for m in range(PQ_M)],
+            )
+
+    return fn
+
+
+def _list_mat_d(col) -> np.ndarray:
+    """Arrow list<double> column → (n, EMB_DIM) float64 matrix."""
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat[off[0]: off[-1]].reshape(-1, EMB_DIM)
+
+
+def _pq_codes_df(spark, sf_dir):
+    """(vec_id, j0..j7) — one Arrow pass with the collected codebook."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
-    codes = (
-        dist.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "j")).alias("best"))
-        .select("vec_id", "m", F.col("best.j").alias("j"))
+    return e.mapInArrow(
+        _pq_encode_fn(cb),
+        schema="vec_id long, " + ", ".join(f"j{m} long" for m in range(PQ_M)),
     )
-    return sub, cb, codes
 
 
 @register("ann_pq_codes", _PQ_CODES_SQL)
 def ann_pq_codes(spark, sf_dir):
-    _sub, _cb, codes = _pq_parts(spark, sf_dir)
-    return (
-        codes.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "j"))).alias("mj"))
-        .select("vec_id", F.transform("mj", lambda s: s.getField("j")).alias("codes"))
-        .orderBy("vec_id")
-    )
+    codes = _pq_codes_df(spark, sf_dir)
+    return codes.select(
+        "vec_id", F.array(*[F.col(f"j{m}") for m in range(PQ_M)]).alias("codes")
+    ).orderBy("vec_id")
 
 
 @register("ann_pq_adc_top10", _PQ_ADC_SQL)
 def ann_pq_adc_top10(spark, sf_dir):
-    sub, cb, codes = _pq_parts(spark, sf_dir)
-    qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select("m", F.col("sv").alias("qsv"))
-    ad = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(cb), ["m", "j"])
-        .join(F.broadcast(qsub), "m")
-        .withColumn("dm", _sq_dist(F.col("qsv"), F.col("cent")))
-        .groupBy("vec_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("m", "dm"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s.getField("dm"),
-            ).alias("adc")
-        )
-        .select("vec_id", F.round("adc", 5).alias("adc"))
+    # ADC fused into the encode pass: the (M × K) LUT of query-to-centroid
+    # distances is computed ONCE driver-side (dm in the exact _sq_dist add
+    # order), each row's adc accumulates lut[m, code_m] in ascending-m
+    # order — bit-identical to the old array_sort(collect_list)+aggregate
+    # fold, without the codebook join + per-vec groupBy shuffles. The one
+    # remaining distributed step is TakeOrdered over (vec_id, adc) rows.
+    cb = _pq_codebook(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
+    qemb = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()[0],
+        dtype=np.float64,
+    )
+    qsub = qemb.reshape(PQ_M, PQ_DSUB)
+    lut = np.full((PQ_M, PQ_K), np.nan)
+    for m in range(PQ_M):
+        for j in range(PQ_K):
+            if not np.isnan(cb[m, j, 0]):
+                lut[m, j] = _sq_dist_np(qsub[m][None, :], cb[m, j])[0]
+    encode = _pq_encode_fn(cb)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for out in encode(batches):
+            vid = out.column("vec_id").to_numpy(zero_copy_only=False)
+            adc = np.zeros(vid.size)
+            for m in range(PQ_M):
+                adc = adc + lut[m, out.column(f"j{m}").to_numpy(zero_copy_only=False)]
+            yield pa.record_batch(
+                [out.column("vec_id"), pa.array(adc, pa.float64())],
+                names=["vec_id", "adc"],
+            )
+
+    ad = e.mapInArrow(fn, schema="vec_id long, adc double").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    ).select("vec_id", F.round("adc", 5).alias("adc"))
     return ad.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(10)
 
 

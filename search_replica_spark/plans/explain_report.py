@@ -113,9 +113,9 @@ CHECKS = {
         "why": "global running token sum via the two-pass partition-offset pattern (range partition + local cumsum from O(P) driver offsets) — a global-window formulation would funnel 10^12 rows through ONE partition's sort",
     },
     "ann_pq_adc": {
-        "want": ["BroadcastHashJoin"],
-        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        "why": "PQ ADC search: the (M×K) codebook and the query's M subvectors BROADCAST against the per-vector codes — the probe is a narrow-column broadcast-join pipeline over ~4-byte codes, never a shuffle of raw vectors or an all-pairs product",
+        "want": ["MapInArrow", "TakeOrderedAndProject"],
+        "avoid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange hashpartitioning"],
+        "why": "PQ ADC search (r6): the trained codebook collects to an 8 KB LUT carried in the task closure, encode+ADC run in ONE map-only Arrow pass over the vectors (no codebook join, no per-(vec,m) groupBy shuffle), and top-k is a TakeOrdered heap — the only exchange left is the k-row singlePartition merge",
     },
     "b8b_routing_partition_pruning": {
         "want": ["PartitionFilters: [isnotnull(bucket", "PushedFilters: [IsNotNull(o_custkey"],
