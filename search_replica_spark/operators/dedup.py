@@ -198,7 +198,10 @@ def _bucket_pairs(bucketed, key_cols: list[str], id_col: str,
     pair emissions on one core. Instead: posexplode one side, round-robin
     repartition those rows across the cluster, and emit each row's j>i
     partners from a slice of the (sorted) id array — every task expands
-    ~s/P rows, and sorted ids make the slice itself the `_a < _b` filter."""
+    ~s/P rows, and sorted ids make the slice itself the `_a < _b` filter.
+    The slice is taken BEFORE the repartition, so the exchange carries
+    each row's j>i suffix only (Σ(s−i) = s²/2 elements, half the bytes of
+    shipping the full array per member — guide §2.3)."""
     buckets = (
         bucketed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
@@ -209,13 +212,13 @@ def _bucket_pairs(bucketed, key_cols: list[str], id_col: str,
     width = int(bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         buckets.select(F.posexplode("_ids").alias("_i", "_a"), "_ids")
-        .repartition(width)
         .select(
             "_a",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-            ).alias("_b"),
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids")).alias("_rest"),
         )
+        .filter(F.size("_rest") > 0)
+        .repartition(width)
+        .select("_a", F.explode("_rest").alias("_b"))
     )
 
 

@@ -129,6 +129,42 @@ def test_arrow_encoder_matches_grouped_pandas(spark):
     for c in old2.columns:
         assert (old2[c] == new2[c]).all(), f"broadcast-path column {c} differs"
 
+    # int-stream variant (r6): term_id int32 + int32 doc_idx/tf, salt
+    # derived inside the encoder — must still match the grouped-map rows
+    terms_sorted = sorted(pdf2["term"].unique())
+    tmap = {t: i for i, t in enumerate(terms_sorted)}
+    rev_bc = spark.sparkContext.broadcast(terms_sorted)
+    hot_bc3 = spark.sparkContext.broadcast({tmap["hotterm"]: 60_000})
+    hot_ids = [tmap["hotterm"]]
+    pdf3 = pdf2.assign(term_id=pdf2["term"].map(tmap).astype("int32"))
+    df3 = spark.createDataFrame(
+        pdf3[["term_id", "doc_idx", "tf"]],
+        "term_id int, doc_idx long, tf long",
+    )
+    salt_expr = F.when(
+        F.col("term_id").isin(hot_ids),
+        (F.col("doc_idx") / F.lit(cfg.salt_range_docs)).cast("int"),
+    ).otherwise(F.lit(0))
+    new3 = (
+        df3.select(
+            "term_id",
+            F.col("doc_idx").cast("int").alias("doc_idx"),
+            F.col("tf").cast("int").alias("tf"),
+        )
+        .repartition(4, F.col("term_id"), salt_expr)
+        .sortWithinPartitions("term_id", "doc_idx")
+        .mapInArrow(
+            _encode_partition_arrow(n_docs, avg_dl, cfg, dl_bc, hot_bc3, rev_bc),
+            schema=SEGMENT_SCHEMA,
+        )
+        .toPandas()
+        .sort_values(["term", "block_id"])
+        .reset_index(drop=True)
+    )
+    assert len(old2) == len(new3)
+    for c in old2.columns:
+        assert (old2[c] == new3[c]).all(), f"int-stream column {c} differs"
+
 
 def test_bucket_pairs_slice_expansion(spark):
     """The distributed slice expansion emits exactly the a<b pairs of the
