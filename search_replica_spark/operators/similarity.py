@@ -524,10 +524,10 @@ def ann_pq_adc_top10(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
-    qemb = np.asarray(
-        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()[0],
-        dtype=np.float64,
-    )
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()
+    if qrow is None:  # no query vector: the old joined plan returned empty
+        return spark.createDataFrame([], "vec_id long, adc double")
+    qemb = np.asarray(qrow[0], dtype=np.float64)
     qsub = qemb.reshape(PQ_M, PQ_DSUB)
     lut = np.full((PQ_M, PQ_K), np.nan)
     for m in range(PQ_M):

@@ -217,6 +217,17 @@ class IndexReader:
                 )
             pdf = seg.toPandas()
             self._pinned = pdf.sort_values(["term", "block_id"]).set_index("term", drop=False)
+            if self._seg_df is not None and all(
+                c in self._pinned.columns for c in self._seg_df.columns
+            ):
+                # the pinned frame supersedes the executor-side cache for
+                # every request it can serve — release the JVM storage
+                # memory instead of carrying a dead cache for the rest of
+                # a long-lived serving process (guide §5: unpersist when
+                # done; the cache competes with execution memory of every
+                # later job in this session)
+                self._seg_df.unpersist()
+                self._seg_df = None
         return self
 
     def fetch_blocks(self, terms: list[str], positions: bool = False) -> pd.DataFrame:
