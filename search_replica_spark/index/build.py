@@ -635,7 +635,10 @@ def _stage_segments(
     # (derived from doc_idx inside the encoder). Measured: the consume-only
     # Arrow pass over the sf0.1 encode exchange drops 21.3 s → 8.7 s —
     # Spark's per-value string serialization dominated the stage.
-    use_tid = py_side and df_tbl.count() <= 1_000_000
+    n_terms_known: int | None = None
+    if py_side:
+        n_terms_known = df_tbl.count()
+    use_tid = py_side and n_terms_known is not None and n_terms_known <= 1_000_000
     dl_bc = hot_bc = rev_bc = None
     if py_side:
         sc = spark.sparkContext
@@ -777,7 +780,12 @@ def _stage_segments(
     )
 
     spark.conf.set("spark.sql.shuffle.partitions", old_width)
-    return {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
+    core = {"n_docs": n_docs, "avg_dl": avg_dl, "total_tokens": total_tokens}
+    if n_terms_known is not None:
+        # hand the vocabulary size to finalize (it is one row per term in
+        # df_tbl == the dict) — saves finalize's dict count job per build
+        core["n_terms"] = int(n_terms_known)
+    return core
 
 
 def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict, t0: float) -> dict:
@@ -822,7 +830,11 @@ def _stage_finalize(spark: SparkSession, out: str, cfg: IndexConfig, core: dict,
         F.sum("blocks").alias("k"),
     ).collect()[0]
     lin = {k: (int(v) if v is not None else 0) for k, v in lin.asDict().items()}
-    n_terms = spark.read.parquet(os.path.join(out, "dict")).count()
+    n_terms = (
+        int(core["n_terms"])
+        if "n_terms" in core
+        else spark.read.parquet(os.path.join(out, "dict")).count()
+    )
 
     field_stats = None
     if cfg.field_analyzers is not None:
