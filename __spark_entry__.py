@@ -60,32 +60,42 @@ _DRIVER_SAMPLED_R1_R4 = frozenset({
 })
 
 
-# Registered this round's final session — front-loaded ahead of the other
-# never-sampled entries so the newest surfaces get driver rows first (there
-# are more never-sampled entries than the driver's 50-row sample).
-_NEWEST = (
-    "ft_simple_query_string", "ft_suggest_completion", "ft_terms_lookup",
-    "agg_extended_stats_by_lang", "agg_boxplot_by_lang",
-    "agg_matrix_stats_moments", "agg_random_sampler_stats",
-    "agg_stats_bucket_chars", "agg_bucket_script_share",
-    "agg_nested_reverse_orders", "agg_percentile_ranks",
-    "agg_top_metrics_by_lang", "agg_mad_by_lang", "agg_string_stats_lang",
-    "geo_bounding_box_counts", "geo_distance_top10", "geo_tile_grid_top10",
-    "geo_centroid_by_type", "geo_bounds_by_type",
-    "ann_filtered_top10", "text_chunk_sliding", "text_top_trigrams",
-    "sample_temperature_mix",
-)
+# Round 5's driver sample (the CORRECTNESS_r05.json keys) — all 50 were
+# new that round, so rotation keeps advancing: with r1-r4 they make 124
+# ever-sampled names, leaving 60 entries that have never had a driver row.
+# Those 60 are ordered first so round 6's sample is drawn from them.
+_DRIVER_SAMPLED_R5 = frozenset({
+    "agg_adjacency_matrix", "agg_auto_date_histogram", "agg_boxplot_by_lang",
+    "agg_bucket_script_share", "agg_bucket_selector_sort",
+    "agg_cumulative_cardinality", "agg_date_range",
+    "agg_diversified_sampler_stats", "agg_extended_stats_by_lang",
+    "agg_mad_by_lang", "agg_matrix_stats_moments", "agg_max_bucket_day",
+    "agg_missing_label", "agg_moving_percentiles_week",
+    "agg_multi_terms_lang_source", "agg_nested_reverse_orders",
+    "agg_normalize_percent", "agg_percentile_ranks",
+    "agg_percentiles_bucket_day", "agg_pipeline_day",
+    "agg_random_sampler_stats", "agg_range_nchars", "agg_rare_terms_tokens",
+    "agg_rate_per_day", "agg_serial_diff_week", "agg_stats_bucket_chars",
+    "agg_string_stats_lang", "agg_top_metrics_by_lang",
+    "agg_value_count_weighted_avg", "agg_variable_width_histogram",
+    "ann_filtered_top10", "ann_pq_adc_top10", "ann_pq_codes",
+    "dsl_knn_search_top10", "ft_bm25_pruned_top10", "ft_highlight_top10",
+    "ft_simple_query_string", "ft_span_first_top10", "ft_span_near_top10",
+    "ft_suggest_completion", "ft_terms_lookup", "geo_bounding_box_counts",
+    "geo_bounds_by_type", "geo_centroid_by_type", "geo_distance_top10",
+    "geo_tile_grid_top10", "hybrid_rrf_top10", "sample_temperature_mix",
+    "text_chunk_sliding", "text_top_trigrams",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED_R1_R4 | _DRIVER_SAMPLED_R5
 
 
 def _rotated() -> dict[str, tuple]:
     from search_replica_spark.operators import all_registered
 
     reg = all_registered()
-    order = [n for n in _NEWEST if n in reg]
-    order += [
-        n for n in reg if n not in _DRIVER_SAMPLED_R1_R4 and n not in set(order)
-    ]
-    order += [n for n in reg if n in _DRIVER_SAMPLED_R1_R4]
+    order = [n for n in reg if n not in _DRIVER_SAMPLED]
+    order += [n for n in reg if n in _DRIVER_SAMPLED]
     return {n: reg[n] for n in order}
 
 

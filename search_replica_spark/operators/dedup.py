@@ -848,15 +848,56 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
                          max_rounds: int = 100):
-    """(node, cluster_id=min reachable node) over an undirected pair graph,
-    by iterative min-label propagation. Nodes absent from any pair are
-    absent from the result (callers coalesce singletons to themselves)."""
-    edges = pairs.select(
+    """(node, cluster_id=min reachable node) over an undirected pair graph.
+
+    Round 0 + contraction + propagation (guide §2.3/§2.4: iterate over a
+    lightweight proxy instead of re-scanning the full edge set per round):
+
+      1. ONE groupBy over the doubled edge set fuses label init with the
+         first propagation round: l0(u) = min(u, min neighbor);
+      2. the edge set is contracted through l0 (two equi-joins against the
+         tiny label table — AQE broadcasts — plus a distinct): near-dup
+         graphs are dense, so the 9.3M-pair sf0.1 graph collapses to a
+         few label-level edges;
+      3. the frontier min-label loop runs on the CONTRACTED graph only —
+         each subsequent round costs O(label edges), not O(pairs);
+      4. labels compose back: lbl(u) = comp(l0(u)), coalesced to l0(u)
+         for components the contraction already collapsed to a point.
+
+    Equivalence with flat propagation: l0(u) is u or a neighbor, so it
+    stays inside u's component; any path maps to a label walk whose every
+    step between DISTINCT labels is a contracted edge, so a component's
+    label image is connected in the contracted graph and its min-reachable
+    fixpoint is the component's min node id — the same unique fixpoint
+    (pytest chain test + the EXACT recursive-CTE oracle twin).
+
+    Nodes absent from any pair are absent from the result (callers
+    coalesce singletons to themselves)."""
+    p = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-    edges = edges.localCheckpoint()  # pair generation runs ONCE
+    ).localCheckpoint()  # pair generation runs ONCE
+    edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # every node appears as u in the doubled set, so this is both the node
+    # inventory and the first min-label round
+    l0 = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(F.col("u").alias("doc_id"), F.least("u", "_mn").alias("lbl"))
+        .localCheckpoint()  # one row per node; three consumers below
+    )
+    lu = l0.select(F.col("doc_id").alias("u"), F.col("lbl").alias("_lu"))
+    lv = l0.select(F.col("doc_id").alias("v"), F.col("lbl").alias("_lv"))
+    ce = (
+        p.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("_lu") != F.col("_lv"))
+        .select(F.col("_lu").alias("u"), F.col("_lv").alias("v"))
+        .distinct()
+        .localCheckpoint()  # label-level edges: tiny for dense dup graphs
+    )
+    cedges = ce.unionByName(ce.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
-        edges.select(F.col("u").alias("doc_id"))
+        cedges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
@@ -864,15 +905,12 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
     # FRONTIER propagation: after round 1 only nodes whose label changed
     # last round can improve a neighbor, so each round joins the edges
     # against the (rapidly shrinking) changed set instead of every label —
-    # same min-label fixpoint, round cost drops with the frontier size
-    # (measured ~2× on the 9.3M-pair sf0.1 graph). The label side is tiny
-    # (≤ nodes), so AQE broadcasts it and the checkpointed edges never
-    # reshuffle.
+    # same min-label fixpoint, round cost drops with the frontier size.
     delta = labels
     for _i in range(max_rounds):
         # nodes adopting min(own, changed neighbors' labels)
         neigh = (
-            edges.join(delta.withColumnRenamed("doc_id", "u"), "u")
+            cedges.join(delta.withColumnRenamed("doc_id", "u"), "u")
             .groupBy(F.col("v").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
@@ -891,8 +929,16 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         changed = delta.count()
         labels = new.drop("_old")
         if changed == 0:
-            return labels
-    raise RuntimeError(f"component propagation did not converge in {max_rounds} rounds")
+            break
+    else:
+        raise RuntimeError(
+            f"component propagation did not converge in {max_rounds} rounds"
+        )
+    comp = labels.select(F.col("doc_id").alias("_cl"), F.col("lbl").alias("_cm"))
+    return (
+        l0.join(comp, l0["lbl"] == comp["_cl"], "left")
+        .select("doc_id", F.coalesce("_cm", "lbl").alias("lbl"))
+    )
 
 
 @register("dedup_cluster_components", _COMPONENTS_SQL)
